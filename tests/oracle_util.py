@@ -1,0 +1,77 @@
+"""Local replica of the driver's DuckDB-oracle comparison (SURVEY.md §5).
+
+Compares a Spark DataFrame against DuckDB running the oracle SQL on the
+same parquet tables: row count, column-name set, and an order-insensitive
+value comparison (columns sorted by name, rows sorted, floats normalized).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        # normalize float noise below a relative ~1e-9
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if pd.isna(v):
+        return "<null>"
+    return str(v)
+
+
+def _normalize(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "") -> None:
+    actual = spark_df.toPandas()
+    expected = run_oracle(sql, sf_dir)
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"{name}: column mismatch spark={sorted(actual.columns)} "
+        f"oracle={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"{name}: row count mismatch spark={len(actual)} oracle={len(expected)}"
+    )
+    a, e = _normalize(actual), _normalize(expected)
+    mism = [(x, y) for x, y in zip(a, e) if x != y][:5]
+    assert a == e, f"{name}: value mismatch, first diffs: {mism}"
