@@ -1,0 +1,120 @@
+"""Cleaning / expression library — SURVEY.md §2.2 P4-P15.
+
+Every function here returns a Catalyst Column expression (never a Python
+UDF): the hot path stays inside whole-stage codegen, vectorized on the JVM.
+The reference implements these as row-at-a-time pandas operations; each
+docstring cites the reference site whose semantics the expression pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NULL_SENTINEL = "␀"  # ␀ — distinguishes NULL from empty string in hashes
+
+
+def row_hash_expr(cols: list[Column | str], algo: str = "md5") -> Column:
+    """Deterministic content hash of a row (reference: MD5 over the
+    stringified value tuple, row-at-a-time — ``dags/tasks/ingestion.py:69``).
+
+    Vectorized: ``md5(concat_ws('|', coalesce(cast(c as string), ␀)...))``.
+    ``sha2-256`` recommended at 100 TB scale (X1) where md5-collision odds
+    over ~10^12 rows start to matter for exact-dedup counts.
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),
+                   F.lit(NULL_SENTINEL))
+        for c in cols
+    ]
+    joined = F.concat_ws("|", *parts)
+    if algo == "md5":
+        return F.md5(joined)
+    if algo == "sha256":
+        return F.sha2(joined, 256)
+    if algo == "xxhash64":
+        return F.xxhash64(joined).cast("string")
+    raise ValueError(f"unknown hash algo {algo!r}")
+
+
+def surrogate_key_expr(*natural_key_cols: str) -> Column:
+    """Distributed surrogate key replacing SERIAL (SURVEY §7.4 decision (c)).
+
+    ``xxhash64(natural key)``: stable across runs, re-derivable without a
+    join, no global sequence bottleneck (``monotonically_increasing_id`` is
+    unstable; ``row_number()`` over a global order is a single-partition
+    shuffle at 100 TB). Reference: ``scripts/init_postgres.sql:5,10,27``.
+    """
+    return F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+                        for c in natural_key_cols])
+
+
+def clean_text_expr(col: Column | str, title: bool = True) -> Column:
+    """String standardization: trim + title-case
+    (``dags/tasks/transformation.py:56-59``: ``.str.strip().str.title()``).
+
+    Divergence (documented, SURVEY P5): pandas ``.str.title()`` capitalizes
+    after any non-letter (``Cox'S Bazar``); Spark ``initcap`` splits on
+    whitespace only (``Cox's Bazar``). The engine standardizes on initcap.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    return F.initcap(c) if title else F.lower(c)
+
+
+def parse_stopovers_expr(col: Column | str) -> Column:
+    """Stopovers parser (``dags/tasks/transformation.py:14-24``):
+    'Direct'/'non-stop' → 0; any string with digits → first digit run;
+    garbage/empty/null → 0. Pure Catalyst: when/rlike/regexp_extract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(F.trim(c))
+    digits = F.regexp_extract(lc, r"(\d+)", 1)
+    return (
+        F.when(lc.isNull(), F.lit(0))
+        .when(lc.rlike(r"^(direct|non[- ]?stop)$"), F.lit(0))
+        .when(digits != "", digits.cast("int"))
+        .otherwise(F.lit(0))
+        .alias("stopovers")
+    )
+
+
+def coerce_money_expr(col: Column | str, scale: int = 2) -> Column:
+    """Numeric coercion (``dags/tasks/transformation.py:65-72``):
+    ``pd.to_numeric(errors='coerce').fillna(0).round(scale)`` →
+    ``round(coalesce(cast(c as double), 0.0), scale)``.
+
+    Note: pandas ``round`` is half-even, Spark ``round`` is half-up; the
+    engine pins half-up (FIXTURES.md §5 'numeric coercion').
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.coalesce(c.cast("double"), F.lit(0.0)), scale)
+
+
+def weekday_expr(date_col: Column | str) -> Column:
+    """Day-of-week, Monday=0 — matches pandas ``dt.dayofweek``
+    (``dags/tasks/transformation.py:97``). Uses Spark ``weekday()``; the
+    naive ``dayofweek()`` is Sunday=1 and would be off by a rotation.
+    """
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return F.weekday(c)
+
+
+def is_weekend_expr(date_col: Column | str) -> Column:
+    """Weekend flag: pandas Sat=5/Sun=6 → ``weekday >= 5``
+    (``dags/tasks/transformation.py:98``)."""
+    return weekday_expr(date_col) >= 5
+
+
+def date_parts(date_col: Column | str) -> dict[str, Column]:
+    """Calendar attributes for dim_date (``dags/tasks/transformation.py:93-98``,
+    ``scripts/init_postgres.sql:15-24``)."""
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return {
+        "year": F.year(c),
+        "month": F.month(c),
+        "day": F.dayofmonth(c),
+        "quarter": F.quarter(c),
+        "day_of_week": weekday_expr(c),
+        "is_weekend": is_weekend_expr(c),
+    }

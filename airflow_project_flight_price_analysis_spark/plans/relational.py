@@ -1,6 +1,533 @@
-"""Relational operator queries (SURVEY.md §2.2-2.6) — filled in task #2."""
+"""Relational operator queries — SURVEY.md §2.1-2.7 coverage.
+
+One named query per operator family, each paired with DuckDB oracle SQL
+that encodes the *decided* semantics (divergence-fixes included). Column
+aliases match exactly between engines — the driver sorts columns by name
+before value-hashing.
+
+Scale notes per query are inline; the common posture: no collects, dims
+broadcast, aggregations partial map-side, window functions partitioned by
+a high-cardinality key (never a global window), and all expressions
+codegen-able Catalyst (zero Python UDFs).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.cleaning import parse_stopovers_expr, row_hash_expr
+from ..sources import load_table
+
+
+# --- P1/P2/P7/P8: rename, project, coerce, validity filter -----------------
+
+def q06_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver cleaning slice (rename P1, project P2, coerce P7,
+    validity filter P8 — ``dags/tasks/transformation.py:56-79``).
+
+    The filter + projection both push into the parquet scan (check
+    ``PushedFilters`` in explain); only 5 of 11 lineitem columns are read.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("l_orderkey").alias("booking_id"),
+            F.col("l_linenumber").alias("leg"),
+            F.round(F.coalesce(F.col("l_extendedprice").cast("double"), F.lit(0.0)), 2).alias("base_fare"),
+            # raw product, not rounded: per-row IEEE arithmetic is
+            # bit-identical across engines; rounding at half-cent ties isn't
+            (F.col("l_extendedprice") * F.col("l_tax")).alias("tax_surcharge"),
+            F.lower(F.trim(F.col("l_returnflag"))).alias("return_flag"),
+        )
+    )
+
+
+# --- P6: stopovers-style token parser --------------------------------------
+
+def q07_parse_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 analog — the reference's stopovers parser
+    (``dags/tasks/transformation.py:14-24``) applied to
+    ``o_orderpriority`` ('1-URGENT' → 1, …): digit-extraction with
+    coerce-to-0 fallback, then a distribution count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(parse_stopovers_expr("o_orderpriority").alias("urgency"))
+        .groupBy("urgency")
+        .agg(F.count("*").alias("n"))
+        .orderBy("urgency")
+    )
+
+
+# --- P4 + D1/X1: row hash + dedup ledger anti-join -------------------------
+
+_HASH_COLS_SQL = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+    "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), "
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), "
+    "l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))"
+)
+
+
+def _row_hash_cols():
+    return [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("decimal(18,2)"),
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate").cast("date"),
+    ]
+
+
+def q08_row_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — vectorized row-content hash (vs the reference's row-at-a-time
+    ``df.apply(md5, axis=1)``, ``dags/tasks/ingestion.py:69``) + exact-dup
+    profile. Doubles are decimal-cast before stringification so the hash is
+    engine-portable; at scale sha2-256 replaces md5 (see row_hash_expr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(row_hash_expr(_row_hash_cols()).alias("row_hash"))
+    return hashed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("row_hash").alias("n_unique"),
+    )
+
+
+def q09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — hash-ledger anti-join (``dags/tasks/ingestion.py:72-90``):
+    rows already in the ledger (here: shipped before 1997) are dropped;
+    only unseen rows pass. At 100 TB the ledger is partitioned by hash
+    prefix so this is a co-partitioned SMJ, not a broadcast (SURVEY §7.4.3).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.withColumn("row_hash", row_hash_expr(_row_hash_cols()))
+    ledger = hashed.filter(F.year("l_shipdate") < 1997).select("row_hash")
+    fresh = hashed.join(ledger, "row_hash", "left_anti")
+    return fresh.agg(F.count("*").alias("n_new_rows"))
+
+
+# --- D2/D3/D4: distinct dim builders ---------------------------------------
+
+def q10_dim_airlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — single-column distinct → dim_airlines
+    (``dags/tasks/transformation.py:82-83``). Partial (map-side) distinct
+    then a tiny shuffle on the dim key."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(F.col("s_name").alias("airline_name")).distinct().orderBy("airline_name")
+
+
+def q11_dim_airports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — union of two role-playing projections + distinct → dim_airports
+    (``dags/tasks/transformation.py:86-88``). Customer-side and
+    supplier-side nations mirror source/destination airports."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    src = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        F.col("n_nationkey").alias("airport_code"), F.col("n_name").alias("airport_name")
+    )
+    dst = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey).select(
+        F.col("n_nationkey").alias("airport_code"), F.col("n_name").alias("airport_name")
+    )
+    return src.unionByName(dst).distinct().orderBy("airport_code")
+
+
+def q12_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 + P10-P13 — calendar dimension from distinct order dates
+    (``dags/tasks/transformation.py:91-101``): date parts, Monday=0
+    weekday, weekend flag, deterministic seasonality bucket (J4 fix)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("date_id")
+    return (
+        orders.select(F.to_date("o_orderdate").alias("date_id"))
+        .distinct()
+        .select(
+            F.date_format(d, "yyyy-MM-dd").alias("date_id"),
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"),
+            F.quarter(d).alias("quarter"),
+            F.weekday(d).alias("day_of_week"),
+            (F.weekday(d) >= 5).alias("is_weekend"),
+            F.when(F.month(d).isin(6, 7), "Peak")
+            .when(F.month(d) == 12, "Winter Holidays")
+            .otherwise("Regular")
+            .alias("seasonality"),
+        )
+        .orderBy("date_id")
+    )
+    # dates surface as ISO strings at the query boundary (engine-portable
+    # value hashing); internal dim_date stays DateType (operators/star.py)
+
+
+# --- J2/J3: anti / semi joins (D5 upsert-diff, hash membership) ------------
+
+def q13_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/D5 — left-anti join: the insert-if-new diff
+    (``dags/tasks/transformation.py:26-43``). The right side is filtered
+    (urgent orders only) so the result is non-empty at every sf — an
+    anti-join against the full orders table matches every customer and
+    proves nothing. At scale: anti join on the natural key, both sides
+    hash-partitioned."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q14_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — left-semi join: hash-membership probe without materializing the
+    probe side (``dags/tasks/ingestion.py:82`` ``isin`` semantics)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_active_customers"))
+    )
+
+
+# --- J4: deterministic last-wins map ---------------------------------------
+
+def q15_label_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 divergence-fix — the reference's dict build keeps the *last* row
+    per key (order-dependent, ``dags/tasks/transformation.py:100``); the
+    engine uses deterministic ``max()`` per key instead."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.max("event_type").alias("label"))
+        .orderBy("day")
+    )
+
+
+# --- J1 + P14: full fact build (broadcast FK resolution) -------------------
+
+def q16_fact_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the star-schema fact build: three broadcast dim joins resolve
+    FKs (replacing the reference's driver-side dict maps,
+    ``dags/tasks/transformation.py:43,123-125``), inner-join semantics drop
+    unmatched rows (P14 ``dropna``, ``:134``), then the fact projection (P2).
+
+    Plan shape to expect: one shuffle (lineitem⋈orders on orderkey — at
+    cluster scale bucketed away), every dim join a BroadcastHashJoin, the
+    whole map side a single WholeStageCodegen span."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    src_nation = nation.select(F.col("n_nationkey").alias("src_key"), F.col("n_name").alias("src_airport"))
+    dst_nation = nation.select(F.col("n_nationkey").alias("dst_key"), F.col("n_name").alias("dst_airport"))
+
+    fare = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(src_nation), cust.c_nationkey == F.col("src_key"))
+        .join(F.broadcast(dst_nation), sup.s_nationkey == F.col("dst_key"))
+        .select(
+            F.col("l_orderkey").alias("booking_id"),
+            F.col("l_linenumber").alias("leg"),
+            F.col("s_name").alias("airline"),
+            F.col("src_airport"),
+            F.col("dst_airport"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("departure_date_id"),
+            F.col("o_orderpriority").alias("class"),
+            F.round(F.col("l_extendedprice"), 2).alias("base_fare"),
+            (F.col("l_extendedprice") * F.col("l_tax")).alias("tax_surcharge"),
+            fare.alias("total_fare"),
+        )
+    )
+
+
+# --- A1/A7/O4: counts + reconciliation gate --------------------------------
+
+def q17_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — row-count reconciliation (``dags/tasks/validation.py:17-49``)
+    in ONE pass (conditional aggregation), not the reference's three
+    separate count queries; ≤1% loss budget evaluated inline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").alias("source_count"),
+        F.sum(
+            F.when((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0), 1).otherwise(0)
+        ).cast("long").alias("valid_count"),
+    )
+    return agg.select(
+        "source_count",
+        "valid_count",
+        (F.col("source_count") - F.col("valid_count")).alias("dropped"),
+        F.round((F.col("source_count") - F.col("valid_count")) * 100.0 / F.col("source_count"), 4).alias("loss_pct"),
+        ((F.col("source_count") - F.col("valid_count")) * 100.0 / F.col("source_count") <= 1.0).alias("within_budget"),
+    )
+
+
+# --- §2.6/§2.7: window functions -------------------------------------------
+
+def q18_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ``row_number()`` window — partitioned by customer
+    (high-cardinality ⇒ scales out; never a global window). Deterministic
+    tie-break on orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            "rank",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + gap>30min cumulative flag) — the
+    window-function form of streaming ``session_window`` (SURVEY X7).
+    Partitioned by user_id; per-user event counts are small and unskewed."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        events.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# --- pivot / rollup ---------------------------------------------------------
+
+def q20_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status. Explicit pivot values
+    (no discovery pass); missing cells coalesced to 0 to match SQL
+    conditional-aggregation semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    ).orderBy("priority")
+
+
+def q21_rollup_fare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(year, quarter) — hierarchical totals with NULL grouping rows,
+    matching ANSI ROLLUP in the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").alias("year"), F.quarter("o_orderdate").alias("quarter"), "o_totalprice")
+        .rollup("year", "quarter")
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"), F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("year"), F.asc_nulls_first("quarter"))
+    )
+
+
+# --- X6: profiling ----------------------------------------------------------
+
+def q22_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cardinality/range profile in one pass. (The approximate
+    variant — approx_count_distinct / percentile_approx, the right choice
+    at 100 TB — is in operators/profiling.py as a rows-only check since
+    sketch outputs aren't oracle-comparable.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.date_format(F.min(F.to_date("l_shipdate")), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max(F.to_date("l_shipdate")), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+QUERIES = {
+    "q06_clean_project": q06_clean_project,
+    "q07_parse_priority": q07_parse_priority,
+    "q08_row_hash_profile": q08_row_hash_profile,
+    "q09_incremental_dedup": q09_incremental_dedup,
+    "q10_dim_airlines": q10_dim_airlines,
+    "q11_dim_airports": q11_dim_airports,
+    "q12_dim_date": q12_dim_date,
+    "q13_customers_without_urgent_orders": q13_customers_without_urgent_orders,
+    "q14_customers_with_orders": q14_customers_with_orders,
+    "q15_label_per_day": q15_label_per_day,
+    "q16_fact_flights": q16_fact_flights,
+    "q17_reconciliation": q17_reconciliation,
+    "q18_top_orders_per_customer": q18_top_orders_per_customer,
+    "q19_sessionization": q19_sessionization,
+    "q20_status_pivot": q20_status_pivot,
+    "q21_rollup_fare": q21_rollup_fare,
+    "q22_profile": q22_profile,
+}
+
+ORACLE = {
+    "q06_clean_project": """
+        SELECT l_orderkey AS booking_id,
+               l_linenumber AS leg,
+               ROUND(COALESCE(CAST(l_extendedprice AS DOUBLE), 0.0), 2) AS base_fare,
+               l_extendedprice * l_tax AS tax_surcharge,
+               lower(trim(l_returnflag)) AS return_flag
+        FROM lineitem
+        WHERE l_quantity > 0 AND l_extendedprice > 0
+    """,
+    "q07_parse_priority": r"""
+        SELECT CASE
+                 WHEN lower(trim(o_orderpriority)) IS NULL THEN 0
+                 WHEN regexp_matches(lower(trim(o_orderpriority)), '^(direct|non[- ]?stop)$') THEN 0
+                 WHEN regexp_extract(lower(trim(o_orderpriority)), '(\d+)', 1) <> ''
+                   THEN CAST(regexp_extract(lower(trim(o_orderpriority)), '(\d+)', 1) AS INTEGER)
+                 ELSE 0
+               END AS urgency,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q08_row_hash_profile": f"""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT md5({_HASH_COLS_SQL})) AS n_unique
+        FROM lineitem
+    """,
+    "q09_incremental_dedup": f"""
+        WITH hashed AS (SELECT md5({_HASH_COLS_SQL}) AS row_hash, l_shipdate FROM lineitem),
+             ledger AS (SELECT DISTINCT row_hash FROM hashed WHERE year(l_shipdate) < 1997)
+        SELECT COUNT(*) AS n_new_rows
+        FROM hashed WHERE row_hash NOT IN (SELECT row_hash FROM ledger)
+    """,
+    "q10_dim_airlines": """
+        SELECT DISTINCT s_name AS airline_name FROM supplier ORDER BY 1
+    """,
+    "q11_dim_airports": """
+        SELECT DISTINCT airport_code, airport_name FROM (
+            SELECT n_nationkey AS airport_code, n_name AS airport_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT n_nationkey, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ) ORDER BY airport_code
+    """,
+    "q12_dim_date": """
+        SELECT strftime(date_id, '%Y-%m-%d') AS date_id,
+               CAST(year(date_id) AS INTEGER) AS year,
+               CAST(month(date_id) AS INTEGER) AS month,
+               CAST(day(date_id) AS INTEGER) AS day,
+               CAST(quarter(date_id) AS INTEGER) AS quarter,
+               CAST(isodow(date_id) - 1 AS INTEGER) AS day_of_week,
+               isodow(date_id) - 1 >= 5 AS is_weekend,
+               CASE WHEN month(date_id) IN (6, 7) THEN 'Peak'
+                    WHEN month(date_id) = 12 THEN 'Winter Holidays'
+                    ELSE 'Regular' END AS seasonality
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_id FROM orders)
+        ORDER BY 1
+    """,
+    "q13_customers_without_urgent_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    "q14_customers_with_orders": """
+        SELECT COUNT(*) AS n_active_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q15_label_per_day": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, MAX(event_type) AS label
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "q16_fact_flights": """
+        SELECT l_orderkey AS booking_id,
+               l_linenumber AS leg,
+               s_name AS airline,
+               src.n_name AS src_airport,
+               dst.n_name AS dst_airport,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS departure_date_id,
+               o_orderpriority AS class,
+               ROUND(l_extendedprice, 2) AS base_fare,
+               l_extendedprice * l_tax AS tax_surcharge,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS total_fare
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation src ON c_nationkey = src.n_nationkey
+        JOIN nation dst ON s_nationkey = dst.n_nationkey
+    """,
+    "q17_reconciliation": """
+        WITH c AS (
+            SELECT COUNT(*) AS source_count,
+                   CAST(SUM(CASE WHEN l_quantity > 0 AND l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS valid_count
+            FROM lineitem
+        )
+        SELECT source_count, valid_count,
+               source_count - valid_count AS dropped,
+               ROUND((source_count - valid_count) * 100.0 / source_count, 4) AS loss_pct,
+               (source_count - valid_count) * 100.0 / source_count <= 1.0 AS within_budget
+        FROM c
+    """,
+    "q18_top_orders_per_customer": """
+        SELECT o_custkey AS customer_id, o_orderkey AS order_id, rank,
+               ROUND(o_totalprice, 2) AS total_price
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+            ) AS rank
+            FROM orders
+        ) WHERE rank <= 3
+    """,
+    "q19_sessionization": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR date_diff('second', prev_ts, ts) > 1800
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM e GROUP BY user_id ORDER BY user_id
+    """,
+    "q20_status_pivot": """
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "q21_rollup_fare": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+               CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+               ROUND(AVG(o_totalprice), 2) AS avg_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP(year, quarter)
+        ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST
+    """,
+    "q22_profile": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               strftime(MIN(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS first_ship,
+               strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS last_ship
+        FROM lineitem
+    """,
+}

@@ -10,6 +10,7 @@ self-describing schema, predicate pushdown + column pruning reach the scan
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -26,9 +27,20 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Schema-first scan: parquet carries the schema; no inference runs."""
+    """Schema-first scan: parquet carries the schema; no inference runs.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; it is read via the
+    ``legacy.parquet.nanosAsLong`` conf and truncated to microseconds
+    (exactly what DuckDB's reader does with nanos), keeping TimestampType
+    downstream.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown testdata table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
