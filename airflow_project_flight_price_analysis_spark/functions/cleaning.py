@@ -73,7 +73,7 @@ def parse_stopovers_expr(col: Column | str) -> Column:
     return (
         F.when(lc.isNull(), F.lit(0))
         .when(lc.rlike(r"^(direct|non[- ]?stop)$"), F.lit(0))
-        .when(digits != "", digits.cast("int"))
+        .when(digits != "", digits.try_cast("int"))
         .otherwise(F.lit(0))
         .alias("stopovers")
     )
@@ -82,13 +82,15 @@ def parse_stopovers_expr(col: Column | str) -> Column:
 def coerce_money_expr(col: Column | str, scale: int = 2) -> Column:
     """Numeric coercion (``dags/tasks/transformation.py:65-72``):
     ``pd.to_numeric(errors='coerce').fillna(0).round(scale)`` →
-    ``round(coalesce(cast(c as double), 0.0), scale)``.
+    ``round(coalesce(try_cast(c as double), 0.0), scale)``.
 
+    ``try_cast`` (not ``cast``): Spark 4 defaults to ANSI mode, where a
+    malformed cast throws — coerce-to-null is the reference's contract.
     Note: pandas ``round`` is half-even, Spark ``round`` is half-up; the
     engine pins half-up (FIXTURES.md §5 'numeric coercion').
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.coalesce(c.cast("double"), F.lit(0.0)), scale)
+    return F.round(F.coalesce(c.try_cast("double"), F.lit(0.0)), scale)
 
 
 def weekday_expr(date_col: Column | str) -> Column:

@@ -1,0 +1,68 @@
+"""Dirty-data matrix (FIXTURES.md §5) — each case pins one defensive
+behavior whose spec is the reference's code."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airflow_project_flight_price_analysis_spark.functions.cleaning import (
+    coerce_money_expr,
+    is_weekend_expr,
+    parse_stopovers_expr,
+    row_hash_expr,
+    surrogate_key_expr,
+    weekday_expr,
+)
+
+
+def test_stopovers_variants(spark):
+    # transformation.py:14-24
+    cases = ["Direct", "non-stop", "NON-STOP ", "1 Stop", "3 stops",
+             "lots of stops", "", None]
+    expected = [0, 0, 0, 1, 3, 0, 0, 0]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r[0] for r in df.select(parse_stopovers_expr("s")).collect()]
+    assert got == expected
+
+
+def test_numeric_coercion(spark):
+    # transformation.py:65-69 — coerce→0, round half-up (engine-pinned)
+    cases = ["abc", "", None, "-5", "12.345"]
+    expected = [0.0, 0.0, 0.0, -5.0, 12.35]  # Spark round = half-up
+    df = spark.createDataFrame([(c,) for c in cases], "m string")
+    got = [r[0] for r in df.select(coerce_money_expr("m")).collect()]
+    assert got == expected
+
+
+def test_weekday_monday_zero(spark):
+    # transformation.py:97-98 — pandas dt.dayofweek semantics (Mon=0)
+    df = spark.createDataFrame(
+        [("2026-08-10",), ("2026-08-14",), ("2026-08-15",), ("2026-08-16",)],
+        "d string",
+    ).select(F.to_date("d").alias("d"))
+    rows = df.select(weekday_expr("d").alias("w"),
+                     is_weekend_expr("d").alias("we")).collect()
+    assert [(r.w, r.we) for r in rows] == [
+        (0, False), (4, False), (5, True), (6, True)
+    ]
+
+
+def test_row_hash_null_vs_empty(spark):
+    # NULL and '' must hash differently (sentinel), and hashing is
+    # deterministic across rows with equal content
+    df = spark.createDataFrame(
+        [Row(a=None, b="x"), Row(a="", b="x"), Row(a="", b="x")]
+    )
+    h = df.select(row_hash_expr(["a", "b"]).alias("h")).collect()
+    assert h[0].h != h[1].h
+    assert h[1].h == h[2].h
+
+
+def test_surrogate_key_stable_and_distinct(spark):
+    df = spark.createDataFrame(
+        [("AirAlpha",), ("AirBeta",), ("AirAlpha",)], "name string"
+    )
+    keys = df.select(surrogate_key_expr("name").alias("k")).collect()
+    assert keys[0].k == keys[2].k
+    assert keys[0].k != keys[1].k
