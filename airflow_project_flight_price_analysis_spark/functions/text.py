@@ -1,0 +1,154 @@
+"""Text-analysis expression library (SURVEY.md §2.9 X4) — language-ID,
+quality scoring, token counting, fingerprinting.
+
+All hot-path functions are Catalyst column expressions (JVM, codegen,
+Arrow-free); nothing here drops to Python per row. Designed for the
+``documents`` table (``doc_id, text, lang, source, n_chars``) but generic
+over any string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/punct splitter: words, numbers, or single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+ENGLISH_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. Public knowledge (most-frequent function words).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "es", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "mit", "nicht"],
+    "zh": [],  # han-script detection, not stopwords — see lang_id_expr
+}
+
+
+def tokens_expr(col: Column | str, pattern: str = TOKEN_SPLIT_RE) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, pattern)
+    )
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count (X4 'token counting')."""
+    return F.size(tokens_expr(col))
+
+
+def bpe_token_count_expr(col: Column | str) -> Column:
+    """BPE-ish token count: words + numbers + individual punctuation.
+    A cheap, deterministic proxy for LLM tokenizer counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(c, f"({BPE_TOKEN_RE})", "$1\x1f"), "\x1f"
+            ),
+            lambda x: x != "",
+        )
+    )
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Document quality signals (X4 'quality scoring'): length, token
+    count, mean token length, punctuation ratio, stopword ratio — the
+    classic Gopher/C4-style heuristics, all as JVM expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens_expr(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS))
+    )
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": n_stop / safe_tokens,
+    }
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Composite [0,1] quality score: penalizes very short docs, heavy
+    punctuation, and stopword-free (unnatural) text."""
+    m = quality_metrics(col)
+    length_ok = F.least(m["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    punct_ok = 1.0 - F.least(m["punct_ratio"] * 4.0, F.lit(1.0))
+    stop_ok = F.least(m["stopword_ratio"] * 5.0, F.lit(1.0))
+    return F.round((length_ok + punct_ok + stop_ok) / 3.0, 6)
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Heuristic language ID: han-script ratio → 'zh'; else argmax of
+    per-language stopword hit-rate; no hits → 'und'. Pure expressions —
+    the per-language scores are computed in one pass over the token array.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens_expr(F.lower(c))
+    han = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+
+    # closure factory, NOT a default-arg lambda: pyspark higher-order
+    # functions inspect lambda arity, and a second (default) parameter is
+    # taken as the element-index argument
+    def _hits(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    scores = [
+        F.struct(
+            (F.size(F.filter(toks, _hits(words)))
+             / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in LANG_PROFILES.items()
+        if words
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return (
+        F.when(han / F.greatest(F.length(c), F.lit(1)) > 0.2, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text — robust to case,
+    punctuation, and whitespace variation (X4 'document fingerprinting')."""
+    return F.md5(normalize_text_expr(col))
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (for Jaccard / MinHash)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )

@@ -1,0 +1,238 @@
+"""Deduplication operators at 100 TB scale (SURVEY.md §2.9 X1-X2).
+
+Generalizes the reference's MD5 row-hash dedup
+(``dags/tasks/ingestion.py:69-90``) to the operators a training-data
+pipeline needs: exact content dedup, MinHash+LSH near-dedup, SimHash,
+and n-gram Jaccard similarity dedup.
+
+Scale posture:
+- Exact dedup = hash + per-key reduction (``row_number``/``min``) — one
+  shuffle on the hash, map-side partial where possible. sha2-256 keys (md5
+  collision odds over 10^12 rows are no longer negligible).
+- MinHash/LSH: banding turns O(n²) pair generation into an equi-join on
+  (band, bucket-signature) — the shuffle key is the band hash, so skew is
+  bounded by band-bucket size, not corpus size.
+- SimHash: 64-bit signature per doc from token-hash bit votes; candidate
+  pairs via banded equi-join on signature quarters (Hamming ≤ k guarantees
+  one exact quarter match for k ≤ 3 — pigeonhole).
+- n-gram Jaccard: exact verification on candidate pairs only (never a full
+  cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import shingles_expr, tokens_expr
+
+
+# --------------------------------------------------------------------------
+# X1: exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_cols: list[str],
+                keep_order_col: str | None = None) -> DataFrame:
+    """Keep one row per content hash. With ``keep_order_col``, keeps the
+    row with the smallest value (deterministic — ``dropDuplicates`` keeps
+    an arbitrary one); otherwise uses ``dropDuplicates`` (cheaper: partial
+    aggregation, no window)."""
+    hashed = df.withColumn(
+        "__content_hash",
+        F.sha2(F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+                                  for c in content_cols]), 256),
+    )
+    if keep_order_col is None:
+        return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
+    w = W.partitionBy("__content_hash").orderBy(F.col(keep_order_col).asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__content_hash", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2a: MinHash + LSH near-dedup
+# --------------------------------------------------------------------------
+
+# Deterministic 64-bit-ish universal hash family over xxhash64, seeded.
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` minhash values for a shingle array.
+    Each hash_i = min over shingles of xxhash64(shingle, seed=i) — all
+    JVM expressions (no UDF), one pass over the array per hash.
+
+    Seeds are bound via a closure factory: a ``lambda s, i=i`` default arg
+    would be read by pyspark as the element-index parameter of
+    ``transform`` and silently replace the seed with the array index."""
+    def _hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(*[
+        F.array_min(F.transform(shingles, _hash_with_seed(i)))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """(id, signature array) per document; empty docs get no signature."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    sh = shingles_expr(toks, shingle_n)
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("id", _minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    )
+
+
+def minhash_candidate_pairs(sigs: DataFrame, num_bands: int = 8) -> DataFrame:
+    """LSH banding: split the signature into bands, bucket-join on
+    (band_index, band hash). Returns candidate (a, b) pairs with a < b.
+    The O(n²) pair space never materializes — only per-bucket joins."""
+    n = num_bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", i + 1).cast("string")
+                    for i in range(b * 4, (b + 1) * 4)
+                ])).alias(f"b{b}")
+                for b in range(n)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          threshold: float = 0.7, num_hashes: int = 32,
+                          num_bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Candidate pairs verified by estimated Jaccard (fraction of matching
+    minhashes). Returns (a, b, est_jaccard ≥ threshold)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = minhash_candidate_pairs(sigs, num_bands)
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0), lambda acc, v: acc + v,
+        ) / F.lit(num_hashes)
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str, **kw) -> DataFrame:
+    """Near-dedup: drop the higher-id member of every near-dup pair
+    (greedy keep-first; a full transitive closure needs iterative
+    connected components — documented scale trade-off)."""
+    pairs = minhash_neardup_pairs(df, text_col, id_col, **kw)
+    drop_ids = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop_ids, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# X2b: SimHash
+# --------------------------------------------------------------------------
+
+def simhash_expr(tokens: Column, bits: int = 64) -> Column:
+    """64-bit SimHash as pure expressions: per-token xxhash64, then for
+    each bit position a vote (count of tokens with bit set vs total), bit
+    set in the output if votes > half. One pass per bit over the hashed
+    token array (JVM-side; no Python)."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(tokens)
+
+    def _vote(bit: int):  # closure factory — see _minhash_signature note
+        return lambda acc, h: (
+            acc + F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)).cast("int")
+        )
+
+    bit_votes = [
+        (F.aggregate(hashes, F.lit(0), _vote(b)) * 2 > n).cast("long")
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out.bitwiseOR(F.shiftleft(vote, b))
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("id", simhash_expr(F.col("toks")).alias("simhash"))
+    )
+
+
+def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k candidates via 4-quarter banding (pigeonhole: ≤3 bit
+    flips leave ≥1 of 4 16-bit quarters identical), then exact Hamming
+    verification with bit_count(xor)."""
+    quartered = sigs.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", q * 16).bitwiseAND(F.lit(0xFFFF))
+            for q in range(4)
+        ])).alias("q", "qval"),
+    )
+    a, b = quartered.alias("a"), quartered.alias("b")
+    return (
+        a.join(b, (F.col("a.q") == F.col("b.q"))
+               & (F.col("a.qval") == F.col("b.qval"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2c: n-gram Jaccard (exact, on blocked pairs)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        block_col: str, threshold: float = 0.5,
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles, within blocks
+    (never a full cross join — the block key bounds the pair space).
+    array_intersect/array_union are JVM builtins."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(shingles_expr(toks, shingle_n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

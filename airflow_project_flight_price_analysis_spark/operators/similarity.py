@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 X3).
+
+Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+
+1. **Brute-force cosine top-k** — the exactness baseline. Query set ⋈
+   corpus with the dot product as a JVM fold (``zip_with`` +
+   ``aggregate``), per-query top-k via a window. Cost is |Q|·|C|; right
+   when |Q| is small (the broadcast side) or as the verification pass.
+2. **LSH-bucketed top-k** — random-hyperplane signatures (the same
+   xxhash64-seeded JVM-expression trick as MinHash) bucket the corpus;
+   candidates come from the query's bucket ± probing, then exact cosine
+   re-ranks. Shuffle key = bucket, so the pair space never materializes.
+   (pyspark.ml's BucketedRandomProjectionLSH offers the same shape; this
+   implementation keeps everything in plain DataFrame expressions so it
+   composes with the rest of the engine and needs no Vector conversion.)
+
+Norms are precomputed once per side — never inside the pair loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float-array columns as a sequential JVM fold
+    (deterministic order — engine-portable values)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    ))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    Output: (query_id, neighbor_id, rank, cosine) — cosine rounded to 6dp
+    and used (rounded) as the ranking key with id tie-break, so ordering
+    is stable across engines and float summation orders.
+
+    The query side is broadcast: at scale queries ≪ corpus, so the plan
+    is a broadcast nested-loop with no corpus shuffle; per-partition
+    top-k candidates then combine in the window stage.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
+    )
+    sim = F.round(
+        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH tier: random-hyperplane signatures without leaving DataFrame land
+# --------------------------------------------------------------------------
+
+def _hyperplane_bit(vec: Column, seed: int, dim: int) -> Column:
+    """Sign bit of <vec, h_seed> where h_seed is a pseudo-random ±1
+    hyperplane derived from xxhash64(index, seed) — deterministic,
+    storage-free, computed as a JVM fold over the vector."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(2)) * 2 - 1).cast("double")),
+            lambda x, h: x * h,
+        ),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (proj >= 0).cast("int")
+
+
+def lsh_bucket_expr(vec: Column | str, num_bits: int = 8, dim: int = 64) -> Column:
+    """Bucket id = packed sign bits of ``num_bits`` random projections."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    out = F.lit(0)
+    for s in range(num_bits):
+        out = out * 2 + _hyperplane_bit(vec, s, dim)
+    return out
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_bits: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-ranks within candidates. Recall rises with fewer bits /
+    multi-probe; the equi-join on bucket is the scale win (shuffle by
+    bucket vs broadcast nested loop)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("c_norm"),
+        lsh_bucket_expr(vec_col, num_bits, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
+        lsh_bucket_expr(vec_col, num_bits, dim).alias("bucket"),
+    )
+    sim = F.round(
+        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

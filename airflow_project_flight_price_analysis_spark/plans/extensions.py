@@ -1,6 +1,256 @@
-"""Extension operator queries (SURVEY.md §2.9 X1-X7) — filled in task #4."""
+"""Extension operator queries (SURVEY.md §2.9) — the LLM-data-pipeline
+surface: dedup, similarity search, text analysis, multimodal, profiling.
+
+Oracle-checked where ANSI-SQL-expressible (exact dedup, token stats,
+quality ratios, fingerprints, brute-force cosine top-k, n-gram Jaccard,
+multimodal hashing); sketch/LSH/heuristic operators are rows-only checks
+(driver records the weaker gate; unit tests pin their semantics).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_metrics,
+    token_count_expr,
+    tokens_expr,
+)
+from ..operators.dedup import (
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from ..operators.multimodal import extract_features, media_from_documents
+from ..operators.profiling import approx_profile
+from ..operators.similarity import cosine_topk, lsh_topk
+from ..sources import load_table
+
+
+# --- X1: exact dedup --------------------------------------------------------
+
+def x01_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over documents: one output row per distinct
+    content hash with the survivor (min doc_id) and multiplicity —
+    the scale pattern behind the reference's hash ledger (X1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# --- X4: text analysis ------------------------------------------------------
+
+def x02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def x03_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(m["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def x04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_expr("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def x05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution (rows-only: the stopword-argmax
+    heuristic isn't reasonably ANSI-SQL-expressible; unit tests pin it on
+    known-language samples)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id_expr("text").alias("pred_lang"))
+        .groupBy("pred_lang").agg(F.count("*").alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+# --- X3: similarity search --------------------------------------------------
+
+def x06_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors against the full
+    corpus — the exactness baseline for ANN (X3). Vectors cast to double
+    so both engines fold in double precision."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def x07_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs x06 is pinned
+    by a unit test)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, num_bits=4).orderBy("query_id", "rank")
+
+
+# --- X2: near-dup dedup -----------------------------------------------------
+
+def x08_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (rows-only; banding + estimated
+    Jaccard are sketch outputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.5).orderBy("a", "b")
+
+
+def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidate pairs (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    return simhash_candidate_pairs(sigs, max_hamming=3).orderBy("a", "b")
+
+
+def x10_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.2 within same-lang blocks — the
+    verification stage of near-dedup, oracle-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang",
+                                threshold=0.2)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
+
+
+# --- X5: multimodal ---------------------------------------------------------
+
+def x11_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents → media table (payload bytes +
+    typed metadata) → Arrow-batched mapInPandas feature extraction.
+    n_bytes + sha256 are oracle-checked; the fake feature vector is not
+    (it exists to pin batch shapes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    feats = extract_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", "sha").orderBy("media_id")
+
+
+# --- X6: profiling ----------------------------------------------------------
+
+def x12_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile (HLL + approx quantiles; rows-only — sketches are
+    estimator outputs, pinned by a tolerance unit test instead)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_profile(li, ["l_orderkey", "l_partkey"], ["l_extendedprice"])
+
+
+QUERIES = {
+    "x01_exact_dedup_docs": x01_exact_dedup_docs,
+    "x02_token_stats": x02_token_stats,
+    "x03_quality_scores": x03_quality_scores,
+    "x04_fingerprints": x04_fingerprints,
+    "x05_lang_id": x05_lang_id,
+    "x06_cosine_topk": x06_cosine_topk,
+    "x07_lsh_topk": x07_lsh_topk,
+    "x08_minhash_neardup": x08_minhash_neardup,
+    "x09_simhash_pairs": x09_simhash_pairs,
+    "x10_ngram_jaccard": x10_ngram_jaccard,
+    "x11_media_features": x11_media_features,
+    "x12_approx_profile": x12_approx_profile,
+}
+
+ORACLE = {
+    "x01_exact_dedup_docs": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_doc_id
+    """,
+    "x02_token_stats": r"""
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents ORDER BY doc_id
+    """,
+    "x03_quality_scores": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+               ROUND(len(list_filter(toks, t -> lower(t) IN
+                     ('the','a','an','and','or','of','to','in','is','it',
+                      'that','for','on','with','as','was','at','by','be')))
+                     / GREATEST(len(toks), 1), 6) AS stopword_ratio
+        FROM t ORDER BY doc_id
+    """,
+    "x04_fingerprints": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "x06_cosine_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.e, c.e) /
+                         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                         6) AS cosine
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS INTEGER) AS rank
+            FROM pairs
+        ) WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    "x10_ngram_jaccard": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                       i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+2]
+                   )) AS grams
+            FROM documents
+            WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                     (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                     6) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+        ORDER BY a, b
+    """,
+    "x11_media_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents ORDER BY media_id
+    """,
+}

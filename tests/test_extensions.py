@@ -1,0 +1,134 @@
+"""Unit tests for extension operators whose semantics the DuckDB oracle
+can't check: lang-ID, MinHash/SimHash near-dup, LSH recall, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_project_flight_price_analysis_spark.functions.text import (
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from airflow_project_flight_price_analysis_spark.operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from airflow_project_flight_price_analysis_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+
+def test_lang_id_on_known_samples(spark):
+    samples = [
+        (1, "the cat sat on the mat and it was happy for a while", "en"),
+        (2, "le chat est dans la maison et les enfants sont dans le jardin", "fr"),
+        (3, "el perro y el gato de la casa que es muy grande en un pueblo", "es"),
+        (4, "der hund und die katze sind von einem haus mit garten nicht weit", "de"),
+        (5, "你好世界这是一个中文测试文档里面全是汉字", "zh"),
+        (6, "zzz qqq xxx vvv", "und"),
+    ]
+    df = spark.createDataFrame(samples, "id long, text string, expected string")
+    rows = df.select("expected", lang_id_expr("text").alias("pred")).collect()
+    assert all(r.pred == r.expected for r in rows), [
+        (r.expected, r.pred) for r in rows
+    ]
+
+
+def test_quality_score_orders_sensibly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it was a very "
+                "good day for everyone in the field to be happy"),
+            (2, "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))"),
+            (3, "ok"),
+        ],
+        "id long, text string",
+    )
+    scores = {r.id: r.q for r in df.select("id", quality_score_expr("text").alias("q")).collect()}
+    assert scores[1] > scores[3] > scores[2]
+
+
+def test_token_count_empty_and_null(spark):
+    df = spark.createDataFrame([("a b c",), ("",), ("   ",), (None,)], "t string")
+    got = [r[0] for r in df.select(token_count_expr("t")).collect()]
+    assert got[0] == 3 and got[1] == 0 and got[2] == 0
+    assert got[3] in (0, -1, None)  # null text → size(null); engine maps later
+
+
+def test_exact_dedup_deterministic_keep(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "id long, text string"
+    )
+    kept = exact_dedup(df, ["text"], keep_order_col="id").collect()
+    assert sorted((r.id, r.text) for r in kept) == [(1, "same"), (2, "other")]
+
+
+def _docs_with_neardups(spark):
+    base = ("spark engine shuffles data across the cluster while the optimizer "
+            "prunes columns and pushes filters down to the parquet scan layer")
+    near = base.replace("parquet", "orc")  # one token differs
+    far = ("completely different content about cooking recipes with garlic "
+           "onions tomatoes basil and a pinch of salt in the warm kitchen")
+    return spark.createDataFrame(
+        [(1, base, "en"), (2, near, "en"), (3, far, "en")],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_minhash_finds_planted_neardup(spark):
+    docs = _docs_with_neardups(spark)
+    pairs = minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    assert {(r.a, r.b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_finds_planted_neardup(spark):
+    docs = _docs_with_neardups(spark)
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    pairs = simhash_candidate_pairs(sigs, max_hamming=8).collect()
+    assert (1, 2) in {(r.a, r.b) for r in pairs}
+    assert (1, 3) not in {(r.a, r.b) for r in pairs}
+
+
+def test_lsh_recall_against_brute_force(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(emb, queries, k=5, num_bits=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_from_documents(docs)
+    feats = extract_features(media, fake=True, dim=8)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= v < 1.0 for v in rows[0].feature)
+    # deterministic: same payload → same sha/feature on rerun
+    again = extract_features(media, fake=True, dim=8).collect()
+    assert {r.media_id: r.sha for r in rows} == {r.media_id: r.sha for r in again}
+
+
+def test_frame_sample_plan_explodes_video(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"v"), ("video", "mp4", None, None, 3500))],
+        "media_id long, payload binary, meta struct<modality:string,format:string,width:int,height:int,duration_ms:int>",
+    )
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
