@@ -1,0 +1,98 @@
+"""Structured Streaming tests: memory sink + processAllAvailable drives a
+bounded stream to completion synchronously (guide pattern)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from airflow_project_flight_price_analysis_spark.sources import load_table
+from airflow_project_flight_price_analysis_spark.streaming import windows as SW
+from airflow_project_flight_price_analysis_spark.streaming.ingest import (
+    start_stream_ingest,
+)
+
+from tests.test_flight_pipeline import CSV_HEADER, GOOD_ROW, SECOND_ROW
+
+
+def _events_stream(spark, tmp_path):
+    """Events parquet re-written with micro timestamps, then readStream."""
+    src = str(tmp_path / "events_src")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    batch = spark.read.parquet(src)
+    return spark.readStream.schema(batch.schema).parquet(src), batch
+
+
+def _run_to_memory(stream_df, name, output_mode="append"):
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_tumbling_counts_match_batch(spark, tmp_path):
+    stream, batch = _events_stream(spark, tmp_path)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would hold back windows above the final
+    # watermark (they'd emit on the *next* batch in a live stream)
+    _run_to_memory(SW.tumbling_counts(stream, "1 hour"), name, "complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    assert got.count() == expected.count() > 0
+    # spot-check one cell end-to-end
+    g = {(r.window_start, r.event_type): (r.n, r.total_value) for r in got.collect()}
+    e = {(r.win.start, r.event_type): (r.n, r.total_value) for r in expected.collect()}
+    assert g == e
+
+
+def test_session_counts_runs(spark, tmp_path):
+    stream, batch = _events_stream(spark, tmp_path)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(SW.session_counts(stream, gap="30 minutes"), name, "complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+    n_sessions_stream = got.count()
+    assert n_sessions_stream > 0
+    # total events across sessions == total events
+    assert got.agg(F.sum("n_events")).collect()[0][0] == batch.count()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    dup_src = str(tmp_path / "dup_events")
+    events.unionAll(events).write.parquet(dup_src)  # every event twice
+    stream = spark.readStream.schema(events.schema).parquet(dup_src)
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(SW.dedup_within_watermark(stream), name)
+    got = spark.sql(f"SELECT * FROM {name}")
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
+
+
+def test_stream_ingest_is_incremental_and_idempotent(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "batch1.csv").write_text(
+        "\n".join([CSV_HEADER, GOOD_ROW, GOOD_ROW]) + "\n"
+    )
+    bronze = str(tmp_path / "bronze")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_stream_ingest(spark, str(landing), bronze, ledger, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(bronze).count() == 1  # in-batch dup collapsed
+
+    # new file lands: only its new row is ingested; old file not re-read
+    (landing / "batch2.csv").write_text(
+        "\n".join([CSV_HEADER, GOOD_ROW, SECOND_ROW]) + "\n"
+    )
+    q2 = start_stream_ingest(spark, str(landing), bronze, ledger, ckpt)
+    q2.awaitTermination(120)
+    bronze_df = spark.read.parquet(bronze)
+    assert bronze_df.count() == 2
+    assert spark.read.parquet(ledger).count() == 2
