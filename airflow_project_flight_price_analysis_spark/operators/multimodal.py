@@ -100,7 +100,8 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
                 "feature": payloads.map(lambda p: decode(p, dim)),
             })
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

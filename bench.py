@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Per-query timing = full plan execution into the ``noop`` sink (all
+operators run, nothing materializes driver-side), except tiny results
+which are collected. One warm-up of the session (JVM+codegen) via a
+trivial action so the first measured query isn't paying cold-start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_project_flight_price_analysis_spark.plans import all_queries  # noqa: E402
+from airflow_project_flight_price_analysis_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_avg_fare_by_airline",
+    "q02_booking_count_by_airline",
+    "q03_fare_trend",
+    "q04_seasonal_fare_variation",
+    "q05_top_routes",
+    "q16_fact_flights",
+    "q18_top_orders_per_customer",
+    "q19_sessionization",
+    "x01_exact_dedup_docs",
+    "x04_fingerprints",
+    "x06_cosine_topk",
+    "x08_minhash_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="fpa-bench")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
