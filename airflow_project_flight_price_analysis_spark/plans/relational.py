@@ -531,3 +531,235 @@ ORACLE = {
         FROM lineitem
     """,
 }
+
+
+# ===========================================================================
+# Second wave: wider relational coverage (round-1 extension of §2.2/2.5/2.6)
+# ===========================================================================
+
+from ..sources import register_views  # noqa: E402
+from ..functions.cleaning import clean_text_expr  # noqa: E402
+
+
+def q23_standardize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — trim + title-case standardization (transformation.py:56-59)
+    on part names; initcap is whitespace-split title-casing (the engine's
+    pinned divergence from pandas .str.title(), SURVEY P5)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            clean_text_expr("p_name").alias("name_title"),
+            F.lower(F.trim("p_name")).alias("name_lower"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — per-status, per-priority, and grand-total counts in
+    one pass (generalizes A3's grouped counts)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """)
+
+
+def q25_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates per group: distinct parts and orders served by
+    each supplier alongside plain counts (one pass, expand-based plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("supplier_id"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
+def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — customers ordering in both 1995 and 1996 vs
+    only 1995 (distinct set semantics, tagged and unioned)."""
+    orders = load_table(spark, sf_dir, "orders")
+    c95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    c96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = c95.intersect(c96).withColumn("op", F.lit("both"))
+    only95 = c95.exceptAll(c96).withColumn("op", F.lit("only_1995"))
+    return both.unionByName(only95).orderBy("op", "o_custkey")
+
+
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per return flag — the
+    exact counterpart of the sketch quantiles in x12 (X6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(pct.alias("p"))
+        .select(
+            "flag",
+            F.round(F.element_at("p", 1), 4).alias("p25"),
+            F.round(F.element_at("p", 2), 4).alias("p50"),
+            F.round(F.element_at("p", 3), 4).alias("p75"),
+        )
+        .orderBy("flag")
+    )
+
+
+def q28_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join on nation names (scalar string
+    function coverage; the blocked-pair shape mirrors X2 verification)."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_name").alias("a"))
+    b = nation.select(F.col("n_name").alias("b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("a", "b").alias("dist"))
+        .filter(F.col("dist") <= 8)
+        .orderBy("a", "b")
+    )
+
+
+def q29_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic (P10/P11 companions): day offsets, +30d shipping
+    SLA date, end-of-month bucketing."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.select(d.alias("d")).distinct()
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            F.datediff("d", F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+            F.date_format(F.date_add("d", 30), "yyyy-MM-dd").alias("sla_date"),
+            F.date_format(F.last_day("d"), "yyyy-MM-dd").alias("month_end"),
+        )
+        .orderBy("order_date")
+    )
+
+
+def q30_sql_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL frontend + window frames: monthly revenue, running cumulative
+    total, and month-over-month delta via lag."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH monthly AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT year, month, revenue,
+               ROUND(SUM(revenue) OVER (ORDER BY year, month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               ROUND(revenue - LAG(revenue) OVER (ORDER BY year, month), 2) AS mom_delta
+        FROM monthly ORDER BY year, month
+    """)
+
+
+def q31_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries (EXISTS + scalar) through the SQL frontend."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey
+    """)
+
+
+QUERIES.update({
+    "q23_standardize_text": q23_standardize_text,
+    "q24_grouping_sets": q24_grouping_sets,
+    "q25_distinct_aggs": q25_distinct_aggs,
+    "q26_set_ops": q26_set_ops,
+    "q27_percentiles": q27_percentiles,
+    "q28_levenshtein_pairs": q28_levenshtein_pairs,
+    "q29_date_arithmetic": q29_date_arithmetic,
+    "q30_sql_running_total": q30_sql_running_total,
+    "q31_sql_correlated": q31_sql_correlated,
+})
+
+ORACLE.update({
+    "q23_standardize_text": """
+        SELECT p_partkey,
+               list_aggregate(list_transform(string_split(trim(p_name), ' '),
+                   w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS name_title,
+               lower(trim(p_name)) AS name_lower
+        FROM part ORDER BY p_partkey
+    """,
+    "q24_grouping_sets": """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    "q25_distinct_aggs": """
+        SELECT l_suppkey AS supplier_id,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "q26_set_ops": """
+        WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        SELECT o_custkey, 'both' AS op FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+        UNION ALL
+        SELECT o_custkey, 'only_1995' AS op FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+        ORDER BY op, o_custkey
+    """,
+    "q27_percentiles": """
+        SELECT l_returnflag AS flag,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4) AS p75
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "q28_levenshtein_pairs": """
+        SELECT a.n_name AS a, b.n_name AS b, levenshtein(a.n_name, b.n_name) AS dist
+        FROM nation a JOIN nation b ON a.n_name < b.n_name
+        WHERE levenshtein(a.n_name, b.n_name) <= 8
+        ORDER BY a, b
+    """,
+    "q29_date_arithmetic": """
+        SELECT strftime(d, '%Y-%m-%d') AS order_date,
+               CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER) AS days_since_95,
+               strftime(CAST(d + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS sla_date,
+               strftime(last_day(d), '%Y-%m-%d') AS month_end
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        ORDER BY order_date
+    """,
+    "q30_sql_running_total": """
+        WITH monthly AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT year, month, revenue,
+               ROUND(SUM(revenue) OVER (ORDER BY year, month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               ROUND(revenue - LAG(revenue) OVER (ORDER BY year, month), 2) AS mom_delta
+        FROM monthly ORDER BY year, month
+    """,
+    "q31_sql_correlated": """
+        SELECT c_custkey, c_name,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+})
