@@ -240,3 +240,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# X2a': pyspark.ml MinHashLSH variant (library-backed reference point)
+# --------------------------------------------------------------------------
+
+def minhash_ml_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                             jaccard_distance: float = 0.6,
+                             num_hash_tables: int = 8,
+                             num_features: int = 1 << 18) -> DataFrame:
+    """MinHash LSH via pyspark.ml (HashingTF token-set features →
+    MinHashLSH.approxSimilarityJoin). The hand-rolled expression version
+    (minhash_neardup_pairs) is the engine default — this wrapper exists
+    as a library-backed cross-check and for users already on pyspark.ml
+    pipelines. Returns (a, b, jaccard_dist ≤ jaccard_distance)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    prepared = scale_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id")
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    tf = HashingTF(inputCol="toks", outputCol="features",
+                   numFeatures=num_features, binary=True)
+    feats = tf.transform(tok.transform(prepared)).filter(
+        F.expr("size(toks) > 0")
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance,
+                                       distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("a"),
+            F.col("datasetB.id").alias("b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

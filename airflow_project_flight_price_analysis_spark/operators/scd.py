@@ -1,0 +1,77 @@
+"""Slowly-changing-dimension (SCD2) upsert without a transactional table
+format — SURVEY.md D5 generalized (the reference's insert-if-new dim
+upsert, ``dags/tasks/transformation.py:26-43``, kept only the latest
+version; SCD2 keeps history).
+
+MERGE INTO needs Delta/Iceberg (jars absent in v1 — guide 'CDC/SCD2');
+this emulates it with pure DataFrame ops:
+
+    changed   = updates ⋈ current  WHERE any tracked attr differs
+    closed    = current rows for changed/absent keys, end-dated
+    new_rows  = updates (new keys + new versions), open-ended
+
+One shuffle on the business key; output = closed ∪ untouched ∪ new.
+At 100 TB the dimension is partitioned by key-hash bucket and only
+buckets containing changed keys rewrite (here: full rewrite, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31"
+
+
+def _attrs_differ(attrs: list[str]) -> Column:
+    cond = F.lit(False)
+    for a in attrs:
+        cond = cond | ~F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+    return cond
+
+
+def scd2_upsert(current: DataFrame, updates: DataFrame, key: str,
+                attrs: list[str], effective_date: str) -> DataFrame:
+    """Apply one batch of updates to an SCD2 dimension.
+
+    ``current`` schema: key, attrs..., valid_from, valid_to (OPEN_END for
+    live rows). ``updates`` schema: key, attrs... — one row per key.
+    Returns the new full dimension state.
+    """
+    live = current.filter(F.col("valid_to") == OPEN_END).alias("cur")
+    history = current.filter(F.col("valid_to") != OPEN_END)
+    upd = updates.alias("upd")
+
+    joined = live.join(upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full")
+    changed_keys = (
+        joined.filter(F.col(f"upd.{key}").isNotNull()
+                      & F.col(f"cur.{key}").isNotNull()
+                      & _attrs_differ(attrs))
+        .select(F.col(f"cur.{key}").alias(key))
+    )
+
+    # close the superseded live rows at the batch's effective date
+    closed = (
+        live.join(changed_keys, key, "left_semi")
+        .withColumn("valid_to", F.lit(effective_date))
+    )
+    untouched_live = live.join(changed_keys, key, "left_anti")
+
+    # brand-new keys + new versions of changed keys open at effective date
+    existing_keys = live.select(key)
+    new_keys = upd.join(existing_keys, key, "left_anti")
+    new_versions = upd.join(changed_keys, key, "left_semi")
+    inserts = (
+        new_keys.unionByName(new_versions)
+        .select(key, *attrs)
+        .withColumn("valid_from", F.lit(effective_date))
+        .withColumn("valid_to", F.lit(OPEN_END))
+    )
+
+    cols = [key, *attrs, "valid_from", "valid_to"]
+    return (
+        history.select(cols)
+        .unionByName(closed.select(cols))
+        .unionByName(untouched_live.select(cols))
+        .unionByName(inserts.select(cols))
+    )

@@ -138,3 +138,82 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF tier: inverted-file ANN (coarse quantizer + per-bucket exact search)
+# --------------------------------------------------------------------------
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (the IVF coarse
+    quantizer). Centroids are broadcast (there are K ≪ |corpus| of them);
+    argmin via row_number over the K candidate distances. Returns
+    (id, vec, norm, centroid_id)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_expr(vec_col).alias("cent_norm"),
+    )
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(vec_col).alias("vnorm"),
+    )
+    sim = dot_expr("vec", "cent_vec") / (F.col("vnorm") * F.col("cent_norm"))
+    w = W.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        v.join(F.broadcast(c))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "vnorm", "centroid_id")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: bucket the corpus by nearest centroid; each query probes
+    its ``n_probe`` nearest centroid buckets and re-ranks exactly inside.
+
+    Centroid 'training' is deterministic for reproducibility: the first
+    ``n_centroids`` corpus vectors act as seeds (a k-means|| pass would
+    slot in here unchanged). The probe join's key is centroid_id — the
+    pair space is corpus/K per probe, not the full corpus.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    cq = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_expr(vec_col).alias("cent_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
+    )
+    qsim = dot_expr("q_vec", "cent_vec") / (F.col("q_norm") * F.col("cent_norm"))
+    wq = W.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("centroid_id"))
+    probes = (
+        F.broadcast(q).join(F.broadcast(cq))
+        .withColumn("qsim", qsim)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
+    )
+
+    sim = F.round(
+        dot_expr("q_vec", "vec") / (F.col("q_norm") * F.col("vnorm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -254,3 +254,110 @@ ORACLE = {
         FROM documents ORDER BY media_id
     """,
 }
+
+
+# ===========================================================================
+# Second wave: TF-IDF, centroids, IVF ANN
+# ===========================================================================
+
+from pyspark.sql.window import Window as W  # noqa: E402
+
+from ..operators.similarity import ivf_topk  # noqa: E402
+from ..session import scale_out  # noqa: E402
+
+
+def x13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — TF-IDF as pure DataFrame algebra (no pyspark.ml fit needed):
+    term frequency per (doc, term), document frequency per term, smoothed
+    idf = ln((N+1)/(df+1)) + 1, top-3 terms per doc by tfidf.
+
+    Scale shape: one shuffle for the (doc,term) count, one broadcast-able
+    df-per-term aggregate, one window partitioned by doc. The df table is
+    |vocab|-sized — tiny relative to the corpus at any scale.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    terms = docs.select(
+        "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()  # scalar, driver-side by design (one long)
+    df_t = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 companion — per-label embedding centroid (elementwise mean) via
+    posexplode + groupBy(label, pos): the distributed reduction shape for
+    vector aggregation (partial avg per partition, no vector UDAF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+            .alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        .orderBy("label", "pos")
+    )
+
+
+def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — IVF ANN (coarse quantizer buckets + n_probe=2
+    re-rank). Rows-only; recall vs x06's exact baseline is pinned by a
+    unit test."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).orderBy("query_id", "rank")
+
+
+QUERIES.update({
+    "x13_tfidf_top_terms": x13_tfidf_top_terms,
+    "x14_label_centroids": x14_label_centroids,
+    "x15_ivf_topk": x15_ivf_topk,
+})
+
+ORACLE.update({
+    "x13_tfidf_top_terms": r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, rank, tfidf FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+    "x14_label_centroids": """
+        SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})

@@ -1,0 +1,96 @@
+"""SCD2 upsert emulation, IVF ANN recall, and the pyspark.ml MinHashLSH
+cross-check against the expression-based implementation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_project_flight_price_analysis_spark.operators.dedup import (
+    minhash_ml_neardup_pairs,
+)
+from airflow_project_flight_price_analysis_spark.operators.scd import (
+    OPEN_END,
+    scd2_upsert,
+)
+from airflow_project_flight_price_analysis_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+)
+
+from tests.test_extensions import _docs_with_neardups
+
+
+def test_scd2_upsert_closes_and_inserts(spark):
+    current = spark.createDataFrame(
+        [
+            ("DAC", "dhaka airport", "2020-01-01", OPEN_END),
+            ("CXB", "coxs bazar", "2020-01-01", OPEN_END),
+            ("ZYL", "old sylhet name", "2019-01-01", "2020-01-01"),
+            ("ZYL", "sylhet airport", "2020-01-01", OPEN_END),
+        ],
+        "airport_code string, airport_name string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("DAC", "hazrat shahjalal intl"),   # changed → new version
+            ("CXB", "coxs bazar"),              # unchanged → untouched
+            ("SPD", "saidpur airport"),         # new key → insert
+        ],
+        "airport_code string, airport_name string",
+    )
+    out = scd2_upsert(current, updates, "airport_code",
+                      ["airport_name"], "2021-06-01")
+    rows = {(r.airport_code, r.airport_name): (r.valid_from, r.valid_to)
+            for r in out.collect()}
+    assert out.count() == 6
+    # old DAC row closed at effective date, new version open
+    assert rows[("DAC", "dhaka airport")] == ("2020-01-01", "2021-06-01")
+    assert rows[("DAC", "hazrat shahjalal intl")] == ("2021-06-01", OPEN_END)
+    # unchanged row untouched
+    assert rows[("CXB", "coxs bazar")] == ("2020-01-01", OPEN_END)
+    # new key inserted open-ended; history preserved
+    assert rows[("SPD", "saidpur airport")] == ("2021-06-01", OPEN_END)
+    assert rows[("ZYL", "old sylhet name")] == ("2019-01-01", "2020-01-01")
+
+
+def test_scd2_idempotent_on_reapply(spark):
+    current = spark.createDataFrame(
+        [("DAC", "dhaka airport", "2020-01-01", OPEN_END)],
+        "airport_code string, airport_name string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [("DAC", "hazrat shahjalal intl")],
+        "airport_code string, airport_name string",
+    )
+    once = scd2_upsert(current, updates, "airport_code", ["airport_name"], "2021-06-01")
+    twice = scd2_upsert(once, updates, "airport_code", ["airport_name"], "2021-06-01")
+    assert twice.count() == once.count() == 2  # reapplying same update: no-op
+
+
+def _double_emb(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = _double_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # every query produced k results (buckets are never empty with probes)
+    assert len(ivf) == 50
+
+
+def test_ml_minhash_agrees_with_expression_impl(spark):
+    docs = _docs_with_neardups(spark)
+    pairs = minhash_ml_neardup_pairs(docs, "text", "doc_id",
+                                     jaccard_distance=0.7).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in found          # planted near-dup found
+    assert (1, 3) not in found      # unrelated pair excluded
