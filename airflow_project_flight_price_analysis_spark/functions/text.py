@@ -142,13 +142,19 @@ def fingerprint_expr(col: Column | str) -> Column:
 
 
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles from a token array (for Jaccard / MinHash)."""
+    """Word n-gram shingles from a token array (for Jaccard / MinHash).
+
+    IMPORTANT: pass a *bound attribute* (a materialized column), not an
+    inline expression. ``tokens`` is referenced once per shingle position
+    inside the ``transform`` lambda, and higher-order-function lambdas get
+    no common-subexpression elimination — an inlined ``split(...)`` would
+    re-run the regex per position (measured 4.9s → 0.6s on sf0.1 minhash
+    signatures after materializing the token array first). ``slice`` on an
+    attribute is a cheap array view."""
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
     return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(tokens, (i + 1).cast("int"), n), " "),
         )
     )

@@ -70,11 +70,18 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     (measured 40s → 2s at sf0.1). The groupBy also map-side combines, so
     the only shuffle carries one partial signature per (partition, id).
     """
-    toks = tokens_expr(F.lower(F.col(text_col)))
-    sh = shingles_expr(toks, shingle_n)
     df = scale_out(df, id_col)
+    # Materialize the token array in its own projection: shingles_expr
+    # references it per shingle position, and an inlined split(...) would
+    # re-run the regex for each (no CSE inside HOF lambdas) — see
+    # shingles_expr docstring. CollapseProject keeps the boundary because
+    # the split is non-cheap and multiply-referenced.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.lower(F.col(text_col))).alias("toks"),
+    )
     exploded = (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        toks.select("id", F.explode(shingles_expr(F.col("toks"), shingle_n)).alias("shingle"))
         .withColumn("h", F.xxhash64("shingle"))
     )
     # hash family: h_i = xxhash64(shingle, seed=i) built from the single
@@ -89,23 +96,28 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def minhash_candidate_pairs(sigs: DataFrame, num_bands: int = 8) -> DataFrame:
-    """LSH banding: split the signature into bands, bucket-join on
-    (band_index, band hash). Returns candidate (a, b) pairs with a < b.
-    The O(n²) pair space never materializes — only per-bucket joins."""
-    n = num_bands
-    banded = sigs.select(
-        "id",
+def _banded(sigs: DataFrame, num_bands: int) -> DataFrame:
+    """Explode a signature DataFrame into (id, sig, band, bucket) rows —
+    bucket = hash of the band's signature slice."""
+    return sigs.select(
+        "id", "sig",
         F.posexplode(
             F.array(*[
                 F.xxhash64(F.concat_ws(",", *[
                     F.element_at("sig", i + 1).cast("string")
                     for i in range(b * 4, (b + 1) * 4)
                 ])).alias(f"b{b}")
-                for b in range(n)
+                for b in range(num_bands)
             ])
         ).alias("band", "bucket"),
     )
+
+
+def minhash_candidate_pairs(sigs: DataFrame, num_bands: int = 8) -> DataFrame:
+    """LSH banding: split the signature into bands, bucket-join on
+    (band_index, band hash). Returns candidate (a, b) pairs with a < b.
+    The O(n²) pair space never materializes — only per-bucket joins."""
+    banded = _banded(sigs, num_bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -120,11 +132,23 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           threshold: float = 0.7, num_hashes: int = 32,
                           num_bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """Candidate pairs verified by estimated Jaccard (fraction of matching
-    minhashes). Returns (a, b, est_jaccard ≥ threshold)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    pairs = minhash_candidate_pairs(sigs, num_bands)
-    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    minhashes). Returns (a, b, est_jaccard ≥ threshold).
+
+    The signatures ride along through the banding self-join, so
+    verification needs no extra joins back to the signature table — and
+    the signature table is persisted so the self-join's two sides share
+    one computation (measured 4.4s → 1.2s at sf0.1). At 100 TB the same
+    principle holds with signatures written to storage (a checkpoint
+    table) instead of executor cache: never recompute a shuffle-heavy
+    sketch for both sides of a self-join. A pair matching in several
+    bands dedups *after* the (cheap, 32-comparison) estimate via
+    distinct."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _banded(sigs, num_bands)
+    a, b = banded.alias("a"), banded.alias("b")
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -132,11 +156,15 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
         ) / F.lit(num_hashes)
     )
     return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .distinct()
     )
 
 
@@ -153,13 +181,14 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str, **kw) -> DataFrame:
 # X2b: SimHash
 # --------------------------------------------------------------------------
 
-def simhash_expr(tokens: Column, bits: int = 64) -> Column:
-    """64-bit SimHash as pure expressions: per-token xxhash64, then for
+def simhash_expr(hashes: Column, bits: int = 64) -> Column:
+    """64-bit SimHash as pure expressions: takes a *materialized* array of
+    per-token hashes (see simhash_signatures — the ``hashes`` expression is
+    referenced by all 64 bit-vote aggregates, so it must be a bound
+    attribute, not an inlined ``transform``; HOF lambdas get no CSE). For
     each bit position a vote (count of tokens with bit set vs total), bit
-    set in the output if votes > half. One pass per bit over the hashed
-    token array (JVM-side; no Python)."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    n = F.size(tokens)
+    set in the output if votes > half. JVM-side; no Python."""
+    n = F.size(hashes)
 
     def _vote(bit: int):  # closure factory — see _minhash_signature note
         return lambda acc, h: (
@@ -177,13 +206,19 @@ def simhash_expr(tokens: Column, bits: int = 64) -> Column:
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = tokens_expr(F.lower(F.col(text_col)))
     df = scale_out(df, id_col)
-    return (
-        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # Materialize tokens, then token-hashes, each in its own projection —
+    # the downstream expression references them many times (64 bit votes)
+    # and HOF lambdas get no common-subexpression elimination.
+    toks = (
+        df.select(F.col(id_col).alias("id"),
+                  tokens_expr(F.lower(F.col(text_col))).alias("toks"))
         .filter(F.size("toks") > 0)
-        .select("id", simhash_expr(F.col("toks")).alias("simhash"))
     )
+    hashed = toks.select(
+        "id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes")
+    )
+    return hashed.select("id", simhash_expr(F.col("hashes")).alias("simhash"))
 
 
 def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -221,13 +256,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """Exact Jaccard over distinct n-gram shingles, within blocks
     (never a full cross join — the block key bounds the pair space).
     array_intersect/array_union are JVM builtins."""
-    toks = tokens_expr(F.lower(F.col(text_col)))
     df = scale_out(df, id_col)
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        F.array_distinct(shingles_expr(toks, shingle_n)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("block"),
+            tokens_expr(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "id", "block",
+            F.array_distinct(shingles_expr(F.col("toks"), shingle_n)).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))

@@ -45,6 +45,16 @@ def main() -> None:
 
     spark = get_spark(app_name="fpa-bench")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
+    # Warm the parquet datasource path, broadcast machinery, and the
+    # Janino codegen compiler with a join+agg over the two tiny dimension
+    # tables (5 + 25 rows) so the first measured query isn't charged
+    # one-time framework initialization. No benchmark table data is
+    # pre-read or cached by this.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    (nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+     .groupBy("r_name").agg(F.avg("n_nationkey")).collect())
 
     queries = all_queries()
     timings: dict[str, float] = {}
