@@ -13,18 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import kpi, relational, extensions
+    from . import kpi, relational, temporal, extensions
 
     out: dict = {}
-    for mod in (kpi, relational, extensions):
+    for mod in (kpi, relational, temporal, extensions):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracle_sql() -> dict[str, str]:
-    from . import kpi, relational, extensions
+    from . import kpi, relational, temporal, extensions
 
     out: dict = {}
-    for mod in (kpi, relational, extensions):
+    for mod in (kpi, relational, temporal, extensions):
         out.update(mod.ORACLE)
     return out

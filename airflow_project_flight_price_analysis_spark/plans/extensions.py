@@ -361,3 +361,118 @@ ORACLE.update({
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
+
+
+# ===========================================================================
+# Third wave: embedding-cosine near-dup, streaming-as-batch with oracle
+# ===========================================================================
+
+
+def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding-cosine near-duplicate pairs: same-label blocking,
+    exact cosine ≥ 0.3 within each block (oracle-checked).
+
+    Scale shape: norms are materialized per vector *before* the self-join
+    (never recomputed pair-wise); the block key bounds the pair space the
+    same way LSH bands do — at 100 TB the label is replaced by a coarse
+    quantizer bucket (see operators/similarity.ivf_topk) and the math is
+    unchanged. The dot product is a JVM ``zip_with``/``aggregate`` fold —
+    no Python, no UDF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    dot_self = F.aggregate(
+        F.zip_with("e", "e", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    v = v.select("vec_id", "label", "e", F.sqrt(dot_self).alias("norm"))
+    a, b = v.alias("a"), v.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = dot_ab / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def x17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — Structured Streaming tumbling-window counts, executed to
+    completion with an availableNow trigger and returned as a batch
+    DataFrame, so the streaming engine itself sits behind the DuckDB
+    oracle gate (same plan a 24/7 micro-batch deployment would run;
+    availableNow processes the backlog and stops).
+    """
+    import uuid
+
+    from ..streaming.windows import tumbling_counts
+
+    # events.ts is parquet TIMESTAMP(NANOS): read as long via the
+    # nanosAsLong conf and truncate to micros — same policy as the batch
+    # reader (sources/testdata.load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    name = "x17_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+QUERIES.update({
+    "x16_embedding_neardup": x16_embedding_neardup,
+    "x17_stream_tumbling": x17_stream_tumbling,
+})
+
+ORACLE.update({
+    "x16_embedding_neardup": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.3
+        ORDER BY a, b
+    """,
+    "x17_stream_tumbling": """
+        SELECT make_timestamp(CAST(3600 * floor(epoch(ts) / 3600)
+                                   * 1000000 AS BIGINT)) AS window_start,
+               make_timestamp(CAST(3600 * (floor(epoch(ts) / 3600) + 1)
+                                   * 1000000 AS BIGINT)) AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+})
