@@ -104,6 +104,37 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
     return scale_out(media, "media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+
+def resize(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Arrow-batched image resize stub: real path needs PIL (absent here —
+    raises NotImplementedError); fake path passes the payload through and
+    rewrites the metadata dims, preserving the exact batch/schema shape a
+    real resize kernel would produce."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:  # pragma: no cover - no codecs in this container
+                raise NotImplementedError(
+                    "real resize requires PIL; use fake=True here"
+                )
+            meta = pdf["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"],
+                "meta": meta,
+            })
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explodes each video into frame
     timestamps (metadata-only — JVM expressions); the per-frame decode

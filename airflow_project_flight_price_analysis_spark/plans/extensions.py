@@ -476,3 +476,27 @@ ORACLE.update({
         GROUP BY 1, 2, 3 ORDER BY 1, 3
     """,
 })
+
+
+def x18_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — BPE-ish token counting (words | numbers | single punctuation),
+    the deterministic LLM-tokenizer-count proxy, oracle-checked against
+    DuckDB's regexp_extract_all."""
+    from ..functions.text import bpe_token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count_expr("text").alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+QUERIES.update({"x18_bpe_token_count": x18_bpe_token_count})
+
+ORACLE.update({
+    "x18_bpe_token_count": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+})

@@ -763,3 +763,44 @@ ORACLE.update({
         ORDER BY c_custkey
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# q36: full analytic window-function suite
+# ---------------------------------------------------------------------------
+
+def q36_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / ntile / dense_rank / cume_dist in one ordered window
+    per customer. Ordering includes the unique o_orderkey so every rank
+    function is deterministic under ties. One shuffle on o_custkey; all
+    five functions share the single sorted pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.dense_rank().over(w).alias("drank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES.update({"q36_window_suite": q36_window_suite})
+
+ORACLE.update({
+    "q36_window_suite": """
+        SELECT o_orderkey, o_custkey,
+               ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+               ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+})

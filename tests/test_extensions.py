@@ -132,3 +132,22 @@ def test_frame_sample_plan_explodes_video(spark):
     )
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_rewrites_meta_preserves_payload(spark):
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        media_from_documents,
+        resize,
+    )
+    from airflow_project_flight_price_analysis_spark.sources import load_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    media = media_from_documents(docs)
+    out = resize(media, 224, 224, fake=True)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in rows)
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)
