@@ -96,3 +96,28 @@ def test_stream_ingest_is_incremental_and_idempotent(spark, tmp_path):
     bronze_df = spark.read.parquet(bronze)
     assert bronze_df.count() == 2
     assert spark.read.parquet(ledger).count() == 2
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    from airflow_project_flight_price_analysis_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    stream, batch = _events_stream(spark, tmp_path)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(user_running_totals(stream), name, "update")
+    # update mode emits one row per (user, batch-with-data); the LAST
+    # emission per user is the lifetime total
+    got = spark.sql(
+        f"""SELECT user_id, n_events, total_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) rn FROM {name})
+            WHERE rn = 1"""
+    )
+    expected = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+    e = {r.user_id: (r.n_events, r.total_value) for r in expected.collect()}
+    assert g == e and len(g) > 0
