@@ -804,3 +804,108 @@ ORACLE.update({
         ORDER BY o_orderkey
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# q37-q39: classic TPC-H query shapes (pricing summary, shipping priority,
+# forecast revenue) — the standard OLAP parity check for any new engine.
+# Aggregates are sums/counts (not avgs) so both engines round identically.
+# ---------------------------------------------------------------------------
+
+def q37_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing summary over filtered lineitem.
+    One scan, filter pushed to parquet, map-side partial aggregation —
+    the canonical whole-stage-codegen pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue — selective
+    filters on both join sides reach the scans; top-k is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-06-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q39_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate; every predicate is
+    parquet-pushable (min/max row-group pruning at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+QUERIES.update({
+    "q37_pricing_summary": q37_pricing_summary,
+    "q38_shipping_priority": q38_shipping_priority,
+    "q39_forecast_revenue": q39_forecast_revenue,
+})
+
+ORACLE.update({
+    "q37_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q38_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > TIMESTAMP '1998-06-01'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q39_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
+})
