@@ -503,3 +503,35 @@ ORACLE.update({
         FROM documents ORDER BY doc_id
     """,
 })
+
+
+def x19_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-independent train/test split — a training-data
+    pipeline staple. The split key is the first hex digit of md5(doc_id):
+    digits 0-b → train (~75%), c-f → test (~25%). Content-hash splits are
+    reproducible across runs, engines, and repartitionings (unlike
+    ``rand()`` or ``randomSplit``), so eval sets never bleed into train
+    when the corpus is re-processed. Oracle-checked end to end."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(digit < F.lit("c"), F.lit("train")).otherwise(F.lit("test"))
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+QUERIES.update({"x19_train_test_split": x19_train_test_split})
+
+ORACLE.update({
+    "x19_train_test_split": """
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train' ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})

@@ -1,0 +1,75 @@
+"""Plan-shape regression tests: lock in the physical-plan properties the
+100 TB design depends on (broadcasts, pushdown, top-k without global sort,
+column pruning). A change that silently degrades one of these passes value
+checks but fails here."""
+
+from __future__ import annotations
+
+from airflow_project_flight_price_analysis_spark.plans import all_queries
+from tests.conftest import SF_ORACLE
+
+_Q = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_broadcasts_dim(spark):
+    plan = _plan(_Q["q01_avg_fare_by_airline"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not shuffle before the join
+    pre_join = plan.split("BroadcastHashJoin")[-1]
+    assert "lineitem" in pre_join
+
+
+def test_q05_topk_is_take_ordered(spark):
+    plan = _plan(_Q["q05_top_routes"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q39_predicates_pushed_to_scan(spark):
+    plan = _plan(_Q["q39_forecast_revenue"](spark, SF_ORACLE))
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_q01_scan_prunes_columns(spark):
+    plan = _plan(_Q["q01_avg_fare_by_airline"](spark, SF_ORACLE))
+    read = [ln for ln in plan.splitlines()
+            if "ReadSchema" in ln and "l_extendedprice" in ln][0]
+    # 16-column lineitem must scan only the 4 referenced columns
+    assert "l_comment" not in read and "l_partkey" not in read
+    for col in ("l_suppkey", "l_extendedprice", "l_discount", "l_tax"):
+        assert col in read
+
+
+def test_core_queries_have_no_python_udf(spark):
+    """The relational core stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages in any oracle-checked relational/KPI plan."""
+    for name, fn in _Q.items():
+        if name.startswith("x"):
+            continue  # extensions may use mapInPandas by design
+        if name == "x17_stream_tumbling":
+            continue
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "EvalPython" not in plan, f"{name} runs Python per-row"
+
+
+def test_compaction_hits_target_file_count(spark, tmp_path):
+    from airflow_project_flight_price_analysis_spark.operators.compaction import (
+        compact_parquet,
+        dir_bytes,
+    )
+
+    src = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    out = str(tmp_path / "compact")
+    target = max(1, dir_bytes(src) // 4)
+    n = compact_parquet(spark, src, out, target_file_bytes=target)
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n <= 8
+    assert spark.read.parquet(out).count() == 4000
