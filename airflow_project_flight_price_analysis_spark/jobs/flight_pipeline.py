@@ -35,9 +35,12 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse: str) -> dict:
     n_new = star.ingest_increment(spark, raw, bronze_path, ledger_path)
 
     # --- transform (transformation.py:45-138) ---
+    from pyspark.sql import Observation
+
     bronze = spark.read.parquet(bronze_path)
     deduped_rows = bronze.count()
-    silver = star.clean_flights(bronze)
+    clean_obs = Observation("clean_metrics")
+    silver = star.clean_flights(bronze, observation=clean_obs)
     schema = star.build_star_schema(silver)
 
     for name, df in [
@@ -58,6 +61,9 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse: str) -> dict:
     )
     return {
         "ingested_new_rows": n_new,
+        # single-pass dropped-row accounting (A7) via df.observe — no
+        # extra count() jobs; available after the first action over silver
+        "rows_dropped_invalid": int(clean_obs.get["rows_dropped_invalid"] or 0),
         "dims": {
             "dim_airlines": schema.dim_airlines.count(),
             "dim_airports": schema.dim_airports.count(),

@@ -104,9 +104,15 @@ def ingest_increment(
 # Silver: cleaning (transformation.py:54-79,91)
 # --------------------------------------------------------------------------
 
-def clean_flights(df: DataFrame) -> DataFrame:
+def clean_flights(df: DataFrame, observation=None) -> DataFrame:
     """P5-P9: standardize text, parse stopovers, coerce measures,
-    validity-filter, parse departure timestamp (coerce-to-null)."""
+    validity-filter, parse departure timestamp (coerce-to-null).
+
+    ``observation`` (a ``pyspark.sql.Observation``) piggybacks dropped-row
+    accounting (A7) onto the existing pass: rows_in / rows_dropped_invalid
+    are computed inside the same scan instead of the reference's two extra
+    length calls (``transformation.py:75-79``) — at 100 TB a pre/post
+    ``count()`` pair is two additional full-table passes."""
     for c in TEXT_COLS:
         if c in df.columns:
             df = df.withColumn(c, clean_text_expr(c))
@@ -123,7 +129,14 @@ def clean_flights(df: DataFrame) -> DataFrame:
     df = df.withColumn("departure_ts", F.try_to_timestamp("departure_datetime"))
     df = df.withColumn("departure_date", F.to_date("departure_ts"))
     # P8 validity filter (transformation.py:74-76)
-    return df.filter((F.col("total_fare") > 0) & (F.col("duration_hours") > 0))
+    valid = (F.col("total_fare") > 0) & (F.col("duration_hours") > 0)
+    if observation is not None:
+        df = df.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.when(~valid, 1).otherwise(0)).alias("rows_dropped_invalid"),
+        )
+    return df.filter(valid)
 
 
 # --------------------------------------------------------------------------

@@ -31,10 +31,14 @@ HEADLINE = [
     "q16_fact_flights",
     "q18_top_orders_per_customer",
     "q19_sessionization",
+    "q32_asof_join",
+    "q35_range_join",
+    "q37_pricing_summary",
     "x01_exact_dedup_docs",
     "x04_fingerprints",
     "x06_cosine_topk",
     "x08_minhash_neardup",
+    "x16_embedding_neardup",
 ]
 
 

@@ -142,3 +142,17 @@ def test_reconciliation_passes_within_budget():
     r2 = reconcile(source_rows=1000, deduped_rows=1000,
                    staged_rows=1000, fact_rows=980)
     assert not r2.passed
+
+
+def test_dropped_row_accounting_single_pass(spark, csv_file, tmp_path):
+    """df.observe metrics reconcile with the actual filter effect."""
+    from airflow_project_flight_price_analysis_spark.jobs.flight_pipeline import (
+        run_pipeline,
+    )
+
+    report = run_pipeline(spark, csv_file, str(tmp_path / "wh"))
+    assert "rows_dropped_invalid" in report
+    assert report["rows_dropped_invalid"] >= 0
+    # silver rows = deduped - dropped_invalid; fact may drop more (null FKs)
+    silver_rows = report["deduped_rows"] - report["rows_dropped_invalid"]
+    assert report["fact_rows"] <= silver_rows <= report["deduped_rows"]
