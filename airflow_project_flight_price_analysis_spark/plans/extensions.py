@@ -539,3 +539,40 @@ ORACLE.update({
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
+
+
+def x20_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling — per-source capping / corpus
+    rebalancing for training-data mixes. Rows are ranked inside each
+    source by a content hash (md5 of the id) and the top 10 kept: a
+    uniform-ish, engine-independent, re-run-stable sample (rand()-based
+    sampling changes membership every run and breaks incremental
+    reprocessing). One shuffle on the group key; the window's sort rides
+    the shuffle. Oracle-checked."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 10)
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    )
+
+
+QUERIES.update({"x20_per_source_sample": x20_per_source_sample})
+
+ORACLE.update({
+    "x20_per_source_sample": """
+        SELECT source, sample_rank, doc_id FROM (
+            SELECT source, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INTEGER) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 10
+        ORDER BY source, sample_rank
+    """,
+})
