@@ -78,9 +78,10 @@ def x04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID distribution (rows-only: the stopword-argmax
-    heuristic isn't reasonably ANSI-SQL-expressible; unit tests pin it on
-    known-language samples)."""
+    """Heuristic language-ID distribution — oracle-checked: the stopword
+    hit-rate argmax (struct-max: ties break to the lexicographically
+    larger lang code) and the han-script check are both mirrored in ANSI
+    SQL; unit tests additionally pin known-language samples."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(lang_id_expr("text").alias("pred_lang"))
@@ -574,5 +575,46 @@ ORACLE.update({
             FROM documents
         ) WHERE sample_rank <= 10
         ORDER BY source, sample_rank
+    """,
+})
+
+ORACLE.update({
+    # mirrors functions/text.lang_id_expr exactly: han-ratio > 0.2 -> zh;
+    # else argmax of per-language stopword hit-rate with Spark's
+    # struct-max tie-break (lexicographically larger lang wins a tie:
+    # fr > es > en > de); no hits -> und.
+    "x05_lang_id": r"""
+        WITH scored AS (
+            SELECT
+                length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                    * 1.0 / GREATEST(length(text), 1) AS han_ratio,
+                [x * 1.0 / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+                 for x in [
+                    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        t -> t IN ('the','and','of','to','is','in','that','it','was','for'))),
+                    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        t -> t IN ('le','la','les','et','de','des','un','une','est','dans'))),
+                    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        t -> t IN ('el','la','los','las','de','que','y','es','en','un'))),
+                    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        t -> t IN ('der','die','das','und','ist','von','ein','eine','mit','nicht')))
+                 ]] AS s  -- [en, fr, es, de]
+            FROM documents
+        ),
+        pred AS (
+            SELECT CASE
+                WHEN han_ratio > 0.2 THEN 'zh'
+                WHEN GREATEST(s[1], s[2], s[3], s[4]) > 0 THEN
+                    CASE GREATEST(s[1], s[2], s[3], s[4])
+                        WHEN s[2] THEN 'fr'
+                        WHEN s[3] THEN 'es'
+                        WHEN s[1] THEN 'en'
+                        ELSE 'de'
+                    END
+                ELSE 'und'
+            END AS pred_lang
+            FROM scored
+        )
+        SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY 1 ORDER BY 1
     """,
 })
