@@ -156,3 +156,25 @@ def test_dropped_row_accounting_single_pass(spark, csv_file, tmp_path):
     # silver rows = deduped - dropped_invalid; fact may drop more (null FKs)
     silver_rows = report["deduped_rows"] - report["rows_dropped_invalid"]
     assert report["fact_rows"] <= silver_rows <= report["deduped_rows"]
+
+
+def test_jdbc_wrappers_contract(spark):
+    """No DB (or JDBC driver) ships in this environment. Pin the API
+    contract: missing partition bounds raise ValueError before any remote
+    call; with bounds, the failure is at the JDBC layer (driver/connect —
+    schema resolution is eager for JDBC), proving the options are wired
+    through to the datasource."""
+    import pytest as _pytest
+
+    from airflow_project_flight_price_analysis_spark.sources.jdbc import read_jdbc
+
+    with _pytest.raises(ValueError):
+        read_jdbc(spark, "jdbc:postgresql://example.invalid/x", "t",
+                  partition_column="id")
+    with _pytest.raises(Exception) as ei:
+        read_jdbc(
+            spark, "jdbc:postgresql://example.invalid:5432/x", "analytics.fact",
+            partition_column="id", lower_bound=0, upper_bound=1000,
+            num_partitions=4,
+        )
+    assert "driver" in str(ei.value).lower() or "connect" in str(ei.value).lower()

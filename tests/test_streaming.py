@@ -121,3 +121,23 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
     g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
     e = {r.user_id: (r.n_events, r.total_value) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: per-microbatch the static side behaves like a
+    broadcast dim — the streaming form of the star schema's FK resolution."""
+    stream, batch = _events_stream(spark, tmp_path)
+    static_dim = (
+        batch.select("user_id").distinct()
+        .withColumn("user_tier", F.when(F.col("user_id") % 2 == 0, "even")
+                    .otherwise("odd"))
+    )
+    joined = stream.join(static_dim, "user_id").groupBy("user_tier").count()
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, "complete")
+    got = {r.user_tier: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    expected = {
+        r.user_tier: r["count"]
+        for r in batch.join(static_dim, "user_id").groupBy("user_tier").count().collect()
+    }
+    assert got == expected and len(got) == 2
