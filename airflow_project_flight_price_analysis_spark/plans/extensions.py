@@ -618,3 +618,61 @@ ORACLE.update({
         SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY 1 ORDER BY 1
     """,
 })
+
+
+def x21_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: the iterative connected-
+    components operator (operators/graph.py — distributed min-label
+    propagation) over the exact n-gram-Jaccard pair graph (x10's edges),
+    every document labeled with its cluster's min doc_id (singletons are
+    their own cluster). Oracle-checked against a recursive-CTE closure in
+    DuckDB — the iterative DataFrame algorithm must converge to the same
+    fixpoint SQL recursion reaches."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                block_col="lang", threshold=0.2)
+    return (
+        neardup_clusters(docs, pairs.select("a", "b"), "doc_id")
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"x21_neardup_clusters": x21_neardup_clusters})
+
+ORACLE.update({
+    "x21_neardup_clusters": r"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                       i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+2]
+                   )) AS grams
+            FROM documents
+            WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+        ),
+        sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        SELECT doc_id,
+               COALESCE(comp.component, doc_id) AS cluster_id
+        FROM documents LEFT JOIN comp ON documents.doc_id = comp.node
+        ORDER BY doc_id
+    """,
+})

@@ -909,3 +909,38 @@ ORACLE.update({
           AND l_quantity < 24
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# q40: skew-proof two-phase aggregation, oracle-checked for equivalence
+# ---------------------------------------------------------------------------
+
+def q40_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/partitioning.salted_agg)
+    over a deliberately low-cardinality key (3 return flags at any scale
+    — exactly the shape where one hot reducer straggles). The oracle is
+    the PLAIN group-by: the gate proves the salted plan is semantically
+    identical to the unsalted one."""
+    from ..operators.partitioning import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "total_qty", F.col("l_quantity")
+    )
+    out = salted_agg(
+        li, "l_returnflag", salt_source="l_orderkey",
+        aggs={"n": "count", "total_qty": "sum"}, n_salts=16,
+    )
+    return out.select(
+        "l_returnflag", "n", F.round("total_qty", 2).alias("total_qty")
+    ).orderBy("l_returnflag")
+
+
+QUERIES.update({"q40_salted_agg": q40_salted_agg})
+
+ORACLE.update({
+    "q40_salted_agg": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+})
