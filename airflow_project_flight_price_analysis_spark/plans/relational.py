@@ -944,3 +944,52 @@ ORACLE.update({
         FROM lineitem GROUP BY 1 ORDER BY 1
     """,
 })
+
+
+def q41_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with a region filter and the
+    local-supplier predicate (customer and supplier in the same nation).
+    Catalyst reorders the joins and broadcasts every dimension; the
+    region filter prunes nation before it ever touches the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup),
+              (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              (nation.n_regionkey == region.r_regionkey)
+              & (region.r_name == "ASIA"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+QUERIES.update({"q41_local_supplier_volume": q41_local_supplier_volume})
+
+ORACLE.update({
+    "q41_local_supplier_volume": """
+        SELECT n_name AS nation,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY 1
+        ORDER BY revenue DESC, nation
+    """,
+})
