@@ -993,3 +993,34 @@ ORACLE.update({
         ORDER BY revenue DESC, nation
     """,
 })
+
+
+def q42_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: the set of priorities each
+    customer has used, as a sorted array. collect_set alone is
+    order-nondeterministic under parallelism — sort_array pins it
+    (the same determinism discipline as J4's max()-not-last policy).
+    Exercises complex (array-typed) output through the value-hash gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("p"))
+        .select(
+            "o_custkey",
+            F.array_join("p", "|").alias("priorities"),
+            F.size("p").alias("n_priorities"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+QUERIES.update({"q42_collect_sorted": q42_collect_sorted})
+
+ORACLE.update({
+    "q42_collect_sorted": """
+        SELECT o_custkey,
+               array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+               CAST(len(list_distinct(list(o_orderpriority))) AS INTEGER) AS n_priorities
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+})

@@ -174,3 +174,32 @@ ORACLE = {
         GROUP BY 1, 2 ORDER BY 1
     """,
 }
+
+
+def q43_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse: ``from_json`` with an explicit schema turns the
+    props string into a struct column once, after which field access is a
+    free struct projection — the right pattern when several fields are
+    extracted (vs one ``get_json_object`` JsonPath walk per field)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k int")
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .filter(F.col("k") < 10)
+        .orderBy("event_id")
+    )
+
+
+QUERIES.update({"q43_json_typed_struct": q43_json_typed_struct})
+
+ORACLE.update({
+    "q43_json_typed_struct": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 10
+        ORDER BY event_id
+    """,
+})
