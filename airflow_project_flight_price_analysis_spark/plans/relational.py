@@ -1024,3 +1024,67 @@ ORACLE.update({
         FROM orders GROUP BY 1 ORDER BY 1
     """,
 })
+
+
+def q44_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer counts vs supplier counts —
+    nations with only one side present survive with nulls, keys coalesced.
+    (Left/anti/semi appear elsewhere; this closes the outer-join gap.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count("*").alias("n_customers"))
+    s = sup.groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count("*").alias("n_suppliers"))
+    return (
+        c.join(s, c.ck == s.sk, "full_outer")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q45_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with different column sets
+    stacked with unionByName(allowMissingColumns=True) — missing columns
+    null-filled by NAME, never by position (the silent-corruption mode of
+    positional UNION when schemas drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice")
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority")
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES.update({
+    "q44_full_outer": q44_full_outer,
+    "q45_union_by_name": q45_union_by_name,
+})
+
+ORACLE.update({
+    "q44_full_outer": """
+        WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_customers
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers
+                   FROM supplier GROUP BY 1)
+        SELECT COALESCE(ck, sk) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON ck = sk
+        ORDER BY nationkey
+    """,
+    "q45_union_by_name": """
+        SELECT * FROM (
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        ) ORDER BY o_orderkey
+    """,
+})
