@@ -676,3 +676,57 @@ ORACLE.update({
         ORDER BY doc_id
     """,
 })
+
+
+def x22_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation summary over the exact (SQL-expressible) stages of
+    jobs/corpus_pipeline: token-count gate → fingerprint exact-dedup
+    (min-id survivor) → content-hash split → per-(split, lang) counts.
+    The near-dup stage is sketch-based and therefore lives in the job +
+    its tests, not this oracle."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    gated = docs.filter(token_count_expr("text") >= 5)
+    with_fp = gated.withColumn("fingerprint", fingerprint_expr("text"))
+    survivors = (
+        with_fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(with_fp, ["fingerprint", "doc_id"])
+    )
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        survivors.withColumn(
+            "split",
+            F.when(digit < F.lit("c"), F.lit("train")).otherwise(F.lit("test")),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+QUERIES.update({"x22_curation_stats": x22_curation_stats})
+
+ORACLE.update({
+    "x22_curation_stats": r"""
+        WITH gated AS (
+            SELECT doc_id, lang, text,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+            WHERE CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END >= 5
+        ),
+        survivors AS (
+            SELECT g.* FROM gated g
+            JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id
+                  FROM gated GROUP BY 1) k
+              ON g.fingerprint = k.fingerprint AND g.doc_id = k.doc_id
+        )
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train' ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs
+        FROM survivors
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
