@@ -730,3 +730,52 @@ ORACLE.update({
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
+
+
+def x23_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — vocabulary building: stopword-removed unigram counts, top 5
+    terms per language by frequency (the CountVectorizer-style corpus
+    statistic as plain DataFrame algebra). One shuffle for the (lang,
+    term) count, one window for the top-k."""
+    from ..functions.text import ENGLISH_STOPWORDS
+
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    terms = (
+        docs.select("lang", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term"))
+        .filter(~F.col("term").isin(*ENGLISH_STOPWORDS) & (F.col("term") != ""))
+    )
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("freq"))
+    w = W.partitionBy("lang").orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "term", "freq")
+        .orderBy("lang", "rank")
+    )
+
+
+QUERIES.update({"x23_vocab_top_terms": x23_vocab_top_terms})
+
+ORACLE.update({
+    "x23_vocab_top_terms": r"""
+        WITH terms AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        counts AS (
+            SELECT lang, term, COUNT(*) AS freq FROM terms
+            WHERE term NOT IN ('the','a','an','and','or','of','to','in','is','it',
+                               'that','for','on','with','as','was','at','by','be')
+              AND term <> ''
+            GROUP BY 1, 2
+        )
+        SELECT lang, rank, term, freq FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY freq DESC, term ASC
+            ) AS INTEGER) AS rank
+            FROM counts
+        ) WHERE rank <= 5
+        ORDER BY lang, rank
+    """,
+})

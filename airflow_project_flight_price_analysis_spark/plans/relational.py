@@ -1088,3 +1088,30 @@ ORACLE.update({
         ) ORDER BY o_orderkey
     """,
 })
+
+
+def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in one
+    pass — completes the grouping-sets family (q21 ROLLUP, q24 GROUPING
+    SETS). grouping_id disambiguates real nulls from subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.grouping_id().alias("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+QUERIES.update({"q46_cube": q46_cube})
+
+ORACLE.update({
+    "q46_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS INTEGER) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+})
