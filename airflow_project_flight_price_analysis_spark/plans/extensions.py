@@ -385,8 +385,13 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism with no shuffle (a shuffled self-join here gets
     AQE-coalesced to ONE post-shuffle partition — the pair-expansion
     compute is invisible to AQE's size-based coalescing; measured 6.1s →
-    0.8s at sf0.1). Beyond broadcastable corpus sizes the banded SMJ form
-    of operators/dedup.minhash_candidate_pairs applies unchanged. The dot
+    0.8s at sf0.1). The broadcast is SIZE-GATED
+    (``spark.graft.neardup.broadcastMaxRows``, default 2M rows): above
+    the gate the plan switches to a co-partitioned self-join on the
+    block key with an explicit partition count (exempt from AQE
+    coalescing), so the same query survives a corpus that no longer fits
+    in a broadcast — the 100 TB failure mode the broadcast-only plan
+    had. The dot
     product stays the zip_with/aggregate fold — benchmarked FASTER than a
     64-term unrolled element_at expression (codegen handles the HOF loop
     better than 128 null-checked array accesses).
@@ -399,8 +404,28 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     v = v.select("vec_id", "label", "e", F.sqrt(dot_expr("e", "e")).alias("norm"))
-    a = scale_out(v).alias("a")
-    b = F.broadcast(v).alias("b")
+
+    # Size gate: broadcast only while the build side is provably small.
+    # Parquet row-count is a metadata-only job, so the probe is ~free; the
+    # bound is a conf so a cluster deployment can tune it to its
+    # spark.sql.autoBroadcastJoinThreshold-equivalent.
+    gate = int(spark.conf.get("spark.graft.neardup.broadcastMaxRows", "2000000"))
+    n_vecs = emb.count()
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if n_vecs <= gate:
+        a = scale_out(v).alias("a")
+        b = F.broadcast(v).alias("b")
+    else:
+        # Scale path: co-partitioned self-join on the block key. The
+        # explicit numPartitions keeps AQE from coalescing the
+        # pair-expanding stage to one partition (its shuffle *bytes* are
+        # tiny; its per-pair compute is what matters). The shuffle_hash
+        # hint pins the strategy: without it Catalyst would re-broadcast
+        # any side whose *stats* fall under autoBroadcastJoinThreshold,
+        # which is exactly the plan the gate exists to avoid.
+        blocked = v.repartition(shuffle_n, "label")
+        a = blocked.alias("a")
+        b = blocked.hint("shuffle_hash").alias("b")
     cos = dot_expr(F.col("a.e"), F.col("b.e")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))

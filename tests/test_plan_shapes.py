@@ -58,6 +58,21 @@ def test_core_queries_have_no_python_udf(spark):
         assert "EvalPython" not in plan, f"{name} runs Python per-row"
 
 
+def test_x16_broadcast_is_size_gated(spark):
+    """Below the gate x16 broadcasts the build side; above it the plan
+    must contain NO BroadcastExchange — it falls back to a co-partitioned
+    self-join so a 100 TB corpus can't OOM the driver/executors."""
+    try:
+        spark.conf.set("spark.graft.neardup.broadcastMaxRows", "1")
+        plan = _plan(_Q["x16_embedding_neardup"](spark, SF_ORACLE))
+        assert "BroadcastExchange" not in plan, "gate ignored: still broadcasting"
+        assert "Exchange hashpartitioning(label" in plan
+    finally:
+        spark.conf.unset("spark.graft.neardup.broadcastMaxRows")
+    plan = _plan(_Q["x16_embedding_neardup"](spark, SF_ORACLE))
+    assert "BroadcastExchange" in plan  # small corpus keeps the fast path
+
+
 def test_compaction_hits_target_file_count(spark, tmp_path):
     from airflow_project_flight_price_analysis_spark.operators.compaction import (
         compact_parquet,
