@@ -15,9 +15,11 @@ onto the driver testdata star schema per FIXTURES.md §4 role mapping:
 Reference query provenance: ``deliverables/project_report.md:88-114``.
 
 Scale posture (100 TB): fact-side tables (lineitem, orders) are never
-collected or broadcast; dimension joins (supplier 100·sf rows, nation 25,
-customer 150k·sf) are explicit ``broadcast()`` hints so the plan is a
-broadcast-hash join with zero fact shuffle; aggregations are partial
+collected or broadcast; fixed-size dimension joins (supplier 100·sf rows,
+nation 25) carry explicit ``broadcast()`` hints; customer (150k·sf — a
+*scaling* dimension) is deliberately unhinted so AQE broadcasts it only
+while it fits the threshold and shuffles it at cluster scale;
+aggregations are partial
 (map-side combine) by construction of groupBy/agg; top-k uses orderBy+limit
 which Spark executes as a per-partition TakeOrdered without a global sort.
 The lineitem⋈orders join is the one genuine shuffle — on a cluster both
@@ -142,7 +144,11 @@ def q05_top_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with sf (150k·sf rows) — no explicit broadcast
+        # hint; AQE picks BHJ while it fits the threshold and falls back to
+        # a shuffled join at cluster scale instead of forcing a multi-GB
+        # broadcast. nation/supplier stay hinted (fixed-size dims).
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(src_nation), cust.c_nationkey == src_nation.src_nationkey)
         .join(F.broadcast(dst_nation), sup.s_nationkey == dst_nation.dst_nationkey)

@@ -217,8 +217,10 @@ def q16_fact_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched rows (P14 ``dropna``, ``:134``), then the fact projection (P2).
 
     Plan shape to expect: one shuffle (lineitem⋈orders on orderkey — at
-    cluster scale bucketed away), every dim join a BroadcastHashJoin, the
-    whole map side a single WholeStageCodegen span."""
+    cluster scale bucketed away), fixed-size dims (supplier, nation)
+    broadcast by hint, customer broadcast only while AQE's size stats
+    allow (it scales with sf, so no forced hint), the whole map side a
+    single WholeStageCodegen span."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -231,7 +233,10 @@ def q16_fact_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
     fare = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with sf — no broadcast hint (AQE decides; at
+        # cluster scale this becomes a shuffled join / bucketed co-location
+        # like lineitem⋈orders instead of a forced multi-GB broadcast).
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(src_nation), cust.c_nationkey == F.col("src_key"))
         .join(F.broadcast(dst_nation), sup.s_nationkey == F.col("dst_key"))

@@ -4,8 +4,8 @@ Local-mode settings mirror what a 1000-executor cluster profile would set
 per-executor: AQE enabled (runtime re-plan, skew-join handling, partition
 coalescing), shuffle partitions sized to cores (not the 200 default), UTC
 session timezone (parquet testdata is written tz-naive; DuckDB oracle reads
-it UTC-naive — see /opt/skills/guides/pyspark_guide.md pitfalls), and Arrow
-enabled for the few pandas-UDF code paths.
+it UTC-naive, so a non-UTC session tz would shift every timestamp), and
+Arrow enabled for the few pandas-UDF code paths.
 """
 
 from __future__ import annotations
@@ -66,6 +66,10 @@ def scale_out(df, *key_cols: str):
     the same key reuses the exchange.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # JVM-side probe: avoids materializing a Python RDD wrapper (df.rdd
+    # sets up Python serializers); toRdd() is the already-planned internal
+    # RDD, so this reads the partition count off the physical plan.
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

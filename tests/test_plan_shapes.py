@@ -58,6 +58,22 @@ def test_core_queries_have_no_python_udf(spark):
         assert "EvalPython" not in plan, f"{name} runs Python per-row"
 
 
+def test_customer_join_strategy_left_to_aqe(spark):
+    """customer is a *scaling* dimension (150k·sf rows): q05/q16 must not
+    force-broadcast it. With the auto-broadcast threshold disabled, only
+    the explicitly-hinted fixed-size dims (supplier + 2× nation role-playing
+    views) may broadcast — a forced customer hint would survive the
+    disabled threshold and show a 4th BroadcastExchange."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("q05_top_routes", "q16_fact_flights"):
+            plan = _plan(_Q[name](spark, SF_ORACLE))
+            n_bcast = plan.count("BroadcastExchange")
+            assert n_bcast == 3, f"{name}: {n_bcast} BroadcastExchange (want 3 hinted dims)"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_x16_broadcast_is_size_gated(spark):
     """Below the gate x16 broadcasts the build side; above it the plan
     must contain NO BroadcastExchange — it falls back to a co-partitioned
