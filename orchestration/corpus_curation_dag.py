@@ -23,12 +23,17 @@ except ImportError:  # build container has no airflow — engine is unaffected
 CORPUS_IN = os.environ.get("FPA_CORPUS_IN", "/data/raw_corpus")
 CORPUS_OUT = os.environ.get("FPA_CORPUS_OUT", "/data/curated_corpus")
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "spark-submit")
+# See flight_pipeline_dag: spark-submit takes a script path, not a module.
+PY_FILES = os.environ.get(
+    "FPA_PY_FILES", os.path.join(os.path.dirname(__file__), "fpa_package.zip")
+)
+LAUNCHER = os.path.join(os.path.dirname(__file__), "launch_corpus_pipeline.py")
 
 CURATE_CMD = (
     f"{SPARK_SUBMIT} --deploy-mode cluster "
     "--conf spark.sql.adaptive.enabled=true "
-    "-m airflow_project_flight_price_analysis_spark.jobs.corpus_pipeline "
-    f"--sf-dir {CORPUS_IN} --out-dir {CORPUS_OUT}"
+    f"--py-files {PY_FILES} "
+    f"{LAUNCHER} --sf-dir {CORPUS_IN} --out-dir {CORPUS_OUT}"
 )
 
 if HAVE_AIRFLOW:

@@ -38,12 +38,19 @@ except ImportError:  # build container has no airflow — engine is unaffected
 WAREHOUSE = os.environ.get("FPA_WAREHOUSE", "/data/warehouse")
 CSV_PATH = os.environ.get("FPA_CSV", "/data/flights.csv")
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "spark-submit")
+# Zip of airflow_project_flight_price_analysis_spark/ shipped to executors;
+# spark-submit's primary resource must be a script path (it has no -m flag),
+# so the command submits the thin launcher next to this file.
+PY_FILES = os.environ.get(
+    "FPA_PY_FILES", os.path.join(os.path.dirname(__file__), "fpa_package.zip")
+)
+LAUNCHER = os.path.join(os.path.dirname(__file__), "launch_flight_pipeline.py")
 
 PIPELINE_CMD = (
     f"{SPARK_SUBMIT} --deploy-mode cluster "
     "--conf spark.sql.adaptive.enabled=true "
-    "-m airflow_project_flight_price_analysis_spark.jobs.flight_pipeline "
-    f"--csv {CSV_PATH} --warehouse {WAREHOUSE}"
+    f"--py-files {PY_FILES} "
+    f"{LAUNCHER} --csv {CSV_PATH} --warehouse {WAREHOUSE}"
 )
 
 
