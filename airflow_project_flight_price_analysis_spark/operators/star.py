@@ -67,24 +67,43 @@ def dedup_against_ledger(incoming: DataFrame, ledger: DataFrame | None) -> DataF
     return hashed.dropDuplicates(["row_hash"])
 
 
+def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
+    """Read the hash ledger; only a genuinely absent path means 'first
+    run' (→ None). Any other failure — corrupt parquet, permissions —
+    must surface: swallowing it would silently re-ingest the entire
+    source as if the ledger were empty."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(ledger_path)
+    except AnalysisException as e:
+        if e.getCondition() == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def ingest_increment(
     spark: SparkSession,
     incoming: DataFrame,
     bronze_path: str,
     ledger_path: str,
 ) -> int:
-    """Idempotent incremental load (§3.1 Spark shape): anti-join the ledger,
-    append new rows to bronze, THEN append their hashes to the ledger —
-    same ordering as the reference (``ingestion.py:118-119,127``) so a
-    crash between the two writes re-reads rather than loses data
-    (at-least-once delivery + idempotent dedup = effective exactly-once).
+    """Incremental load (§3.1 Spark shape): anti-join the ledger, append
+    new rows to bronze, THEN append their hashes to the ledger — same
+    ordering as the reference (``ingestion.py:118-119,127``) so a crash
+    between the two writes re-reads rather than loses data.
+
+    Delivery contract: **at-least-once into bronze**. A crash in the
+    window between the bronze append and the ledger append means the
+    next run re-appends those rows (their hashes never made the ledger).
+    Readers that need exactly-once use the streaming path
+    (``streaming.ingest``), whose epoch-partitioned dynamic-overwrite
+    sink is replay-idempotent; batch replays leave content-identical
+    rows, removable with a full-row distinct.
 
     Returns the number of newly ingested rows.
     """
-    try:
-        ledger = spark.read.parquet(ledger_path)
-    except Exception:
-        ledger = None
+    ledger = read_ledger(spark, ledger_path)
 
     fresh = dedup_against_ledger(incoming, ledger)
     fresh = fresh.withColumn("load_timestamp", F.current_timestamp())

@@ -38,33 +38,58 @@ def read_flights_stream(spark: SparkSession, input_dir: str,
     return df.withColumnsRenamed(RENAME_MAP)
 
 
-def start_stream_ingest(spark: SparkSession, input_dir: str,
-                        bronze_path: str, ledger_path: str,
-                        checkpoint: str) -> StreamingQuery:
-    """foreachBatch idempotent sink: ledger anti-join → append bronze →
-    append ledger (write order preserved from the reference,
-    ``ingestion.py:118-119,127``)."""
+def make_ingest_sink(bronze_path: str, ledger_path: str):
+    """Build the foreachBatch sink (exposed so tests can replay an epoch
+    directly — the exactly-once claim is a *replay* property, which a
+    happy-path stream run never exercises)."""
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        from ..operators.star import read_ledger
+
         sess = batch.sparkSession
-        try:
-            ledger = sess.read.parquet(ledger_path)
-        except Exception:
-            ledger = None
+        ledger = read_ledger(sess, ledger_path)
         fresh = dedup_against_ledger(batch, ledger)
-        fresh = fresh.withColumn("load_timestamp", F.current_timestamp())
+        fresh = (
+            fresh.withColumn("load_timestamp", F.current_timestamp())
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+        )
         fresh.persist()
         try:
             if fresh.count():
-                fresh.drop("row_hash").write.mode("append").parquet(bronze_path)
-                fresh.select("row_hash", "load_timestamp").write.mode("append").parquet(ledger_path)
+                (fresh.drop("row_hash")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch_id")
+                 .parquet(bronze_path))
+                (fresh.select("row_hash", "load_timestamp", "epoch_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch_id")
+                 .parquet(ledger_path))
         finally:
             fresh.unpersist()
 
+    return sink
+
+
+def start_stream_ingest(spark: SparkSession, input_dir: str,
+                        bronze_path: str, ledger_path: str,
+                        checkpoint: str) -> StreamingQuery:
+    """foreachBatch replay-idempotent sink: ledger anti-join → write
+    bronze → write ledger (write order preserved from the reference,
+    ``ingestion.py:118-119,127``).
+
+    Exactly-once mechanics: foreachBatch is at-least-once, so both writes
+    key on ``epoch_id`` with dynamic partition overwrite instead of blind
+    appends. A crash between the bronze and ledger writes replays the
+    epoch; the replay recomputes the same ``fresh`` set (the ledger still
+    lacks those hashes) and *overwrites* the epoch's partition rather
+    than appending a duplicate copy — at-least-once delivery + per-epoch
+    idempotent writes = exactly-once bronze contents."""
     return (
         read_flights_stream(spark, input_dir)
         .writeStream
-        .foreachBatch(sink)
+        .foreachBatch(make_ingest_sink(bronze_path, ledger_path))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

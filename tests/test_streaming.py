@@ -98,6 +98,51 @@ def test_stream_ingest_is_incremental_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(ledger).count() == 2
 
 
+def test_stream_ingest_epoch_replay_is_exactly_once(spark, tmp_path):
+    """Simulate the crash window the at-least-once contract worries
+    about: bronze write committed, ledger write lost, epoch replayed.
+    The dynamic epoch-partition overwrite must leave bronze with ONE
+    copy of the rows, not an appended duplicate."""
+    import shutil
+
+    from airflow_project_flight_price_analysis_spark.sources.flights_csv import (
+        read_flights_csv,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.ingest import (
+        make_ingest_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b.csv").write_text("\n".join([CSV_HEADER, GOOD_ROW, SECOND_ROW]) + "\n")
+    batch = read_flights_csv(spark, str(landing / "b.csv"))
+    bronze, ledger = str(tmp_path / "bronze"), str(tmp_path / "ledger")
+
+    sink = make_ingest_sink(bronze, ledger)
+    sink(batch, 0)
+    assert spark.read.parquet(bronze).count() == 2
+    # crash window: ledger write is lost, epoch 0 replays
+    shutil.rmtree(ledger)
+    sink(batch, 0)
+    assert spark.read.parquet(bronze).count() == 2  # overwritten, not appended
+    assert spark.read.parquet(ledger).count() == 2
+
+
+def test_read_ledger_surfaces_corruption(spark, tmp_path):
+    """Only a missing path means 'first run'; a corrupt ledger must raise,
+    not silently re-ingest everything as if the ledger were empty."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.star import read_ledger
+
+    assert read_ledger(spark, str(tmp_path / "absent")) is None
+    bad = tmp_path / "bad_ledger"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        read_ledger(spark, str(bad)).collect()
+
+
 def test_stateful_running_totals_match_batch(spark, tmp_path):
     from airflow_project_flight_price_analysis_spark.streaming.stateful import (
         user_running_totals,
