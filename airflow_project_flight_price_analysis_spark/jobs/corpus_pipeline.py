@@ -60,8 +60,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str, *,
     deduped = dedup_transitive(survivors, pairs, "doc_id")
     n_neardup = deduped.count()
 
-    # 4. deterministic split (content-hash; reproducible across engines)
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # 4. deterministic split on the *content* fingerprint (already
+    # computed for dedup) — survives doc_id reassignment on re-crawls,
+    # unlike an id-hash (which churns membership exactly like rand())
+    digit = F.substring(F.col("fingerprint"), 1, 1)
     curated = deduped.withColumn(
         "split", F.when(digit < F.lit("c"), F.lit("train")).otherwise(F.lit("test"))
     )

@@ -537,13 +537,18 @@ ORACLE.update({
 
 def x19_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic, engine-independent train/test split — a training-data
-    pipeline staple. The split key is the first hex digit of md5(doc_id):
-    digits 0-b → train (~75%), c-f → test (~25%). Content-hash splits are
-    reproducible across runs, engines, and repartitionings (unlike
-    ``rand()`` or ``randomSplit``), so eval sets never bleed into train
-    when the corpus is re-processed. Oracle-checked end to end."""
+    pipeline staple. The split key is the first hex digit of the
+    *content* fingerprint (md5 of normalized text, same expression as
+    x04): digits 0-b → train (~75%), c-f → test (~25%). Hashing content
+    rather than doc_id makes membership reproducible across runs,
+    engines, repartitionings, AND id reassignment — a re-crawl that
+    renumbers documents keeps every text on its original side, so eval
+    sets never bleed into train (an id-hash split churns exactly like
+    ``rand()`` the moment ids are reassigned). Oracle-checked end to end."""
+    from ..functions.text import fingerprint_expr
+
     docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    digit = F.substring(fingerprint_expr("text"), 1, 1)
     split = F.when(digit < F.lit("c"), F.lit("train")).otherwise(F.lit("test"))
     return (
         docs.select(split.alias("split"), "lang")
@@ -556,8 +561,10 @@ def x19_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"x19_train_test_split": x19_train_test_split})
 
 ORACLE.update({
-    "x19_train_test_split": """
-        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+    "x19_train_test_split": r"""
+        SELECT CASE WHEN substring(md5(trim(regexp_replace(regexp_replace(
+                        lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))),
+                    1, 1) < 'c'
                     THEN 'train' ELSE 'test' END AS split,
                lang,
                COUNT(*) AS n_docs

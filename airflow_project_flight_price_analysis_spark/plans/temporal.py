@@ -36,11 +36,17 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(click_ts, ignorenulls=True)`` over all prior rows — the
     classic union-then-scan as-of plan. No join, no subquery; at scale
     the window sort piggybacks the shuffle's sort order.
+
+    Tie handling: the window orders by (ts, event_type, event_id), not ts
+    alone — 'click' < 'error', so a click sharing the error's exact
+    timestamp deterministically sorts before it and is seen, matching
+    ASOF's inclusive ``e.ts >= c.ts`` bound (ts-only ordering made
+    same-timestamp inclusion a sort-tie coin flip).
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("error", "click")
     )
-    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    w = W.partitionBy("user_id").orderBy("ts", "event_type", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
