@@ -16,9 +16,10 @@ strings by concatenation (an injection-prone anti-pattern, S5). Here:
   (types, indexes, grants) survives — fixing the reference's
   ``if_exists='replace'`` type-loss bug (S8).
 
-No database ships in this environment, so these wrappers are exercised
-for construction only (import test); the driver testdata path uses
-parquet throughout.
+Exercised end-to-end against embedded Apache Derby (bundled in Spark's
+jars/) in tests/test_jdbc_integration.py: round-trip, partitioned-read
+fan-out, truncate-on-overwrite type preservation, and keyed-membership
+joins. The driver testdata path uses parquet throughout.
 """
 
 from __future__ import annotations
