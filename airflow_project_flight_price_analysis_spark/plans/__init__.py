@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 # driver-verified row get checked before ones already green in a prior
 # round's CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "x24_stream_dedup",
+    "x25_stream_sessions",
     "x05_lang_id",
     "x06_cosine_topk",
     "x07_lsh_topk",

@@ -670,9 +670,90 @@ def x17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def _events_nanostream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader for the events table (TIMESTAMP(NANOS) parquet —
+    same nanosAsLong + micros-truncation policy as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def x24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — stateful streaming dedup through the real engine:
+    ``dropDuplicatesWithinWatermark`` over a deliberately DOUBLED stream
+    (the events source unioned with itself, so every event arrives
+    twice — the at-least-once delivery the operator exists for), run to
+    completion with availableNow and value-checked against DuckDB's
+    distinct-events answer. The watermark TTLs dedup state — the
+    bounded-memory replacement for the batch hash ledger (state size is
+    the duplicate horizon, not corpus history)."""
+    import uuid
+
+    from ..streaming.windows import dedup_within_watermark
+
+    doubled = _events_nanostream(spark, sf_dir).unionAll(
+        _events_nanostream(spark, sf_dir)
+    )
+    dd = dedup_within_watermark(doubled, ["event_id"], watermark="2 hours")
+    name = "x24_" + uuid.uuid4().hex[:8]
+    q = (
+        dd.select(
+            "event_id", F.unix_micros("ts").alias("ts_us"),
+            "user_id", "event_type", "value",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id")
+
+
+def x25_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — native ``session_window`` aggregation through the streaming
+    engine (availableNow), value-checked against DuckDB's lag-gap
+    sessionization. Session = events per user with < 30 min between
+    them; session_end = last event + gap (Spark's definition, mirrored
+    in the oracle). The streaming twin of the batch q19."""
+    import uuid
+
+    from ..streaming.windows import session_counts
+
+    agg = session_counts(
+        _events_nanostream(spark, sf_dir), gap="30 minutes", watermark="4 hours"
+    )
+    name = "x25_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "start_us")
+
+
 QUERIES.update({
     "x16_embedding_neardup": x16_embedding_neardup,
     "x17_stream_tumbling": x17_stream_tumbling,
+    "x24_stream_dedup": x24_stream_dedup,
+    "x25_stream_sessions": x25_stream_sessions,
 })
 
 ORACLE.update({
@@ -699,6 +780,38 @@ ORACLE.update({
                ROUND(SUM(value), 4) AS total_value
         FROM events
         GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+    "x24_stream_dedup": """
+        SELECT event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               user_id, event_type, value
+        FROM events ORDER BY event_id
+    """,
+    "x25_stream_sessions": """
+        WITH e AS (
+            SELECT user_id, make_timestamp(CAST(epoch_us(ts) AS BIGINT)) AS ts
+            FROM events
+        ),
+        marks AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        )
+        SELECT user_id,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS end_us,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, start_us
     """,
 })
 
