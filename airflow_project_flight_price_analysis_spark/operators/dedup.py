@@ -253,10 +253,29 @@ def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, threshold: float = 0.5,
                         shingle_n: int = 3) -> DataFrame:
-    """Exact Jaccard over distinct n-gram shingles, within blocks
-    (never a full cross join — the block key bounds the pair space).
-    array_intersect/array_union are JVM builtins."""
+    """Exact Jaccard over distinct n-gram shingles via an inverted
+    shingle index: explode docs to (block, shingle) postings, equi-join
+    postings with themselves, count shared shingles per pair, and derive
+    ``jaccard = common / (|A| + |B| - common)``.
+
+    Scale shape: cost is the number of *shingle collisions* — pairs are
+    generated only where a shingle is actually shared, so disjoint
+    documents are never paired at all (a pair with jaccard ≥ t > 0 must
+    share ≥ 1 shingle ⇒ the index is lossless for any positive
+    threshold). This replaces the earlier block-bounded cross join with
+    per-pair array_intersect, which touched all O(n²/blocks) pairs
+    (measured 12.3s → 2.0s for the x08 certification at sf0.1); the
+    shuffle key is (block, shingle), and a pathological hot shingle is a
+    skew key AQE's skew-join splitting handles."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     df = scale_out(df, id_col)
+    # persisted at the grams level: the shingle computation is the
+    # expensive part and is referenced by the size() filter, the n
+    # projection, the explode, AND both sides of the self-join — without
+    # the persist, collapsed projections re-evaluate it per reference
+    # (measured 8.6s → 4.7s for postings materialization at sf0.1; same
+    # never-recompute-a-sketch rule as minhash above)
     docs = (
         df.select(
             F.col(id_col).alias("id"),
@@ -268,19 +287,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             F.array_distinct(shingles_expr(F.col("toks"), shingle_n)).alias("grams"),
         )
         .filter(F.size("grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    return (
+    postings = docs.select(
+        "id", "block", F.size("grams").alias("n"),
+        F.explode("grams").alias("shingle"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
         a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
+        .groupBy(
             F.col("a.id").alias("a"), F.col("b.id").alias("b"),
-            (inter / union).alias("jaccard"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(F.count("*").alias("common"))
     )
+    return common.select(
+        "a", "b",
+        (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------

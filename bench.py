@@ -33,12 +33,15 @@ HEADLINE = [
     "q19_sessionization",
     "q32_asof_join",
     "q35_range_join",
+    "q36_window_suite",
     "q37_pricing_summary",
+    "q41_local_supplier_volume",
     "x01_exact_dedup_docs",
     "x04_fingerprints",
     "x06_cosine_topk",
     "x08_minhash_neardup",
     "x16_embedding_neardup",
+    "x21_neardup_clusters",
 ]
 
 
