@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 # driver-verified row get checked before ones already green in a prior
 # round's CORRECTNESS_r*.json.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "x26_repetition_signals",
+    "x27_pii_redaction",
+    "x28_boilerplate_ngrams",
     "x24_stream_dedup",
     "x25_stream_sessions",
     "x05_lang_id",

@@ -22,7 +22,10 @@ from pyspark.sql.window import Window as W
 from ..functions.text import (
     fingerprint_expr,
     lang_id_expr,
+    pii_counts,
+    pii_redact_expr,
     quality_metrics,
+    shingles_expr,
     token_count_expr,
     tokens_expr,
 )
@@ -1126,5 +1129,240 @@ ORACLE.update({
             FROM counts
         ) WHERE rank <= 5
         ORDER BY lang, rank
+    """,
+})
+
+
+# --- X4+: corpus-curation signals (repetition, PII, boilerplate) ------------
+
+def x26_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals, aggregated per
+    language (X4 'quality scoring', repetition family).
+
+    Per doc: token count, distinct-token count, top-token frequency,
+    bigram count, distinct-bigram count — computed by explode →
+    two-level aggregation (map-side combine on (doc, gram) first), the
+    shape that scales: per-doc HOF frequency counting would be O(d·n)
+    per row, and the (doc, gram) shuffle key is near-unique so AQE has
+    no skew to fight. Output is integer sums + flag counts only (no
+    rounded averages — exact across engines).
+
+    Flags mirror Gopher's repetition filters: ``n_top_heavy`` = docs
+    whose most frequent token exceeds 10% of tokens; ``n_repetitive`` =
+    docs whose duplicate-bigram fraction exceeds 20%."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "lang", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    tok_counts = (
+        toks.select("doc_id", "lang", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.count("*").alias("n_distinct_tokens"),
+             F.max("c").alias("top_freq"))
+    )
+    bigrams = toks.select(
+        "doc_id", F.explode(shingles_expr(F.col("toks"), 2)).alias("bg")
+    )
+    bg_counts = (
+        bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"),
+             F.count("*").alias("n_distinct_bigrams"))
+    )
+    per_doc = tok_counts.join(bg_counts, "doc_id", "left").fillna(
+        {"n_bigrams": 0, "n_distinct_bigrams": 0}
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_distinct_tokens").alias("sum_distinct_tokens"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.sum("n_distinct_bigrams").alias("sum_distinct_bigrams"),
+            F.sum((F.col("top_freq") * 10 > F.col("n_tokens")).cast("long"))
+                .alias("n_top_heavy"),
+            F.sum(((F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 5
+                   > F.col("n_bigrams")).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES.update({"x26_repetition_signals": x26_repetition_signals})
+
+ORACLE.update({
+    "x26_repetition_signals": r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\s+') AS l
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tok_stats AS (
+            SELECT doc_id, lang, SUM(c) AS n_tokens,
+                   COUNT(*) AS n_distinct_tokens, MAX(c) AS top_freq
+            FROM (
+                SELECT doc_id, lang, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, lang, unnest(l) AS tok FROM toks)
+                GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        ),
+        bg_stats AS (
+            SELECT doc_id, SUM(c) AS n_bigrams,
+                   COUNT(*) AS n_distinct_bigrams
+            FROM (
+                SELECT doc_id, bg, COUNT(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(l)),
+                                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+                    FROM toks WHERE len(l) >= 2
+                ) GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS sum_tokens,
+               SUM(n_distinct_tokens) AS sum_distinct_tokens,
+               SUM(COALESCE(n_bigrams, 0)) AS sum_bigrams,
+               SUM(COALESCE(n_distinct_bigrams, 0)) AS sum_distinct_bigrams,
+               SUM(CASE WHEN top_freq * 10 > n_tokens THEN 1 ELSE 0 END) AS n_top_heavy,
+               SUM(CASE WHEN (COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0)) * 5
+                             > COALESCE(n_bigrams, 0) THEN 1 ELSE 0 END) AS n_repetitive
+        FROM tok_stats LEFT JOIN bg_stats USING (doc_id)
+        GROUP BY lang ORDER BY lang
+    """,
+})
+
+
+def x27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus (X4, training-data curation): detect and
+    redact emails / phone numbers / IPv4 addresses with JVM regex
+    expressions (``regexp_count`` + chained ``regexp_replace``).
+
+    The synthetic corpus contains no PII, so the query plants
+    deterministic doc_id-derived contact strings first — the oracle
+    plants the identical strings, so the detection counts and the total
+    redacted length are real value checks of the regex semantics across
+    engines (RE2-compatible pattern subset; see functions.text). Output
+    is integer-only."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    seeded = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    redacted = seeded.select(
+        "lang",
+        *[c.alias(n) for n, c in counts.items()],
+        F.length(pii_redact_expr("text")).alias("redacted_len"),
+        F.length("text").alias("raw_len"),
+    )
+    return (
+        redacted.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_email").alias("total_emails"),
+             F.sum("n_phone").alias("total_phones"),
+             F.sum("n_ip").alias("total_ips"),
+             F.sum("raw_len").alias("sum_raw_len"),
+             F.sum("redacted_len").alias("sum_redacted_len"))
+        .orderBy("lang")
+    )
+
+
+QUERIES.update({"x27_pii_redaction": x27_pii_redaction})
+
+ORACLE.update({
+    "x27_pii_redaction": r"""
+        WITH seeded AS (
+            SELECT lang,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.1' AS text
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang,
+                   len(regexp_extract_all(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+                   length(text) AS raw_len,
+                   length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                   ) AS redacted_len
+            FROM seeded
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_email) AS total_emails,
+               SUM(n_phone) AS total_phones,
+               SUM(n_ip) AS total_ips,
+               SUM(raw_len) AS sum_raw_len,
+               SUM(redacted_len) AS sum_redacted_len
+        FROM scored GROUP BY lang ORDER BY lang
+    """,
+})
+
+
+def x28_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection (CCNet-style): 3-grams ranked by
+    DOCUMENT frequency — the n-grams that recur across many documents
+    are boilerplate candidates for removal.
+
+    Shape: per-doc distinct shingles (array_distinct before explode, so
+    a doc votes once per gram) → explode → groupBy(gram) count → top-20.
+    One near-unique-key shuffle plus a TakeOrdered; no window over the
+    full gram table. Ties break lexicographically for determinism."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr(F.col("toks"), 3))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+QUERIES.update({"x28_boilerplate_ngrams": x28_boilerplate_ngrams})
+
+ORACLE.update({
+    "x28_boilerplate_ngrams": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS l
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM toks WHERE len(l) >= 3
+        )
+        SELECT gram, COUNT(*) AS doc_freq
+        FROM grams GROUP BY gram
+        ORDER BY doc_freq DESC, gram ASC LIMIT 20
     """,
 })

@@ -151,3 +151,87 @@ def test_resize_rewrites_meta_preserves_payload(spark):
     assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in rows)
     orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)
+
+
+def test_pii_redaction_semantics(spark):
+    from airflow_project_flight_price_analysis_spark.functions.text import (
+        pii_counts,
+        pii_redact_expr,
+    )
+
+    samples = [
+        (1, "reach me at jane.doe+spam@corp.example.org thanks"),
+        (2, "call +1-555-0134 or +44-207-9460-018 now"),
+        (3, "server at 192.168.0.1 and 10.0.255.3 responded"),
+        (4, "mixed bob@x.io from 8.8.8.8 call +1-555-1234"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(samples, "id long, text string")
+    counts = pii_counts("text")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in counts.items()],
+            pii_redact_expr("text").alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) == (1, 0, 0)
+    assert rows[2]["n_phone"] == 2
+    assert rows[3]["n_ip"] == 2
+    assert (rows[4]["n_email"], rows[4]["n_phone"], rows[4]["n_ip"]) == (1, 1, 1)
+    assert rows[5]["red"] == "nothing sensitive here"
+    assert rows[1]["red"] == "reach me at <EMAIL> thanks"
+    assert rows[4]["red"] == "mixed <EMAIL> from <IP> call <PHONE>"
+
+
+def test_repetition_signals_flags(spark):
+    from airflow_project_flight_price_analysis_spark.plans.extensions import (
+        x26_repetition_signals,
+    )
+    import os
+    import tempfile
+
+    # one heavily repetitive doc, one diverse doc, same lang
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 49),
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet", "en", "s", 61),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        row = x26_repetition_signals(spark, d).collect()[0]
+    # doc 1: 10 tokens, 1 distinct, top_freq 10 -> top-heavy + repetitive
+    # doc 2: 10 tokens, all distinct -> neither
+    assert row["n_docs"] == 2
+    assert row["sum_tokens"] == 20
+    assert row["sum_distinct_tokens"] == 11
+    assert row["n_top_heavy"] == 1
+    assert row["n_repetitive"] == 1
+
+
+def test_boilerplate_ngrams_doc_frequency(spark):
+    from airflow_project_flight_price_analysis_spark.plans.extensions import (
+        x28_boilerplate_ngrams,
+    )
+    import os
+    import tempfile
+
+    # "click here now" appears in 3 docs (twice in doc 3 - counted once);
+    # every other 3-gram is unique to its doc
+    docs = spark.createDataFrame(
+        [
+            (1, "click here now for offers", "en", "s", 25),
+            (2, "please click here now", "en", "s", 21),
+            (3, "click here now click here now", "en", "s", 29),
+            (4, "completely different text body", "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = x28_boilerplate_ngrams(spark, d).collect()
+    assert rows[0]["gram"] == "click here now"
+    assert rows[0]["doc_freq"] == 3
+    assert all(r["doc_freq"] == 1 for r in rows[1:])
