@@ -20,6 +20,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x26_repetition_signals",
     "x27_pii_redaction",
     "x28_boilerplate_ngrams",
+    "x29_stream_interval_join",
     "x24_stream_dedup",
     "x25_stream_sessions",
     "x05_lang_id",

@@ -1366,3 +1366,55 @@ ORACLE.update({
         ORDER BY doc_freq DESC, gram ASC LIMIT 20
     """,
 })
+
+
+def x29_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — stream-stream interval join through the real streaming
+    engine: errors joined to same-user clicks within the preceding 30
+    minutes, both sides watermarked so join state is evictable (the
+    append-mode plan a 24/7 deployment runs; availableNow processes the
+    backlog and stops). Value-checked against DuckDB's interval self
+    join."""
+    import uuid
+
+    from ..streaming.windows import stream_interval_join
+
+    errors = _events_nanostream(spark, sf_dir).filter(F.col("event_type") == "error")
+    clicks = _events_nanostream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = stream_interval_join(errors, clicks, key="user_id",
+                                  lookback="30 minutes")
+    name = "x29_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select(
+            F.col("l_event_id").alias("error_id"),
+            F.col("r_event_id").alias("click_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.unix_micros("l_ts").alias("error_ts_us"),
+            F.unix_micros("r_ts").alias("click_ts_us"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("error_id", "click_id")
+
+
+QUERIES.update({"x29_stream_interval_join": x29_stream_interval_join})
+
+ORACLE.update({
+    "x29_stream_interval_join": """
+        SELECT e.event_id AS error_id,
+               c.event_id AS click_id,
+               e.user_id AS user_id,
+               epoch_us(e.ts) AS error_ts_us,
+               epoch_us(c.ts) AS click_ts_us
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+        ORDER BY error_id, click_id
+    """,
+})

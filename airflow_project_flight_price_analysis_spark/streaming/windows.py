@@ -77,3 +77,30 @@ def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         time_col: str = "ts", lookback: str = "30 minutes",
+                         left_watermark: str = "2 hours",
+                         right_watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: each LEFT row matches RIGHT rows with the
+    same ``key`` whose event time falls in ``[left.ts - lookback,
+    left.ts]``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so the state store can evict: a right row is
+    droppable once the left watermark passes ``right.ts + lookback``;
+    a left row once the right watermark passes ``left.ts``. Without the
+    time bound Spark would (correctly) refuse to run the join in append
+    mode — unbounded state. Columns come back prefixed ``l_`` / ``r_``
+    to keep the self-join case unambiguous."""
+    lw = left.withWatermark(time_col, left_watermark)
+    rw = right.withWatermark(time_col, right_watermark)
+    l = lw.select([F.col(c).alias(f"l_{c}") for c in lw.columns])
+    r = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{time_col}") >= F.col(f"l_{time_col}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r_{time_col}") <= F.col(f"l_{time_col}"))
+    )
+    return l.join(r, cond, "inner")
