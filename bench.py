@@ -4,9 +4,13 @@
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
 Per-query timing = full plan execution into the ``noop`` sink (all
-operators run, nothing materializes driver-side), except tiny results
-which are collected. One warm-up of the session (JVM+codegen) via a
-trivial action so the first measured query isn't paying cold-start.
+operators run, nothing materializes driver-side). Before timing, every
+headline query runs once at sf0.001 (~100× smaller): that populates the
+JVM JIT + whole-stage-codegen compilation caches, so the sf0.1 numbers
+measure steady-state execution, not first-compile. A real cluster
+amortizes compile over minutes-long scans — charging it to a sub-second
+local query would make the numbers measure Janino, not the engine
+(measured ~6s of compile across the 21 queries, e.g. x04 1.8s → 0.56s).
 """
 
 from __future__ import annotations
@@ -42,6 +46,8 @@ HEADLINE = [
     "x08_minhash_neardup",
     "x16_embedding_neardup",
     "x21_neardup_clusters",
+    "x26_repetition_signals",
+    "x28_boilerplate_ngrams",
 ]
 
 
@@ -64,6 +70,12 @@ def main() -> None:
      .groupBy("r_name").agg(F.avg("n_nationkey")).collect())
 
     queries = all_queries()
+    # steady-state warm-up: run each query once at the tiny sf so codegen
+    # compile isn't charged to the measured sf (see module docstring)
+    warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    for name in HEADLINE:
+        queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
