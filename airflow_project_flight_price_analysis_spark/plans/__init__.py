@@ -21,6 +21,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x27_pii_redaction",
     "x28_boilerplate_ngrams",
     "x29_stream_interval_join",
+    "x30_chunking",
+    "x31_sequence_packing",
     "x24_stream_dedup",
     "x25_stream_sessions",
     "x05_lang_id",

@@ -1448,3 +1448,107 @@ ORACLE.update({
         ORDER BY error_id, click_id
     """,
 })
+
+
+def x30_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for RAG / pretraining prep (X4 family): fixed
+    128-token windows with a 32-token overlap (stride 96), emitted as
+    (doc_id, chunk_idx, n_chunk_tokens, chunk hash).
+
+    Pure array expressions: ``sequence`` generates the window starts,
+    ``posexplode`` fans out, ``slice`` + ``array_join`` build each
+    chunk — one Generate per doc, no shuffle until the output sort.
+    Chunks are emitted as md5 hashes, not text: the driver compare
+    stays small and the hash pins the exact chunk boundaries."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(96))
+    return (
+        toks.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.least(F.size("toks") - F.col("start"), F.lit(128)).alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.slice("toks", F.col("start") + 1, 128), " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+QUERIES.update({"x30_chunking": x30_chunking})
+
+ORACLE.update({
+    "x30_chunking": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+            FROM documents WHERE trim(text) <> ''
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(range(0, len(l), 96)) AS start,
+                   generate_subscripts(range(0, len(l), 96), 1) - 1 AS chunk_idx,
+                   l
+            FROM toks
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(least(len(l) - start, 128) AS INTEGER) AS n_chunk_tokens,
+               md5(array_to_string(l[start + 1 : start + 128], ' ')) AS chunk_md5
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
+})
+
+
+def x31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining (X4 family): concatenate
+    documents per source in doc_id order and split every 2048 tokens —
+    each doc is assigned to the pack where it STARTS (concat-then-split,
+    the standard pretraining packing). Deterministic and shuffle-light:
+    one window cumsum per source partition, then a per-pack aggregate.
+
+    At 100 TB the window is the scale risk: a single ``partitionBy
+    (source)`` window serializes per source. Real deployments split the
+    cumsum into (source, shard) windows then add per-shard base offsets
+    — same plan shape as the salted aggregation in q40; here sources
+    are few and the per-source sort is the honest cost."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source", token_count_expr(F.lower(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = W.partitionBy("source").orderBy("doc_id") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.select(
+        "source", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+            .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("source", "pack_id")
+    )
+
+
+QUERIES.update({"x31_sequence_packing": x31_sequence_packing})
+
+ORACLE.update({
+    "x31_sequence_packing": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+            FROM documents WHERE trim(text) <> ''
+        ),
+        packed AS (
+            SELECT source, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT)
+                       AS pack_id
+            FROM toks
+        )
+        SELECT source, pack_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens
+        FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
