@@ -104,3 +104,34 @@ def test_compaction_hits_target_file_count(spark, tmp_path):
     files = [f for f in __import__("os").listdir(out) if f.endswith(".parquet")]
     assert len(files) == n <= 8
     assert spark.read.parquet(out).count() == 4000
+
+
+def test_x26_single_shuffle(spark):
+    """x26's repetition metrics are map-side array expressions: exactly
+    one aggregation Exchange (the per-language rollup) plus the
+    scale_out repartition — an explode-based regression would add
+    (doc, gram) shuffles."""
+    plan = _plan(_Q["x26_repetition_signals"](spark, SF_ORACLE))
+    # shuffles: scale_out REPARTITION_BY_NUM + groupBy(lang) + final sort
+    n_exch = plan.count("Exchange ")
+    assert n_exch <= 3, f"x26 has {n_exch} exchanges:\n{plan}"
+    assert "Generate" not in plan, "x26 must not explode tokens"
+
+
+def test_x28_topk_is_take_ordered(spark):
+    plan = _plan(_Q["x28_boilerplate_ngrams"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x27_no_python_udf(spark):
+    plan = _plan(_Q["x27_pii_redaction"](spark, SF_ORACLE))
+    assert "EvalPython" not in plan
+
+
+def test_x30_no_shuffle_before_sort(spark):
+    """Chunking is a per-doc Generate; the only exchange is the output
+    range partitioning for the oracle-parity sort (plus scale_out)."""
+    plan = _plan(_Q["x30_chunking"](spark, SF_ORACLE))
+    n_exch = plan.count("Exchange ")
+    assert n_exch <= 3, f"x30 has {n_exch} exchanges:\n{plan}"
+    assert "Generate" in plan
