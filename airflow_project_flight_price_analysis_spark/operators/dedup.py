@@ -80,7 +80,14 @@ def document_grams(df: DataFrame, text_col: str, id_col: str,
     d²/2⁶⁵, ~1e-9 for 10k-gram docs, and only *intra-document*
     collisions can perturb a Jaccard count. At 100 TB the persisted
     handle becomes a checkpoint table — same never-recompute-a-sketch
-    rule as the signature self-joins below."""
+    rule as the signature self-joins below.
+
+    Short docs keep an EMPTY grams array rather than being filtered:
+    a trailing ``filter(size(grams) > 0)`` gets predicate-pushed through
+    the projection, substituting the whole tokenize+shingle+hash tree
+    into the predicate and evaluating it twice per row (measured 4.0s →
+    0.66s materializing sf0.1 grams). Every consumer explodes ``grams``,
+    and explode drops empty arrays for free."""
     df = scale_out(df, id_col)
     keep = [F.col(c) for c in keep_cols]
     return (
@@ -95,7 +102,6 @@ def document_grams(df: DataFrame, text_col: str, id_col: str,
                             lambda s: F.xxhash64(s))
             ).alias("grams"),
         )
-        .filter(F.size("grams") > 0)
     )
 
 
@@ -252,11 +258,13 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     df = scale_out(df, id_col)
     # Materialize tokens, then token-hashes, each in its own projection —
     # the downstream expression references them many times (64 bit votes)
-    # and HOF lambdas get no common-subexpression elimination.
+    # and HOF lambdas get no common-subexpression elimination. The
+    # empty-doc filter runs on RAW text: a size(toks) filter would
+    # predicate-push the tokenize tree into the filter and run it twice.
     toks = (
-        df.select(F.col(id_col).alias("id"),
-                  tokens_expr(F.lower(F.col(text_col))).alias("toks"))
-        .filter(F.size("toks") > 0)
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"),
+                tokens_expr(F.lower(F.col(text_col))).alias("toks"))
     )
     hashed = toks.select(
         "id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes")
@@ -314,11 +322,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     from pyspark import StorageLevel  # noqa: PLC0415
 
     # persisted at the grams level: the shingle computation is the
-    # expensive part and is referenced by the size() filter, the n
-    # projection, the explode, AND both sides of the self-join — without
-    # the persist, collapsed projections re-evaluate it per reference
-    # (measured 8.6s → 4.7s for postings materialization at sf0.1; same
-    # never-recompute-a-sketch rule as minhash above). A caller-supplied
+    # expensive part and is referenced by the n projection, the explode,
+    # AND both sides of the self-join — without the persist, collapsed
+    # projections re-evaluate it per reference (measured 8.6s → 4.7s for
+    # postings materialization at sf0.1; same never-recompute-a-sketch
+    # rule as minhash above). A caller-supplied
     # ``grams`` (document_grams with block_col in keep_cols, persisted by
     # the caller) lets several sketches share one shingle table.
     if grams is None:

@@ -1165,11 +1165,14 @@ def x26_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmaterialized ``th`` re-runs tokenize+hash per reference (the
     # long-array cache is tiny, unlike the string-array caches that
     # motivated hashed grams)
-    toks = docs.select(
+    # the empty-doc filter runs on RAW text (cheap, pushes toward the
+    # scan) — filtering on size(th) would predicate-push the whole
+    # tokenize+hash tree into the filter and evaluate it twice per row
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
         "doc_id", "lang",
         F.transform(tokens_expr(F.lower(F.col("text"))),
                     lambda t: F.xxhash64(t)).alias("th"),
-    ).filter(F.size("th") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # run-length fold over the sorted hash array: acc = (prev, run, best)
     sorted_th = F.array_sort("th")
@@ -1461,9 +1464,11 @@ def x30_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Chunks are emitted as md5 hashes, not text: the driver compare
     stays small and the hash pins the exact chunk boundaries."""
     docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
+    # empty-doc filter on RAW text (pushes toward the scan) — a
+    # size(toks) filter would duplicate the tokenize tree per row
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
         "doc_id", tokens_expr(F.lower(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") > 0)
+    )
     starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(96))
     return (
         toks.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
