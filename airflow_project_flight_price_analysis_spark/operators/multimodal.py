@@ -50,17 +50,25 @@ FEATURE_SCHEMA = T.StructType([
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents testdata:
-    payload = utf-8 bytes of the text (a stand-in blob), metadata typed.
+    payload = utf-8 bytes of the text (a stand-in blob), metadata typed;
+    modality assigned round-robin by doc_id (image/audio/video) so the
+    per-modality operators (frame sampling, resize) have real input.
     Demonstrates the binary-column plumbing without shipping real media."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_timed = F.col("doc_id") % 3 != 0  # audio + video carry a duration
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
-            F.lit("image").alias("modality"),
+            modality.alias("modality"),
             F.lit("fake").alias("format"),
             (F.col("n_chars") % 1024).cast("int").alias("width"),
             (F.col("n_chars") % 768).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            F.when(is_timed, (F.col("n_chars") * 7 % 5000).cast("int"))
+                .otherwise(F.lit(None).cast("int")).alias("duration_ms"),
         ).alias("meta"),
     )
 

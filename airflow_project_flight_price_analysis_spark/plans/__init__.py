@@ -23,6 +23,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x29_stream_interval_join",
     "x30_chunking",
     "x31_sequence_packing",
+    "x32_frame_sampling",
     "x24_stream_dedup",
     "x25_stream_sessions",
     "x05_lang_id",

@@ -36,7 +36,11 @@ from ..operators.dedup import (
     simhash_candidate_pairs,
     simhash_signatures,
 )
-from ..operators.multimodal import extract_features, media_from_documents
+from ..operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
 from ..operators.similarity import cosine_topk, lsh_topk
 from ..sources import load_table
 
@@ -1555,5 +1559,38 @@ ORACLE.update({
         SELECT source, pack_id, COUNT(*) AS n_docs,
                SUM(n_tokens) AS total_tokens
         FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
+
+
+def x32_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — video frame-sampling plan: per-video frame timestamps every
+    1000 ms from the typed metadata (JVM ``sequence`` + explode; the
+    per-frame decode would then run through the mapInPandas kernel).
+    Summarized per video as (media_id, n_frames, last_frame_ms) so the
+    oracle pins the exact sampling grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    frames = frame_sample_plan(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"), F.max("frame_ms").alias("last_frame_ms"))
+        .orderBy("media_id")
+    )
+
+
+QUERIES.update({"x32_frame_sampling": x32_frame_sampling})
+
+ORACLE.update({
+    "x32_frame_sampling": """
+        WITH media AS (
+            SELECT doc_id AS media_id, (n_chars * 7) % 5000 AS duration_ms
+            FROM documents
+            WHERE doc_id % 3 = 2  -- round-robin video assignment
+        )
+        SELECT media_id,
+               CAST(floor(duration_ms / 1000) + 1 AS BIGINT) AS n_frames,
+               CAST(floor(duration_ms / 1000) * 1000 AS INTEGER) AS last_frame_ms
+        FROM media ORDER BY media_id
     """,
 })
