@@ -82,3 +82,60 @@ def test_shingle_count_formula(spark, values, n):
     )
     for r in out:
         assert r.ns == max(0, r.nt - n + 1)
+
+
+@SLOW
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_normalize_equals_two_pass_reference(spark, values):
+    """The single-regex normalize must equal the classic two-pass
+    strip-punctuation-then-collapse-whitespace form on ANY input."""
+    import re
+
+    from airflow_project_flight_price_analysis_spark.functions.text import (
+        normalize_text_expr,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], ["text"])
+    got = [r.n for r in df.select(normalize_text_expr("text").alias("n")).collect()]
+    for v, g in zip(values, got):
+        two_pass = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", v.lower())).strip()
+        assert g == two_pass, (v, g, two_pass)
+
+
+@SLOW
+@given(st.lists(st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                         min_size=0, max_size=12), min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=4))
+def test_shingles_equal_python_reference(spark, token_lists, n):
+    """zip_with shingles == the naive sliding-window reference for any
+    token array and n (the rewrite must be semantics-preserving)."""
+    from airflow_project_flight_price_analysis_spark.functions.text import (
+        shingles_expr,
+    )
+
+    df = spark.createDataFrame([(t,) for t in token_lists], "toks: array<string>")
+    got = [r.g for r in df.select(shingles_expr(F.col("toks"), n).alias("g")).collect()]
+    for toks, g in zip(token_lists, got):
+        ref = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        assert g == ref, (toks, n, g, ref)
+
+
+@SLOW
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_pii_redaction_idempotent_and_clean(spark, values):
+    """Redaction leaves no matchable PII behind (fixpoint property) and
+    never nulls out a row."""
+    from airflow_project_flight_price_analysis_spark.functions.text import (
+        pii_counts,
+        pii_redact_expr,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], ["text"])
+    once = df.select(pii_redact_expr("text").alias("text"))
+    counts = pii_counts("text")
+    residue = once.select(
+        *[c.alias(n) for n, c in counts.items()], F.col("text")
+    ).collect()
+    for r in residue:
+        assert r.text is not None
+        assert r.n_email == 0 and r.n_phone == 0 and r.n_ip == 0, r
