@@ -3,17 +3,20 @@ extension operators (SURVEY.md §2.9) exist to serve, composed:
 
     documents
       → quality gate   (expression-only Gopher/C4-style heuristics, X4)
+      → PII redaction  (email/phone/IPv4 → typed placeholders, X4)
       → exact dedup    (normalized-content fingerprint, keep min id, X1)
       → near-dup dedup (MinHash+LSH pairs → transitive clusters →
                         one survivor per cluster, X2 + connected comps)
       → split assign   (deterministic content-hash train/test, x19 policy)
-      → curated parquet + per-stage accounting report
+      → curated parquet + 128/96-stride chunk table + accounting report
 
 Every stage is a DataFrame transform; the only actions are the writes and
 the report counts. Stage order matters at scale: the cheap row-local
-quality gate runs before any shuffle, exact dedup (one shuffle on the
-fingerprint) runs before the LSH machinery so near-dup only sees unique
-content, and split assignment is a free projection.
+quality gate runs before any shuffle; PII redaction runs BEFORE
+fingerprinting so documents differing only in contact strings collapse
+into one exact-dup group; exact dedup (one shuffle on the fingerprint)
+runs before the LSH machinery so near-dup only sees unique content; and
+split assignment is a free projection.
 """
 
 from __future__ import annotations
@@ -23,7 +26,14 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_expr, quality_score_expr, token_count_expr
+from ..functions.text import (
+    fingerprint_expr,
+    pii_counts,
+    pii_redact_expr,
+    quality_score_expr,
+    token_count_expr,
+    tokens_expr,
+)
 from ..operators.dedup import minhash_neardup_pairs
 from ..operators.graph import dedup_transitive
 from ..sources import load_table
@@ -44,8 +54,17 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str, *,
     )
     n_quality = gated.count()
 
+    # 1b. PII redaction — row-local regex; BEFORE fingerprinting so docs
+    # differing only in contact strings become exact dups. The redaction
+    # count is one extra cheap aggregate over the gated rows.
+    cnts = pii_counts("text")
+    n_pii_hits = gated.agg(
+        F.sum(cnts["n_email"] + cnts["n_phone"] + cnts["n_ip"])
+    ).collect()[0][0] or 0
+    redacted = gated.withColumn("text", pii_redact_expr("text"))
+
     # 2. exact dedup on the normalized-content fingerprint (min id wins)
-    with_fp = gated.withColumn("fingerprint", fingerprint_expr("text"))
+    with_fp = redacted.withColumn("fingerprint", fingerprint_expr("text"))
     survivors = (
         with_fp.groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -70,12 +89,32 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str, *,
     curated.write.mode("overwrite").parquet(f"{out_dir}/curated")
 
     out = spark.read.parquet(f"{out_dir}/curated")
+
+    # 5. chunk the curated corpus for training (128-token windows,
+    # 96-token stride — the x30 operator shape) into its own table
+    toks = out.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", "split", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(96))
+    chunks = (
+        toks.select("doc_id", "split", "toks",
+                    F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id", "split", "chunk_idx",
+            F.array_join(F.slice("toks", F.col("start") + 1, 128), " ")
+                .alias("chunk_text"),
+        )
+    )
+    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+
     report = {
         "n_input": n_input,
         "n_after_quality": n_quality,
+        "n_pii_hits_redacted": int(n_pii_hits),
         "n_after_exact_dedup": n_exact,
         "n_after_neardup": n_neardup,
         "n_written": out.count(),
+        "n_chunks": spark.read.parquet(f"{out_dir}/chunks").count(),
         "splits": {r["split"]: r["n"] for r in
                    out.groupBy("split").agg(F.count("*").alias("n")).collect()},
     }

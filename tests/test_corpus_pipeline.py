@@ -48,3 +48,20 @@ def test_curation_thresholds_bite(spark, tmp_path):
         min_tokens=1, min_quality=0.0, neardup_threshold=0.99,
     )
     assert strict["n_written"] < loose["n_written"]
+
+
+def test_curation_chunks_and_pii(spark, tmp_path):
+    report = curate_corpus(spark, SF_SMALL, str(tmp_path / "out"))
+    chunks = spark.read.parquet(str(tmp_path / "out" / "chunks"))
+    assert report["n_chunks"] == chunks.count() > 0
+    # every curated doc produced at least one chunk; splits carried through
+    assert chunks.select("doc_id").distinct().count() == report["n_written"]
+    assert set(r["split"] for r in chunks.select("split").distinct().collect()) \
+        <= {"train", "test"}
+    # chunk lengths: at most 128 tokens each
+    too_long = chunks.filter(
+        F.size(F.split("chunk_text", r"\s+")) > 128
+    ).count()
+    assert too_long == 0
+    # synthetic corpus has no PII; the counter exists and is 0 here
+    assert report["n_pii_hits_redacted"] == 0
