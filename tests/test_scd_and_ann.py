@@ -94,3 +94,35 @@ def test_ml_minhash_agrees_with_expression_impl(spark):
     found = {(r.a, r.b) for r in pairs}
     assert (1, 2) in found          # planted near-dup found
     assert (1, 3) not in found      # unrelated pair excluded
+
+
+def test_ivf_kmeans_centroids_contract(spark):
+    """Trained coarse quantizer: right shape, deterministic under a
+    fixed seed, and a total single-assignment partition of the corpus
+    when plugged into ivf_assign. (Recall quality of the IVF *product
+    path* is certified by x15 against the exact baseline — this test
+    pins the training boundary.)"""
+    from airflow_project_flight_price_analysis_spark.operators.similarity import (
+        ivf_assign,
+        ivf_kmeans_centroids,
+    )
+    from airflow_project_flight_price_analysis_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+    c1 = ivf_kmeans_centroids(emb, n_centroids=8)
+    rows = c1.collect()
+    assert len(rows) == 8
+    assert all(len(r["embedding"]) == dim for r in rows)
+    # deterministic re-train
+    c2 = ivf_kmeans_centroids(emb, n_centroids=8)
+    assert sorted(map(str, rows)) == sorted(map(str, c2.collect()))
+    # every corpus vector lands in exactly one bucket
+    assigned = ivf_assign(emb, c1)
+    assert assigned.count() == emb.count()
+    assert assigned.select("id").distinct().count() == emb.count()
+    n_buckets = assigned.select("centroid_id").distinct().count()
+    assert 1 < n_buckets <= 8
