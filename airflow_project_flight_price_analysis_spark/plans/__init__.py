@@ -24,6 +24,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x30_chunking",
     "x31_sequence_packing",
     "x32_frame_sampling",
+    "x33_decontamination",
     "x24_stream_dedup",
     "x25_stream_sessions",
     "x05_lang_id",

@@ -1594,3 +1594,68 @@ ORACLE.update({
         FROM media ORDER BY media_id
     """,
 })
+
+
+def x33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (X2/X4 family): detect training
+    documents that share any 5-gram with a held-out benchmark set —
+    the n-gram-overlap contamination check run before LLM training.
+
+    The benchmark stand-in is every 50th document (deterministic). Shape
+    is the inverted-index join from ngram_jaccard_pairs: explode both
+    sides to (gram-hash) postings and equi-join — cost scales with gram
+    collisions, never |train|×|bench|. Output is one row of integer
+    counts (benchmark size, contaminated train docs, contaminated
+    pairs, distinct shared grams) so the driver hash pins the exact
+    contamination set."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = document_grams(docs, "text", "doc_id", shingle_n=5)
+    is_bench = F.col("id") % 50 == 0
+    bench = grams.filter(is_bench).select("id", F.explode("grams").alias("g"))
+    train = grams.filter(~is_bench).select("id", F.explode("grams").alias("g"))
+    pairs = (
+        train.alias("t").join(bench.alias("b"), F.col("t.g") == F.col("b.g"))
+        .select(F.col("t.id").alias("train_id"),
+                F.col("b.id").alias("bench_id"),
+                F.col("t.g").alias("g"))
+    )
+    return (
+        pairs.agg(
+            F.countDistinct("train_id").alias("n_contaminated_train_docs"),
+            F.countDistinct("train_id", "bench_id").alias("n_contaminated_pairs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+        .crossJoin(bench.select(F.countDistinct("id").alias("n_benchmark_docs")))
+        .select("n_benchmark_docs", "n_contaminated_train_docs",
+                "n_contaminated_pairs", "n_shared_grams")
+    )
+
+
+QUERIES.update({"x33_decontamination": x33_decontamination})
+
+ORACLE.update({
+    "x33_decontamination": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(l) - 3),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                            || l[i+3] || ' ' || l[i+4]))) AS g
+            FROM toks WHERE len(l) >= 5
+        ),
+        bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+        train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+        pairs AS (
+            SELECT t.doc_id AS train_id, b.doc_id AS bench_id, t.g
+            FROM train t JOIN bench b USING (g)
+        )
+        SELECT (SELECT COUNT(DISTINCT doc_id) FROM bench) AS n_benchmark_docs,
+               COUNT(DISTINCT train_id) AS n_contaminated_train_docs,
+               COUNT(DISTINCT (train_id, bench_id)) AS n_contaminated_pairs,
+               COUNT(DISTINCT g) AS n_shared_grams
+        FROM pairs
+    """,
+})
