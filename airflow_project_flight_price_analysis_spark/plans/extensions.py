@@ -473,11 +473,15 @@ def x13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = docs.count()  # scalar, driver-side by design (one long)
-    df_t = terms.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
+    # N rides along as a broadcast one-row cross join — fully lazy, no
+    # driver-side count() action splitting the job in two
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_t = (
+        terms.select("doc_id", "term").distinct().groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
     )
-    idf = (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    idf = (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
