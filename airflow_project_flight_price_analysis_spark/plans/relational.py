@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.cleaning import parse_stopovers_expr, row_hash_expr
+from ..session import scale_out
 from ..sources import load_table
 
 
@@ -221,7 +222,11 @@ def q16_fact_flights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast by hint, customer broadcast only while AQE's size stats
     allow (it scales with sf, so no forced hint), the whole map side a
     single WholeStageCodegen span."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # widen the single-row-group local fact file before the 5-join probe
+    # chain — otherwise every hash probe runs in the scan's one task
+    # (measured 1.42s → 0.94s at sf0.1; no-op on a real cluster where
+    # the fact table has >= parallelism splits)
+    li = scale_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     sup = load_table(spark, sf_dir, "supplier")
