@@ -265,7 +265,7 @@ def ivf_kmeans_centroids(corpus: DataFrame, n_centroids: int = 8,
     the only Vector<->array conversions happen at this training boundary,
     once per index build, never in the search path."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
