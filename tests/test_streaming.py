@@ -186,3 +186,48 @@ def test_stream_static_join(spark, tmp_path):
         for r in batch.join(static_dim, "user_id").groupBy("user_tier").count().collect()
     }
     assert got == expected and len(got) == 2
+
+
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    """Crafted-data edge cases for the stream-stream interval join: both
+    interval endpoints are INCLUSIVE ([left.ts - lookback, left.ts]),
+    keys never cross, and out-of-window rows never match."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    from datetime import datetime
+
+    def ts(s):
+        return datetime.fromisoformat(f"2024-01-01 {s}")
+
+    left_rows = [(100, ts("10:00:00"), 1)]
+    right_rows = [
+        (200, ts("09:29:59"), 1),  # 1s before the window opens -> out
+        (201, ts("09:30:00"), 1),  # exactly lookback before -> in
+        (202, ts("10:00:00"), 1),  # equal timestamps -> in
+        (203, ts("10:00:01"), 1),  # after the error -> out
+        (204, ts("09:45:00"), 2),  # right time, wrong user -> out
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    schema = "event_id long, ts timestamp, user_id long"
+    spark.createDataFrame(left_rows, schema).write.parquet(ldir)
+    spark.createDataFrame(right_rows, schema).write.parquet(rdir)
+    lstream = spark.readStream.schema(schema).parquet(ldir)
+    rstream = spark.readStream.schema(schema).parquet(rdir)
+
+    joined = stream_interval_join(lstream, rstream, key="user_id",
+                                  lookback="30 minutes")
+    name = "tij_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select(F.col("l_event_id").alias("l"), F.col("r_event_id").alias("r"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.l, r.r) for r in spark.table(name).collect()}
+    assert got == {(100, 201), (100, 202)}, got
