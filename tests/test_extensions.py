@@ -235,3 +235,50 @@ def test_boilerplate_ngrams_doc_frequency(spark):
     assert rows[0]["gram"] == "click here now"
     assert rows[0]["doc_freq"] == 3
     assert all(r["doc_freq"] == 1 for r in rows[1:])
+
+
+def test_pack_sequences_sharded(spark):
+    """Sharded packing: every doc assigned exactly once; within each
+    (source, shard) packs are dense from 0 and every non-final pack is
+    filled past seq_len (docs here are far smaller than seq_len)."""
+    from airflow_project_flight_price_analysis_spark.functions.text import (
+        token_count_expr,
+    )
+    from airflow_project_flight_price_analysis_spark.operators.packing import (
+        pack_sequences,
+    )
+    from airflow_project_flight_price_analysis_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", token_count_expr("text").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    n = docs.count()
+    packed = pack_sequences(docs, "doc_id", "source", "n_tokens",
+                            seq_len=512, shards=4)
+    assert packed.count() == n
+    assert packed.select("doc_id").distinct().count() == n
+
+    per_pack = (
+        packed.groupBy("source", "shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("max_doc"))
+    )
+    groups = per_pack.groupBy("source", "shard").agg(
+        F.max("pack_id").alias("max_pack"),
+        F.count("*").alias("n_packs"),
+    ).collect()
+    for g in groups:  # dense pack ids: 0..max_pack
+        assert g["n_packs"] == g["max_pack"] + 1, g
+    # fill bound: a non-final pack's docs span from its first start to
+    # past the next boundary, so total >= seq_len - max_doc_size
+    last = per_pack.groupBy("source", "shard").agg(F.max("pack_id").alias("lp"))
+    unfilled = (
+        per_pack.join(last, ["source", "shard"])
+        .filter((F.col("pack_id") != F.col("lp"))
+                & (F.col("tok") + F.col("max_doc") < 512))
+        .count()
+    )
+    assert unfilled == 0
+    # determinism
+    p2 = pack_sequences(docs, "doc_id", "source", "n_tokens", seq_len=512, shards=4)
+    assert packed.exceptAll(p2).count() == 0
