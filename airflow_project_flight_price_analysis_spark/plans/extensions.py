@@ -1521,10 +1521,11 @@ def x31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window cumsum per source partition, then a per-pack aggregate.
 
     At 100 TB the window is the scale risk: a single ``partitionBy
-    (source)`` window serializes per source. Real deployments split the
-    cumsum into (source, shard) windows then add per-shard base offsets
-    — same plan shape as the salted aggregation in q40; here sources
-    are few and the per-source sort is the honest cost."""
+    (source)`` window serializes per source. The sharded variant lives
+    in ``operators/packing.py::pack_sequences`` (doc-hash salt → one
+    independent packing per (source, shard), same plan shape as the
+    salted aggregation in q40); here sources are few and the per-source
+    sort is the honest, oracle-mirrorable cost."""
     docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", "source", token_count_expr(F.lower(F.col("text"))).alias("n_tokens")
