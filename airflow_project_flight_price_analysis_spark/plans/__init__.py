@@ -13,44 +13,53 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver walks ``queries()`` in insertion order and may stop after a
 # fixed budget (CORRECTNESS_r01 recorded exactly the first 50 entries).
-# Entries listed here are registered FIRST so queries that still lack a
-# driver-verified row get checked before ones already green in a prior
-# round's CORRECTNESS_r*.json.
+# Registration order therefore IS the verification schedule:
+#   1. ``_DRIVER_PRIORITY`` — queries whose semantics/oracle changed this
+#      round and so need a fresh driver-verified row even if green before;
+#   2. queries with NO green row in any recorded CORRECTNESS_r*.json
+#      (derived automatically, so a newly added query can never silently
+#      fall past the budget);
+#   3. everything else (green in a prior round, unchanged — may rotate out).
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # round 3: oracle-cast fixes (HUGEINT artifact) — must re-verify
     "x26_repetition_signals",
     "x27_pii_redaction",
-    "x28_boilerplate_ngrams",
-    "x29_stream_interval_join",
-    "x30_chunking",
     "x31_sequence_packing",
-    "x32_frame_sampling",
-    "x33_decontamination",
-    "x24_stream_dedup",
-    "x25_stream_sessions",
-    "x05_lang_id",
-    "x06_cosine_topk",
-    "x07_lsh_topk",
-    "x08_minhash_neardup",
+    # round 3: plan changes — must re-verify
     "x09_simhash_pairs",
-    "x10_ngram_jaccard",
-    "x11_media_features",
-    "x12_approx_profile",
-    "x13_tfidf_top_terms",
-    "x14_label_centroids",
-    "x15_ivf_topk",
-    "x16_embedding_neardup",
-    "x17_stream_tumbling",
-    "x18_bpe_token_count",
-    "x19_train_test_split",
-    "x20_per_source_sample",
-    "x21_neardup_clusters",
-    "x22_curation_stats",
-    "x23_vocab_top_terms",
+    "x08_minhash_neardup",
 )
 
 
+def _green_in_recorded_correctness() -> set[str]:
+    """Names with a passing row in any driver CORRECTNESS_r*.json artifact."""
+    import json
+    from pathlib import Path
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            recorded = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in recorded.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("rows_match") and row.get("schema_match") and (
+                row.get("hash_match") is not False
+            )
+            if ok and not row.get("err"):
+                green.add(name)
+    return green
+
+
 def _prioritize(out: dict) -> dict:
+    green = _green_in_recorded_correctness()
     ordered: dict = {k: out[k] for k in _DRIVER_PRIORITY if k in out}
+    ordered.update(
+        {k: v for k, v in out.items() if k not in ordered and k not in green}
+    )
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered
 
@@ -70,4 +79,8 @@ def all_oracle_sql() -> dict[str, str]:
     out: dict = {}
     for mod in (kpi, relational, temporal, extensions):
         out.update(mod.ORACLE)
-    return _prioritize(out)
+    # mirror the queries() schedule exactly, so the driver sees one order
+    order = list(all_queries())
+    ordered = {k: out[k] for k in order if k in out}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered

@@ -1265,13 +1265,15 @@ ORACLE.update({
             ) GROUP BY 1
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS sum_tokens,
-               SUM(n_distinct_tokens) AS sum_distinct_tokens,
-               SUM(COALESCE(n_bigrams, 0)) AS sum_bigrams,
-               SUM(COALESCE(n_distinct_bigrams, 0)) AS sum_distinct_bigrams,
-               SUM(CASE WHEN top_freq * 10 > n_tokens THEN 1 ELSE 0 END) AS n_top_heavy,
-               SUM(CASE WHEN (COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0)) * 5
-                             > COALESCE(n_bigrams, 0) THEN 1 ELSE 0 END) AS n_repetitive
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_distinct_tokens) AS BIGINT) AS sum_distinct_tokens,
+               CAST(SUM(COALESCE(n_bigrams, 0)) AS BIGINT) AS sum_bigrams,
+               CAST(SUM(COALESCE(n_distinct_bigrams, 0)) AS BIGINT) AS sum_distinct_bigrams,
+               CAST(SUM(CASE WHEN top_freq * 10 > n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_top_heavy,
+               CAST(SUM(CASE WHEN (COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0)) * 5
+                             > COALESCE(n_bigrams, 0) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repetitive
         FROM tok_stats LEFT JOIN bg_stats USING (doc_id)
         GROUP BY lang ORDER BY lang
     """,
@@ -1353,11 +1355,11 @@ ORACLE.update({
             FROM seeded
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_email) AS total_emails,
-               SUM(n_phone) AS total_phones,
-               SUM(n_ip) AS total_ips,
-               SUM(raw_len) AS sum_raw_len,
-               SUM(redacted_len) AS sum_redacted_len
+               CAST(SUM(n_email) AS BIGINT) AS total_emails,
+               CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+               CAST(SUM(n_ip) AS BIGINT) AS total_ips,
+               CAST(SUM(raw_len) AS BIGINT) AS sum_raw_len,
+               CAST(SUM(redacted_len) AS BIGINT) AS sum_redacted_len
         FROM scored GROUP BY lang ORDER BY lang
     """,
 })
@@ -1562,7 +1564,7 @@ ORACLE.update({
             FROM toks
         )
         SELECT source, pack_id, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM packed GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })

@@ -1,0 +1,44 @@
+"""Guards on the driver-facing registration order (ADVICE r2, low).
+
+The driver verifies at most ~50 queries per round, walking ``queries()``
+in insertion order. These tests pin the scheduling invariants so a new
+query can never silently fall past the budget unverified.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from airflow_project_flight_price_analysis_spark import plans
+
+DRIVER_BUDGET = 50
+
+
+def test_priority_names_are_registered():
+    names = set(entrymod.queries())
+    missing = [n for n in plans._DRIVER_PRIORITY if n not in names]
+    assert not missing, f"_DRIVER_PRIORITY names not registered: {missing}"
+
+
+def test_touched_queries_lead():
+    names = list(entrymod.queries())
+    assert names[: len(plans._DRIVER_PRIORITY)] == list(plans._DRIVER_PRIORITY)
+
+
+def test_unverified_queries_fit_in_driver_budget():
+    """Every query lacking a green row in recorded CORRECTNESS artifacts
+    must land inside the driver's per-round budget."""
+    names = list(entrymod.queries())
+    green = plans._green_in_recorded_correctness()
+    late_unverified = [
+        n for i, n in enumerate(names) if n not in green and i >= DRIVER_BUDGET
+    ]
+    assert not late_unverified, (
+        f"unverified queries ordered past the {DRIVER_BUDGET}-query driver "
+        f"budget: {late_unverified}"
+    )
+
+
+def test_queries_and_oracles_share_order():
+    qnames = list(entrymod.queries())
+    onames = list(entrymod.oracle_sql())
+    assert onames == [n for n in qnames if n in set(onames)]
