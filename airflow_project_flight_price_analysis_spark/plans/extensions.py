@@ -206,17 +206,37 @@ def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 4×16-bit quarter banding carries a pigeonhole guarantee: any pair
     within Hamming distance 3 shares at least one identical quarter, so
     the banded candidate set must EQUAL the brute-force Hamming-≤3 set.
-    This query verifies that guarantee over the whole corpus and emits
-    the certification booleans (the brute-force O(n²) side is the
-    verification harness run at test scale; the banded join is the
-    product path that scales). A banding bug — wrong quarter width,
-    dropped band, signed-shift slip — flips a boolean and breaks the
-    driver's hash match."""
+    A banding bug — wrong quarter width, dropped band, signed-shift
+    slip — flips a boolean and breaks the driver's hash match.
+
+    Scale posture (r2 ADVICE): the brute-force side is certification,
+    not product, so it runs on a DETERMINISTIC CAPPED SAMPLE —
+    ``id % ceil(n / 2000) == 0`` — never on the full corpus. The mod is
+    computed in-plan (broadcast one-row aggregate, no driver count()
+    action), so the pairwise comparison is bounded at ~2000² regardless
+    of corpus size. The pigeonhole guarantee is per-pair, so it holds on
+    any id-subset; the banded restriction to the sample equals
+    ``simhash_candidate_pairs`` over the sample signatures. The
+    full-corpus path in this plan is the banded equi-join alone
+    (``has_candidates``)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs, "text", "doc_id")
     sigs = sigs.persist()
     banded = simhash_candidate_pairs(sigs, max_hamming=3)
-    a, b = sigs.alias("a"), sigs.alias("b")
+
+    sample_cap = 2000
+    smod = sigs.agg(
+        F.greatest(F.lit(1), F.ceil(F.count("*") / sample_cap))
+        .cast("long").alias("smod")
+    )
+    sample = (
+        sigs.crossJoin(F.broadcast(smod))
+        .filter(F.col("id") % F.col("smod") == 0)
+        .select("id", "simhash")
+        .persist()
+    )
+    banded_sample = simhash_candidate_pairs(sample, max_hamming=3)
+    a, b = sample.alias("a"), sample.alias("b")
     brute = (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -225,15 +245,18 @@ def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
-    missing = brute.select("a", "b").join(banded.select("a", "b"), ["a", "b"], "left_anti")
+    missing = brute.select("a", "b").join(
+        banded_sample.select("a", "b"), ["a", "b"], "left_anti"
+    )
     return (
         brute.agg(F.count("*").alias("n_brute"))
-        .crossJoin(banded.agg(F.count("*").alias("n_banded")))
+        .crossJoin(banded_sample.agg(F.count("*").alias("n_banded")))
         .crossJoin(missing.agg(F.count("*").alias("n_missing")))
+        .crossJoin(banded.agg(F.count("*").alias("n_banded_full")))
         .select(
             (F.col("n_missing") == 0).alias("banding_complete"),
             (F.col("n_banded") == F.col("n_brute")).alias("counts_equal"),
-            (F.col("n_banded") > 0).alias("has_candidates"),
+            (F.col("n_banded_full") > 0).alias("has_candidates"),
         )
     )
 

@@ -282,3 +282,28 @@ def test_pack_sequences_sharded(spark):
     # determinism
     p2 = pack_sequences(docs, "doc_id", "source", "n_tokens", seq_len=512, shards=4)
     assert packed.exceptAll(p2).count() == 0
+
+
+def test_x09_certification_sample_is_capped(spark, tmp_path):
+    """x09's brute-force certification must run on the capped deterministic
+    sample, never the full corpus (r2 ADVICE): with a synthetic corpus 3×
+    the 2000-doc cap, the pairwise side sees ≤ ~cap docs and the
+    certification booleans still hold."""
+    import __spark_entry__ as entrymod
+
+    n = 6000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta doc "),
+                 F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+    )
+    docs.coalesce(4).write.parquet(str(tmp_path / "documents.parquet"))
+
+    df = entrymod.queries()["x09_simhash_pairs"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the in-plan sample mod must appear upstream of the pairwise join
+    assert "smod" in plan
+    row = df.collect()[0]
+    assert row.banding_complete and row.counts_equal and row.has_candidates
