@@ -11,6 +11,15 @@ measure steady-state execution, not first-compile. A real cluster
 amortizes compile over minutes-long scans — charging it to a sub-second
 local query would make the numbers measure Janino, not the engine
 (measured ~6s of compile across the 21 queries, e.g. x04 1.8s → 0.56s).
+
+Each query is measured ``ITERS`` (≥3) times and the MEDIAN reported
+(r2 ADVICE: n=2 made ±25% swings unattributable). The executor cache is
+cleared between iterations so queries that ``persist()`` intermediates
+(x08, x16) are charged their full pipeline every time — cross-iteration
+cache reuse would otherwise flatter exactly the queries that cache the
+most. The query DataFrame is rebuilt fresh each iteration, so plan
+construction + analysis rides along in the number (it's part of running
+a query; it's milliseconds).
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -76,12 +86,17 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(iters):
+            spark.catalog.clearCache()
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
