@@ -1593,6 +1593,61 @@ ORACLE.update({
 })
 
 
+def x34_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded concat-then-split sequence packing — the 100 TB-safe
+    variant of x31 (r2 VERDICT item 5), driver-oracle-checked.
+
+    x31's single ``partitionBy(source)`` window serializes each source
+    on one reducer; ``operators/packing.py::pack_sequences`` salts the
+    window key with a deterministic shard so each (source, shard) packs
+    independently and in parallel — the same salting shape as the skewed
+    aggregation in q40, at the cost of ≤ one underfilled pack per shard.
+    The shard here is ``pmod(doc_id, 4)`` rather than the default
+    xxhash64 shard so DuckDB can reproduce it exactly (same window, same
+    cut points); the plan shape — one window per (source, shard) — is
+    identical either way."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source", token_count_expr(F.lower(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    from ..operators.packing import pack_sequences  # noqa: PLC0415
+
+    packed = pack_sequences(
+        toks, "doc_id", "source", "n_tokens", seq_len=2048, shards=4,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    return (
+        packed.groupBy("source", "shard", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("source", "shard", "pack_id")
+    )
+
+
+QUERIES.update({"x34_sequence_packing_sharded": x34_sequence_packing_sharded})
+
+ORACLE.update({
+    "x34_sequence_packing_sharded": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(doc_id % 4 AS INT) AS shard,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+            FROM documents WHERE trim(text) <> ''
+        ),
+        packed AS (
+            SELECT source, shard, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                       PARTITION BY source, shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT)
+                       AS pack_id
+            FROM toks
+        )
+        SELECT source, shard, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+})
+
+
 def x32_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — video frame-sampling plan: per-video frame timestamps every
     1000 ms from the typed metadata (JVM ``sequence`` + explode; the

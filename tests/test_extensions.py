@@ -307,3 +307,16 @@ def test_x09_certification_sample_is_capped(spark, tmp_path):
     assert "smod" in plan
     row = df.collect()[0]
     assert row.banding_complete and row.counts_equal and row.has_candidates
+
+
+def test_x34_window_is_sharded(spark):
+    """The registered sharded packing query must window per (source,
+    shard) — not per source alone (the x31 scale risk it exists to fix)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+
+    df = entrymod.queries()["x34_sequence_packing_sharded"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines, plan
+    assert any("source" in ln and "shard" in ln for ln in window_lines), plan
