@@ -159,12 +159,47 @@ def q05_top_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_date_season_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13b — exact-date seasonality lookup dim (r2 VERDICT missing #2).
+
+    The reference builds a date→seasonality dict from the raw rows and
+    maps it onto the date dim with a 'Normal' default
+    (``dags/tasks/transformation.py:100-101``: ``set_index(departure_dt)
+    ['seasonality'].to_dict()`` — LAST raw row wins — then
+    ``dim_date['seasonality'].map(...).fillna('Normal')``). Spark-first
+    re-expression with the J4 divergence-fix (SURVEY §2.4): last-wins is
+    made deterministic and order-free with ``max_by(label, o_orderkey)``
+    instead of depending on pandas insertion order.
+
+    The planted per-row label is ``o_orderpriority`` over the
+    urgent/high subset, so (a) several labels compete within one date —
+    last-wins actually selects; (b) dates with no urgent/high order
+    exercise the 'Normal' default.
+
+    Scale posture: the lookup is per-date (≈ |calendar| rows — KB-sized
+    at any corpus scale), so it carries an explicit ``broadcast()``; the
+    date-dim side stays distributed. Same shape at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    lookup = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.col("o_orderdate").alias("date_id"))
+        .agg(F.expr("max_by(o_orderpriority, o_orderkey)").alias("season"))
+    )
+    dim = orders.select(F.col("o_orderdate").alias("date_id")).distinct()
+    return (
+        dim.join(F.broadcast(lookup), "date_id", "left")
+        .select("date_id", F.coalesce("season", F.lit("Normal")).alias("seasonality"))
+        .orderBy("date_id")
+    )
+
+
 QUERIES = {
     "q01_avg_fare_by_airline": q01_avg_fare_by_airline,
     "q02_booking_count_by_airline": q02_booking_count_by_airline,
     "q03_fare_trend": q03_fare_trend,
     "q04_seasonal_fare_variation": q04_seasonal_fare_variation,
     "q05_top_routes": q05_top_routes,
+    "q47_date_season_lookup": q47_date_season_lookup,
 }
 
 ORACLE = {
@@ -211,5 +246,19 @@ ORACLE = {
         GROUP BY 1, 2
         ORDER BY flights DESC, src_airport, dst_airport
         LIMIT 10
+    """,
+    "q47_date_season_lookup": """
+        WITH lookup AS (
+            SELECT o_orderdate AS date_id,
+                   max_by(o_orderpriority, o_orderkey) AS season
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY 1
+        ),
+        dim AS (SELECT DISTINCT o_orderdate AS date_id FROM orders)
+        SELECT dim.date_id,
+               COALESCE(lookup.season, 'Normal') AS seasonality
+        FROM dim LEFT JOIN lookup USING (date_id)
+        ORDER BY date_id
     """,
 }
