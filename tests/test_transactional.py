@@ -1,0 +1,122 @@
+"""Concurrency semantics of the snapshot-swap dimension upsert
+(operators/transactional.py — r2 VERDICT missing #1).
+
+The dangerous interleaving is: writer B reads state N, writer A commits
+N+1, writer B commits its diff computed against the now-stale N. A naive
+read-diff-append duplicates every key both writers saw as new. The
+protocol must instead force B into a conflict + rebase.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_project_flight_price_analysis_spark.operators.transactional import (
+    CommitConflict,
+    SnapshotTable,
+)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "airline_id int, airline_name string")
+
+
+def test_insert_if_new_basic(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "dim"))
+    v1 = t.upsert(spark, _dim(spark, [(1, "AirA"), (2, "AirB")]), "airline_id")
+    assert v1 == 1
+    # existing key 2 must NOT be updated (insert-if-new), key 3 appended
+    v2 = t.upsert(spark, _dim(spark, [(2, "Renamed"), (3, "AirC")]), "airline_id")
+    assert v2 == 2
+    state = {r.airline_id: r.airline_name for r in t.read(spark).collect()}
+    assert state == {1: "AirA", 2: "AirB", 3: "AirC"}
+
+
+def test_in_batch_duplicate_keys_deduped_deterministically(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "dim"))
+    t.upsert(spark, _dim(spark, [(1, "Zeta"), (1, "Alpha"), (1, "Mid")]),
+             "airline_id")
+    rows = t.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0].airline_name == "Alpha"  # min-struct, order-free
+
+
+def test_interleaved_upserts_do_not_duplicate_keys(spark, tmp_path):
+    """Writer B reads the base, writer A commits in between, writer B must
+    conflict, rebase onto A's state, and retry — no duplicated keys, no
+    lost updates, and insert-if-new still honors A's earlier write."""
+    t = SnapshotTable(str(tmp_path / "dim"))
+    t.upsert(spark, _dim(spark, [(1, "AirA")]), "airline_id")
+
+    def concurrent_writer_a():
+        # interleaves exactly between B's read and B's commit; key 2 and
+        # the shared key 3 are committed by A first
+        t.upsert(spark, _dim(spark, [(2, "AirB-from-A"), (3, "Shared-from-A")]),
+                 "airline_id")
+
+    v = t.upsert(
+        spark,
+        _dim(spark, [(3, "Shared-from-B"), (4, "AirD")]),
+        "airline_id",
+        _test_between_read_and_commit=concurrent_writer_a,
+    )
+    assert v == 3  # base was 1, A took 2, B rebased onto 2 and committed 3
+
+    state = t.read(spark)
+    assert state.count() == state.select("airline_id").distinct().count()
+    by_key = {r.airline_id: r.airline_name for r in state.collect()}
+    # A won key 3 (committed first); B's rebase must not clobber it
+    assert by_key == {1: "AirA", 2: "AirB-from-A", 3: "Shared-from-A", 4: "AirD"}
+
+
+def test_reader_never_sees_uncommitted_snapshot(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "dim"))
+    t.upsert(spark, _dim(spark, [(1, "AirA")]), "airline_id")
+    # a crashed writer: snapshot data written, marker never created
+    orphan = _dim(spark, [(99, "Ghost")])
+    orphan.write.parquet(str(tmp_path / "dim" / "data" / "deadbeef"))
+    assert t.latest_version() == 1
+    assert [r.airline_id for r in t.read(spark).collect()] == [1]
+
+
+def test_commit_conflict_exhausts_retries(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "dim"))
+    t.upsert(spark, _dim(spark, [(1, "AirA")]), "airline_id")
+
+    class AlwaysConflict(SnapshotTable):
+        def _try_commit(self, df, version):
+            raise CommitConflict("forced")
+
+    t2 = AlwaysConflict(str(tmp_path / "dim"))
+    with pytest.raises(CommitConflict, match="gave up"):
+        t2.upsert(spark, _dim(spark, [(5, "AirE")]), "airline_id",
+                  max_retries=2)
+
+
+def test_scd2_apply_composes_with_snapshot_commit(spark, tmp_path):
+    """The protocol is apply-agnostic: plugging scd2_upsert in gives a
+    transactional SCD2 dimension."""
+    from airflow_project_flight_price_analysis_spark.operators.scd import (
+        OPEN_END,
+        scd2_upsert,
+    )
+
+    t = SnapshotTable(str(tmp_path / "scd"))
+    init = spark.createDataFrame(
+        [(1, "AirA", "2024-01-01", OPEN_END)],
+        "airline_id int, airline_name string, valid_from string, valid_to string",
+    )
+    t.upsert(spark, init, "airline_id", apply=lambda cur, upd: upd)
+
+    updates = spark.createDataFrame(
+        [(1, "AirA-renamed")], "airline_id int, airline_name string")
+    t.upsert(
+        spark, updates, "airline_id",
+        apply=lambda cur, upd: scd2_upsert(
+            cur, upd, "airline_id", ["airline_name"], "2024-06-01"),
+    )
+    live = t.read(spark).filter(F.col("valid_to") == OPEN_END).collect()
+    assert len(live) == 1 and live[0].airline_name == "AirA-renamed"
+    closed = t.read(spark).filter(F.col("valid_to") == "2024-06-01").collect()
+    assert len(closed) == 1 and closed[0].airline_name == "AirA"
