@@ -66,3 +66,51 @@ def test_surrogate_key_stable_and_distinct(spark):
     keys = df.select(surrogate_key_expr("name").alias("k")).collect()
     assert keys[0].k == keys[2].k
     assert keys[0].k != keys[1].k
+
+
+def test_title_parity_matches_python_str_title(spark):
+    """title_parity_expr must equal pandas/Python ``str.title()`` exactly
+    (SURVEY P5 divergence, closed): any non-letter is a boundary."""
+    from airflow_project_flight_price_analysis_spark.functions.cleaning import (
+        title_parity_expr,
+    )
+
+    samples = [
+        "cox's bazar",          # the documented divergence case
+        "o'hare int'l",
+        "ABC-DEF ghi",
+        "  new york-jfk  ",
+        "abc1def 2gh",
+        "émirats arabes-unis",
+        "a",
+        "",
+        "123 456",
+        "don't stop-believin'",
+        "x" * 300,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    out = {r.s: r.t for r in
+           df.select("s", title_parity_expr("s").alias("t")).collect()}
+    for s in samples:
+        assert out[s] == s.title(), (s, out[s], s.title())
+
+
+def test_title_parity_null_propagates(spark):
+    from airflow_project_flight_price_analysis_spark.functions.cleaning import (
+        title_parity_expr,
+    )
+
+    df = spark.createDataFrame([(None,)], "s string")
+    assert df.select(title_parity_expr("s").alias("t")).collect()[0].t is None
+
+
+def test_title_parity_stays_jvm_side(spark):
+    """No BatchEvalPython — the parity path must not cost a Python hop."""
+    from airflow_project_flight_price_analysis_spark.functions.cleaning import (
+        title_parity_expr,
+    )
+
+    df = spark.createDataFrame([("x y",)], "s string") \
+        .select(title_parity_expr("s").alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
