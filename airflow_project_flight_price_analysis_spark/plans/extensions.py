@@ -1744,3 +1744,170 @@ ORACLE.update({
         FROM pairs
     """,
 })
+
+
+# ===========================================================================
+# Round 3: mixture sampling & embedding quantization
+# ===========================================================================
+
+
+def x35_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (X4 family, round 3) — the
+    mixture-construction primitive of a pretraining pipeline: each source
+    contributes documents until its token budget fills, selection order
+    is a deterministic content-independent hash rank (md5 of doc_id, so
+    both engines agree and reprocessing is stable).
+
+    Greedy prefix semantics: a doc is kept iff it STARTS inside the
+    budget (``cum - n_tokens < budget``) — the first doc of a source is
+    always kept, mirroring concat-then-split packing's boundary rule.
+    The planted budget varies per source (1500 + 250·(src# % 4)) so the
+    cut lands differently across sources.
+
+    Scale posture: one cumulative-sum window per source — same shape and
+    same trade-off as x31 vs x34: for giant sources, salt the window key
+    with a shard (pack_sequences-style) and give each shard
+    ``budget/shards``; the greedy boundary error is ≤ one doc per shard.
+    The aggregate output is one row per source (KB-sized at any scale).
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source",
+        token_count_expr(F.lower(F.col("text"))).alias("n_tokens"),
+        (F.lit(1500) + F.lit(250)
+         * (F.expr("substring(source, 4)").cast("int") % 4)).alias("budget"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    ).filter(F.col("n_tokens") > 0)
+    w = W.partitionBy("source").orderBy("rk") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    kept = (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") - F.col("n_tokens") < F.col("budget"))
+    )
+    return (
+        kept.groupBy("source", "budget")
+        .agg(F.count("*").alias("n_docs_kept"),
+             F.sum("n_tokens").alias("tokens_kept"))
+        .select("source", F.col("budget").cast("int").alias("budget"),
+                "n_docs_kept", "tokens_kept")
+        .orderBy("source")
+    )
+
+
+QUERIES.update({"x35_token_budget_sample": x35_token_budget_sample})
+
+ORACLE.update({
+    "x35_token_budget_sample": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   1500 + 250 * (CAST(substr(source, 4) AS INT) % 4) AS budget,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS rk
+            FROM documents WHERE trim(text) <> ''
+        ),
+        c AS (
+            SELECT source, budget, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM toks
+        )
+        SELECT source, CAST(budget AS INT) AS budget,
+               COUNT(*) AS n_docs_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        FROM c WHERE cum - n_tokens < budget
+        GROUP BY 1, 2 ORDER BY source
+    """,
+})
+
+
+def x36_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with in-engine error
+    accounting (X3 storage path, round 3): per-vector scale
+    ``127 / max|v|``, elementwise ``round(v·scale)`` (|q| ≤ 127 by
+    construction — no clamp branch to keep cross-engine parity exact),
+    dequantization error ``|v − q/scale|`` folded to a per-vector mean.
+
+    Output: per label — vector count, total saturated elements (|q| =
+    127; certifies the scale formula hit its endpoints), and the
+    mean/max dequantization error rounded to 6dp (the engines' double
+    streams are identical element-for-element; rounding absorbs only the
+    cross-row summation-order noise of the final aggregate).
+
+    Scale shape: entirely map-side until the tiny per-label aggregate —
+    each intermediate array is materialized in its own projection (HOF
+    lambdas get no CSE; same pitfall as simhash_expr), so the fold reads
+    bound attributes, not re-inlined trees."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    scaled = v.select(
+        "vec_id", "label", "e",
+        (F.lit(127.0) / F.greatest(
+            F.array_max(F.transform("e", F.abs)), F.lit(1e-12))).alias("scale"),
+    )
+    quant = scaled.select(
+        "vec_id", "label", "e", "scale",
+        F.transform("e", lambda x: F.round(x * F.col("scale"))).alias("q"),
+    )
+    stats = quant.select(
+        "label",
+        F.aggregate(
+            "q", F.lit(0),
+            lambda acc, qq: acc + (F.abs(qq) == 127.0).cast("int"),
+        ).alias("n_saturated"),
+        (F.aggregate(
+            F.zip_with("e", "q",
+                       lambda vv, qq: F.abs(vv - qq / F.col("scale"))),
+            F.lit(0.0), lambda acc, err: acc + err,
+        ) / F.size("e")).alias("mean_err"),
+    )
+    return (
+        stats.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("n_saturated").alias("total_saturated"),
+            F.round(F.avg("mean_err"), 6).alias("avg_qerr"),
+            F.round(F.max("mean_err"), 6).alias("max_qerr"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES.update({"x36_embedding_quantization": x36_embedding_quantization})
+
+ORACLE.update({
+    "x36_embedding_quantization": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, label, e,
+                   127.0 / greatest(
+                       list_max(list_transform(e, x -> abs(x))), 1e-12)
+                       AS scale
+            FROM v
+        ),
+        quant AS (
+            SELECT vec_id, label, e, scale,
+                   list_transform(e, x -> round(x * scale, 0)) AS q
+            FROM scaled
+        ),
+        stats AS (
+            SELECT label,
+                   list_sum(list_transform(q,
+                       x -> CASE WHEN abs(x) = 127.0 THEN 1 ELSE 0 END))
+                       AS n_saturated,
+                   list_sum(list_transform(range(1, len(e) + 1),
+                       i -> abs(e[i] - q[i] / scale))) / len(e) AS mean_err
+            FROM quant
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(n_saturated) AS BIGINT) AS total_saturated,
+               ROUND(AVG(mean_err), 6) AS avg_qerr,
+               ROUND(MAX(mean_err), 6) AS max_qerr
+        FROM stats GROUP BY label ORDER BY label
+    """,
+})
