@@ -120,3 +120,44 @@ def test_scd2_apply_composes_with_snapshot_commit(spark, tmp_path):
     assert len(live) == 1 and live[0].airline_name == "AirA-renamed"
     closed = t.read(spark).filter(F.col("valid_to") == "2024-06-01").collect()
     assert len(closed) == 1 and closed[0].airline_name == "AirA"
+
+
+def test_streaming_dim_upsert_epoch_replay_is_idempotent(spark, tmp_path):
+    """X7 × D5: a replayed foreachBatch epoch (at-least-once delivery)
+    must not duplicate dimension keys — insert-if-new + snapshot commit
+    makes the replay an empty diff."""
+    from airflow_project_flight_price_analysis_spark.streaming.dim_upsert import (
+        make_dim_upsert_sink,
+    )
+
+    root = str(tmp_path / "dim")
+    sink = make_dim_upsert_sink(root, "airline_id")
+    batch1 = _dim(spark, [(1, "AirA"), (2, "AirB")])
+    sink(batch1, 0)
+    sink(batch1, 0)  # crash-replay of the same epoch
+    sink(_dim(spark, [(2, "Renamed"), (3, "AirC")]), 1)
+
+    t = SnapshotTable(root)
+    state = {r.airline_id: r.airline_name for r in t.read(spark).collect()}
+    assert state == {1: "AirA", 2: "AirB", 3: "AirC"}
+    # the replay still committed (empty diff) — version advanced per call
+    assert t.latest_version() == 3
+
+
+def test_streaming_dim_upsert_end_to_end(spark, tmp_path):
+    """Real readStream → foreachBatch → SnapshotTable wiring."""
+    from airflow_project_flight_price_analysis_spark.streaming.dim_upsert import (
+        start_dim_stream,
+    )
+
+    src_dir = str(tmp_path / "landing")
+    _dim(spark, [(1, "AirA"), (2, "AirB"), (2, "AirB")]).write.parquet(src_dir)
+    source = spark.readStream.schema(
+        "airline_id int, airline_name string").parquet(src_dir)
+    q = start_dim_stream(source, str(tmp_path / "dim"), "airline_id",
+                         str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    state = SnapshotTable(str(tmp_path / "dim")).read(spark)
+    assert state.count() == 2
+    assert state.select("airline_id").distinct().count() == 2
