@@ -1911,3 +1911,94 @@ ORACLE.update({
         FROM stats GROUP BY label ORDER BY label
     """,
 })
+
+
+def x37_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (X3 companion, round 3): assign
+    every embedding to the closest per-label centroid (squared L2) and
+    emit the label × predicted confusion counts — the quality-readout
+    half of the x14 centroid computation, and the assignment step of
+    Lloyd's k-means expressed as one broadcast join.
+
+    Scale shape: centroids are |labels| rows (tiny at any corpus scale)
+    → built once, broadcast into a single map-side join against the
+    distributed embedding table; the distance fold is a JVM array
+    expression; the confusion aggregate is |labels|² rows. No shuffle
+    touches the embedding payload except the per-vector argmin window
+    over |labels| candidate rows (bounded fan-out, keyed by vec_id).
+
+    Cross-engine determinism: the centroid AVG is a cross-row float sum
+    whose combine order varies by engine AND by run (shuffle arrival
+    order), so centroids are rounded to 9dp in both engines — the
+    broadcast table is then bit-identical everywhere, and the distance
+    fold over it is deterministic; the argmin breaks residual ties by
+    predicted label ascending."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    centroids = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos").agg(F.round(F.avg("val"), 9).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(F.col("label").alias("pred"),
+                F.transform("pc", lambda s: s.getField("c")).alias("cvec"))
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, d: acc + d,
+    )
+    scored = (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "pred")
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        assigned.groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+QUERIES.update({"x37_nearest_centroid": x37_nearest_centroid})
+
+ORACLE.update({
+    "x37_nearest_centroid": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        cpos AS (
+            SELECT label AS pred, pos, ROUND(AVG(val), 9) AS c
+            FROM (
+                SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+                FROM v
+            ) GROUP BY 1, 2
+        ),
+        centroids AS (
+            SELECT pred, list(c ORDER BY pos) AS cvec
+            FROM cpos GROUP BY pred
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, c.pred,
+                   list_sum(list_transform(range(1, len(v.e) + 1),
+                       i -> (v.e[i] - c.cvec[i]) * (v.e[i] - c.cvec[i])))
+                       AS dist
+            FROM v CROSS JOIN centroids c
+        ),
+        assigned AS (
+            SELECT vec_id, label, pred
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, pred) = 1
+        )
+        SELECT label, pred, COUNT(*) AS n
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})
