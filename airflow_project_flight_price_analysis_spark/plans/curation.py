@@ -1,0 +1,445 @@
+"""Round-3 curation extension queries — span-level exact-substring dedup,
+corpus-trained unigram LM quality scoring, and statistical anomaly
+detection. These extend SURVEY.md §2.9 (X4 text analysis / X1 dedup)
+with the remaining ops a large-scale training-data pipeline runs between
+exact dedup and quality filtering.
+
+Same driver contract as the other plan modules: each query has DuckDB
+oracle SQL with identical column aliases; counts are CAST to BIGINT in
+the oracle (DuckDB SUM(BIGINT) → HUGEINT renders differently from
+Spark's BIGINT — the x26/x27/x31 round-2 lesson).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import tokens_expr
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+# Non-overlapping span width (tokens) for exact-substring dedup.
+SPAN_TOKENS = 20
+
+
+# --- X1 extension: span-level exact-substring dedup -------------------------
+
+def x38_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (X1 at sub-document granularity):
+    chunk every document into non-overlapping ``SPAN_TOKENS``-token spans,
+    rank identical spans by first occurrence ``(doc_id, span_idx)``, and
+    report the duplicated-span mass per source — the chunk-hash
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), which a
+    curation pipeline runs after whole-doc dedup (x01) to catch repeated
+    boilerplate passages embedded in otherwise-unique documents.
+
+    Scale shape: tokens are materialized once in their own projection
+    (HOF-CSE pitfall — an inline split() inside ``transform`` re-splits
+    per span), spans explode to O(tokens/20) rows per doc, and the
+    first-occurrence rank shuffles on ``xxhash64(span)`` — a fixed-width
+    64-bit key, never the span string (the repo-wide sketch policy;
+    collision odds at 1e12 spans ≈ 2.7e-8). One explode, one shuffle,
+    one tiny per-source aggregate. The oracle partitions by the span
+    string itself, pinning hash-vs-string equivalence.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("toks")
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(SPAN_TOKENS)).cast("int")
+    spans = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    ).select("doc_id", "source", "span_idx", F.xxhash64("span").alias("span_h"))
+    w = W.partitionBy("span_h").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("__rn", F.row_number().over(w))
+    dup = F.sum((F.col("__rn") > 1).cast("bigint"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            F.round(dup / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x38_span_dedup"] = x38_span_dedup
+
+ORACLE["x38_span_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    spans AS (
+        SELECT doc_id, source, CAST(i AS INTEGER) AS span_idx,
+               array_to_string(t[(i * 20 + 1):(i * 20 + 20)], ' ') AS span
+        FROM toks,
+             LATERAL (
+                 SELECT unnest(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i
+             )
+    ),
+    ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY span ORDER BY doc_id, span_idx
+               ) AS rn
+        FROM spans
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+               AS dup_ratio
+    FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+# --- X4 extension: corpus-trained unigram LM quality score ------------------
+
+def x39_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (X4): train token
+    log-probabilities over the FULL corpus, then score a document as the
+    mean token log-prob — the in-engine analog of CCNet-style LM
+    perplexity filtering, with the unigram table standing in for the
+    external KenLM model (no model dependency; the vocabulary IS the
+    corpus, so no OOV smoothing is needed). ``bits_per_token`` is derived
+    from the already-rounded score so the conversion adds no float noise.
+
+    Scale shape: one explode for terms, one |vocab|-sized count aggregate
+    that rides back as a broadcast hash join (vocab ≪ corpus at any
+    scale; at web scale, cap to top-K tokens + an OOV floor row), total
+    token count as a broadcast one-row cross join (no driver ``count()``
+    action — x13's pattern), and one per-doc aggregate. The scored slice
+    (doc_id < 50) prunes into the scan on the scoring side only; the
+    vocab side still reads every document.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    terms = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(terms.agg(F.count("*").alias("total"))))
+    )
+    logp = F.log(F.col("cnt") / F.col("total"))
+    scored = (
+        terms.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logp",
+        F.round(-F.col("avg_logp") / F.lit(math.log(2.0)), 6).alias(
+            "bits_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+QUERIES["x39_unigram_lm_score"] = x39_unigram_lm_score
+
+ORACLE["x39_unigram_lm_score"] = r"""
+    WITH terms AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM terms),
+    d AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(ln(v.cnt / tot.total)), 6) AS avg_logp
+        FROM terms t
+        JOIN vocab v USING (term)
+        CROSS JOIN tot
+        WHERE t.doc_id < 50
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, avg_logp,
+           ROUND(-avg_logp / ln(2), 6) AS bits_per_token
+    FROM d ORDER BY doc_id
+"""
+
+
+# --- statistical anomaly detection over events ------------------------------
+
+def x40_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection over the events stream's batch twin:
+    per-type mean/stddev, broadcast back, flag |z| > 2.5 — the outlier
+    gate a telemetry pipeline runs before aggregation (and the batch twin
+    of a streaming quality monitor). Stats are rounded to 9dp in BOTH
+    engines before the z computation (x37's determinism pattern: the
+    broadcast stats table is then bit-identical everywhere, so the only
+    cross-engine float surface is the final rounded max).
+
+    Scale shape: per-type stats are a |types|-row aggregate (tiny) that
+    returns as a broadcast hash join — NOT a window over event_type
+    (a window would sort every event within ~5 giant partitions; the
+    groupBy aggregates map-side first). One shuffle for the stats, one
+    for the final per-type rollup; the event payload never shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 9).alias("mu"),
+        F.round(F.stddev_samp("value"), 9).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "absz", F.abs(z)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("absz") > 2.5).cast("bigint")).alias("n_anomalies"),
+            F.round(F.max("absz"), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x40_event_anomalies"] = x40_event_anomalies
+
+ORACLE["x40_event_anomalies"] = """
+    WITH stats AS (
+        SELECT event_type,
+               ROUND(AVG(value), 9) AS mu,
+               ROUND(STDDEV_SAMP(value), 9) AS sigma
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sigma) > 2.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# --- X2 extension: sorted-neighborhood blocking dedup -----------------------
+
+def x41_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (the third classic
+    entity-resolution blocking family next to LSH banding x08 and the
+    inverted shingle index x10): sort each language block by
+    ``(n_chars, doc_id)``, slide a window of size 3, and emit neighbor
+    pairs whose distinct-token Jaccard ≥ 0.8. Jaccard here is a ratio of
+    exact set cardinalities — rational, so bit-identical across engines.
+
+    Scale shape: the sort is PER BLOCK (``partitionBy(lang)``), never a
+    global single-partition window; each row joins only its w-1=2
+    successors via ``lead`` (zero self-join, zero explode fan-out beyond
+    2 rows/doc). At 100 TB the block key would be a coarser prefix
+    (e.g. fingerprint head) to keep blocks under executor memory; the
+    window machinery is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    base = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(tokens_expr(F.col("text"))).alias("toks"),
+    )
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    nb = base.select(
+        "lang", "doc_id", "toks",
+        F.lead("doc_id", 1).over(w).alias("id1"),
+        F.lead("toks", 1).over(w).alias("t1"),
+        F.lead("doc_id", 2).over(w).alias("id2"),
+        F.lead("toks", 2).over(w).alias("t2"),
+    )
+    pairs = nb.select(
+        "lang", "doc_id", "toks",
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("nb_id"), F.col("t1").alias("nb_toks")),
+                F.struct(F.col("id2").alias("nb_id"), F.col("t2").alias("nb_toks")),
+            )
+        ).alias("p"),
+    ).select(
+        "lang", "doc_id", "toks",
+        F.col("p.nb_id").alias("nb_id"), F.col("p.nb_toks").alias("nb_toks"),
+    )
+    jac = F.size(F.array_intersect("toks", "nb_toks")) / F.size(
+        F.array_union("toks", "nb_toks")
+    )
+    return (
+        pairs.filter(F.col("nb_id").isNotNull())
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("lang", "doc_id", "nb_id", "jaccard")
+        .orderBy("doc_id", "nb_id")
+    )
+
+
+QUERIES["x41_sorted_neighborhood"] = x41_sorted_neighborhood
+
+ORACLE["x41_sorted_neighborhood"] = r"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    nb AS (
+        SELECT lang, doc_id, toks,
+               lead(doc_id, 1) OVER w AS id1, lead(toks, 1) OVER w AS t1,
+               lead(doc_id, 2) OVER w AS id2, lead(toks, 2) OVER w AS t2
+        FROM base
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    ),
+    pairs AS (
+        SELECT lang, doc_id, toks, id1 AS nb_id, t1 AS nb_toks FROM nb
+        UNION ALL
+        SELECT lang, doc_id, toks, id2 AS nb_id, t2 AS nb_toks FROM nb
+    ),
+    scored AS (
+        SELECT lang, doc_id, nb_id,
+               ROUND(len(list_intersect(toks, nb_toks))
+                     / len(list_distinct(list_concat(toks, nb_toks))), 6)
+                   AS jaccard
+        FROM pairs WHERE nb_id IS NOT NULL
+    )
+    SELECT lang, doc_id, nb_id, jaccard
+    FROM scored WHERE jaccard >= 0.8
+    ORDER BY doc_id, nb_id
+"""
+
+
+# --- X6 extension: equi-width histogram profiling ---------------------------
+
+def x42_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type (X6 profiling —
+    the exact twin of x12's sketch profiling, and the summary a data
+    validator renders as a distribution readout). Bin edges derive from
+    per-type MIN/MAX — exact selections, no float accumulation — so the
+    binning arithmetic is bit-identical across engines.
+
+    Scale shape: per-type (lo, hi) is a tiny aggregate broadcast back;
+    the bin id is a map-side expression; the histogram aggregate carries
+    |types| × 10 rows. Nothing but the two |types|-row tables shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    bin_id = F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(10),
+            (F.floor((F.col("value") - F.col("lo")) / width) + 1).cast("int"),
+        )
+    ).cast("int")
+    binned = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("bin", bin_id)
+        .withColumn("bin_lo", F.round(F.col("lo") + (F.col("bin") - 1) * width, 6))
+    )
+    return (
+        binned.groupBy("event_type", "bin", "bin_lo")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+QUERIES["x42_value_histogram"] = x42_value_histogram
+
+ORACLE["x42_value_histogram"] = """
+    WITH stats AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY 1
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CASE WHEN s.hi = s.lo THEN 1
+                    ELSE LEAST(10, CAST(FLOOR((e.value - s.lo)
+                             / ((s.hi - s.lo) / 10.0)) AS INTEGER) + 1)
+               END AS bin,
+               s.lo, s.hi
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type, CAST(bin AS INTEGER) AS bin,
+           ROUND(lo + (bin - 1) * ((hi - lo) / 10.0), 6) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned
+    GROUP BY event_type, bin, lo, hi
+    ORDER BY event_type, bin
+"""
+
+
+# --- X4/X6 extension: winsorized robust statistics --------------------------
+
+def x43_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-clipped) robust statistics per event type — the
+    outlier-robust normalization a feature pipeline applies before
+    training (robust scaling). Uses Spark's EXACT ``percentile``
+    aggregate (linear interpolation, same definition as DuckDB's
+    ``quantile_cont``); the clip bounds are rounded to 6dp in both
+    engines so the broadcast bounds table is bit-identical (x37's
+    determinism pattern).
+
+    Scale shape: exact per-group percentile sorts within each group's
+    partial state — at 100 TB you'd swap in ``percentile_approx`` (KLL,
+    mergeable, already certified by x12) with the same query shape; the
+    clip-and-average pass is map-side against broadcast bounds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.05), 6).alias("p05"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x43_winsorized_stats"] = x43_winsorized_stats
+
+ORACLE["x43_winsorized_stats"] = """
+    WITH pct AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS p05,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, p.p05, p.p95,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(e.value), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 4)
+               AS mean_winsorized
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type, p.p05, p.p95
+    ORDER BY e.event_type
+"""

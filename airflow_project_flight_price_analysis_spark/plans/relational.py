@@ -1125,3 +1125,100 @@ ORACLE.update({
         ORDER BY gid, o_orderstatus, o_orderpriority
     """,
 })
+
+
+def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large-large join (§2.5 skew mitigation, the join-side twin
+    of q40's salted aggregation): lineitem⋈orders where the probe side
+    carries a deterministic salt and the build side is replicated across
+    all salt values, splitting any hot orderkey across ``_SALT_BUCKETS``
+    reducers. The result is provably identical to the unsalted join (the
+    oracle runs the plain join), so the query pins the REWRITE's
+    correctness, not just its plan shape.
+
+    Scale shape: this is the manual fallback for skew that AQE's
+    skew-join splitting can't reach (e.g. a skewed key feeding a
+    follow-on aggregation); replication factor 8 multiplies the orders
+    scan, not the lineitem scan — at 100 TB you'd salt only the keys in
+    a pre-computed heavy-hitter sketch rather than all rows (documented
+    at fpa/operators/partitioning.py). Revenue sums round to exact
+    0.01-multiples (repo float policy: round sums, not avgs).
+    """
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)).cast("int"),
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["__salt"] == orders["__salt"]),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES.update({"q48_salted_skew_join": q48_salted_skew_join})
+
+ORACLE.update({
+    "q48_salted_skew_join": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS gross_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+})
+
+
+def q49_stat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate suite (§2.6): correlation, sample
+    covariance, linear-regression slope/intercept, and sample stddev of
+    (quantity, extendedprice) per returnflag — the built-in JVM
+    aggregates a profiling/feature-engineering pass uses (no pyspark.ml,
+    no UDAF). All are single-pass co-moment aggregates: partial states
+    merge associatively, so the plan is one map-side-combined shuffle of
+    |groups| rows regardless of corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+            F.round(F.regr_slope(p, q), 6).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+            F.round(F.stddev_samp(p), 4).alias("stddev_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES.update({"q49_stat_suite": q49_stat_suite})
+
+ORACLE.update({
+    "q49_stat_suite": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4)
+                   AS covar_qty_price,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+})

@@ -1,0 +1,108 @@
+"""Plan-shape + rewrite-correctness tests for the round-3 curation
+queries (x38-x40, q48, q49): pin the scale posture (hash-keyed shuffle,
+broadcast stats, no windows over low-cardinality keys) and prove the
+salted-join rewrite is result-identical to the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_project_flight_price_analysis_spark.plans import all_queries
+from airflow_project_flight_price_analysis_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x38_shuffles_hash_not_span_string(spark):
+    """The first-occurrence window must partition on the 64-bit span
+    hash, never the span string (fixed-width shuffle keys at scale)."""
+    plan = _plan(_Q["x38_span_dedup"](spark, SF_SMALL))
+    assert "hashpartitioning(span_h" in plan, plan
+    assert "hashpartitioning(span," not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x38_single_explode(spark):
+    plan = _plan(_Q["x38_span_dedup"](spark, SF_SMALL))
+    assert plan.count("Generate") == 1, plan
+
+
+def test_x39_vocab_joins_broadcast(spark):
+    """Vocab and total-token count ride back as broadcasts — the corpus
+    side must never shuffle on term."""
+    plan = _plan(_Q["x39_unigram_lm_score"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_x40_stats_broadcast_no_window(spark):
+    """Per-type stats must come back as a broadcast hash join, not a
+    window over ~5 giant event_type partitions."""
+    plan = _plan(_Q["x40_event_anomalies"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q48_salted_equals_unsalted(spark):
+    """The salt rewrite is a pure plan transformation: its result must
+    be row-identical to the plain join it replaces."""
+    salted = {
+        r["o_orderpriority"]: (r["n_items"], r["gross_revenue"])
+        for r in _Q["q48_salted_skew_join"](spark, SF_SMALL).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n_items"], r["gross_revenue"])
+        for r in (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("gross_revenue"),
+            )
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_q48_replicates_build_side(spark):
+    plan = _plan(_Q["q48_salted_skew_join"](spark, SF_SMALL))
+    assert "Generate explode" in plan, plan
+
+
+def test_q49_single_aggregation_no_window(spark):
+    """Co-moment aggregates are one map-side-combined shuffle; any
+    Window or extra Exchange is a regression."""
+    plan = _plan(_Q["q49_stat_suite"](spark, SF_SMALL))
+    assert "Window" not in plan
+    n_exch = plan.count("Exchange")
+    assert n_exch <= 3, f"q49 has {n_exch} exchanges:\n{plan}"
+
+
+def test_x41_window_is_per_block_not_global(spark):
+    """The neighborhood sort must partition by the block key — a global
+    (empty-partition) window would serialize the corpus."""
+    plan = _plan(_Q["x41_sorted_neighborhood"](spark, SF_SMALL))
+    assert "Window" in plan
+    assert "hashpartitioning(lang" in plan, plan
+    assert "SinglePartition" not in plan, "global window detected"
+    assert "CartesianProduct" not in plan
+
+
+def test_x42_histogram_broadcasts_bounds(spark):
+    plan = _plan(_Q["x42_value_histogram"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_x43_percentile_bounds_broadcast(spark):
+    plan = _plan(_Q["x43_winsorized_stats"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
