@@ -443,3 +443,100 @@ ORACLE["x43_winsorized_stats"] = """
     GROUP BY e.event_type, p.p05, p.p95
     ORDER BY e.event_type
 """
+
+
+# --- X2 extension: duplicate-cluster survivor selection ---------------------
+
+def x44_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-duplicate clusters — the decision
+    step a curation pipeline runs AFTER clustering (x21): within each
+    transitive cluster keep the highest-quality member (longest document,
+    ties to the smallest doc_id) and count what gets dropped. Quality
+    here is ``n_chars``; any scored column (x03's quality metrics, x39's
+    LM score) slots into the same window.
+
+    Scale shape: clusters come from the iterative min-label propagation
+    in operators/graph.py (localCheckpoint per round, O(diameter)
+    rounds); the survivor choice is one window over cluster_id — dup
+    clusters are shallow and small, so partitions are tiny. Only
+    multi-member clusters are emitted (singletons pass through a real
+    pipeline untouched).
+    """
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                block_col="lang", threshold=0.2)
+    clustered = neardup_clusters(docs, pairs.select("a", "b"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = clustered.select("doc_id", "n_chars", "cluster_id").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias(
+                "survivor_doc_id"
+            ),
+            F.sum((F.col("__rn") > 1).cast("bigint")).alias("n_dropped"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["x44_cluster_survivors"] = x44_cluster_survivors
+
+# The cluster CTE mirrors x21's recursive-closure oracle (same pair
+# predicate), extended with the survivor window.
+ORACLE["x44_cluster_survivors"] = r"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2]
+               )) AS grams
+        FROM documents
+        WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    clustered AS (
+        SELECT documents.doc_id, documents.n_chars,
+               COALESCE(comp.component, documents.doc_id) AS cluster_id
+        FROM documents LEFT JOIN comp ON documents.doc_id = comp.node
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM clustered
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked
+    GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    ORDER BY cluster_id
+"""

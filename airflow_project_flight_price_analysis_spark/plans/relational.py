@@ -1222,3 +1222,47 @@ ORACLE.update({
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 })
+
+
+def q50_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window suite (§2.7 — completes the window-function
+    family beyond q36): NTILE quartiles, PERCENT_RANK, and CUME_DIST of
+    order value within each priority class. percent_rank/cume_dist are
+    rational rank ratios — deterministic across engines given the unique
+    (o_totalprice, o_orderkey) ordering; rounding is belt-and-braces.
+
+    Scale shape: one shuffle on o_orderpriority (the window key); the
+    output slice (o_orderkey <= 200) filters AFTER the window — ranks are
+    computed over full partitions, which is the semantic point.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") <= 200)
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES.update({"q50_rank_suite": q50_rank_suite})
+
+ORACLE.update({
+    "q50_rank_suite": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        QUALIFY o_orderkey <= 200
+        ORDER BY o_orderkey
+    """,
+})

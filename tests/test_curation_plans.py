@@ -106,3 +106,15 @@ def test_x43_percentile_bounds_broadcast(spark):
     plan = _plan(_Q["x43_winsorized_stats"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_x44_survivor_window_partitioned_by_cluster(spark):
+    plan = _plan(_Q["x44_cluster_survivors"](spark, SF_SMALL))
+    assert "hashpartitioning(cluster_id" in plan, plan
+    assert "SinglePartition" not in plan
+
+
+def test_q50_window_partitioned_not_global(spark):
+    plan = _plan(_Q["q50_rank_suite"](spark, SF_SMALL))
+    assert "hashpartitioning(o_orderpriority" in plan, plan
+    assert "SinglePartition" not in plan, "global window detected"
