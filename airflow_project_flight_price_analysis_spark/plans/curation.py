@@ -540,3 +540,89 @@ ORACLE["x44_cluster_survivors"] = r"""
     HAVING COUNT(*) >= 2
     ORDER BY cluster_id
 """
+
+
+# --- time-series gap-fill resampling ----------------------------------------
+
+def x45_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket resampling with gap filling and LOCF carry-forward —
+    the hypertable rollup a time-series store exposes as
+    ``time_bucket_gapfill`` (TimescaleDB semantics): hourly sums per
+    event type over a DENSE hour spine (missing hours materialize as
+    zero-count rows whose running value carries the last observation
+    forward). Downstream consumers (charts, anomaly windows, x40) need
+    the dense grid, not the sparse aggregate.
+
+    Scale shape: the hour spine is |types| × |hours| — generated from a
+    one-row min/max aggregate via ``sequence``+``explode``, NEVER a
+    driver-side loop; actuals join the spine on (type, bucket) and the
+    LOCF window partitions per type over the dense grid. Sums round to
+    exact 0.01-multiples (repo float policy).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "value",
+    )
+    actual = ev.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine_hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(
+        F.broadcast(spine_hours)
+    )
+    filled = spine.join(actual, ["event_type", "bucket"], "left")
+    w = W.partitionBy("event_type").orderBy("bucket")
+    return (
+        filled.select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.last("total", ignorenulls=True).over(w), 2).alias(
+                "total_locf"
+            ),
+            (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+QUERIES["x45_gapfill_resample"] = x45_gapfill_resample
+
+ORACLE["x45_gapfill_resample"] = """
+    WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value
+        FROM events
+    ),
+    actual AS (
+        SELECT event_type, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM ev),
+    spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ) g
+    ),
+    filled AS (
+        SELECT s.event_type, s.bucket,
+               COALESCE(a.n, 0) AS n_events, a.total
+        FROM spine s LEFT JOIN actual a USING (event_type, bucket)
+    )
+    SELECT event_type, bucket,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(last_value(total IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+           ), 2) AS total_locf,
+           (n_events = 0) AS is_gap
+    FROM filled ORDER BY event_type, bucket
+"""

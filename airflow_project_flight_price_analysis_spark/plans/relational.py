@@ -1266,3 +1266,49 @@ ORACLE.update({
         ORDER BY o_orderkey
     """,
 })
+
+
+def q51_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (§2.3 — the inverse of q20's pivot): per-priority
+    order-value summary turned wide→long with the first-class
+    ``DataFrame.unpivot`` API (Spark) and ``UNPIVOT`` (DuckDB). All
+    melted measures cast to double so the value column is one type —
+    the same contract both engines enforce.
+
+    Scale shape: unpivot is a map-side row expansion (3 rows per input
+    row, no shuffle); the only exchange is the tiny upstream aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["n_orders", "min_price", "max_price"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+QUERIES.update({"q51_unpivot": q51_unpivot})
+
+ORACLE.update({
+    "q51_unpivot": """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderpriority, metric, val
+        FROM (UNPIVOT wide ON n_orders, min_price, max_price
+              INTO NAME metric VALUE val)
+        ORDER BY o_orderpriority, metric
+    """,
+})
