@@ -626,3 +626,172 @@ ORACLE["x45_gapfill_resample"] = """
            (n_events = 0) AS is_gap
     FROM filled ORDER BY event_type, bucket
 """
+
+
+# --- X3 extension: embedding covariance statistics --------------------------
+
+def x46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance/correlation matrix over the leading 8
+    embedding dimensions — the sufficient statistics behind whitening /
+    PCA of an embedding table (the preprocessing step before IVF
+    training or dimensionality reduction). The (i, j) pair expansion is
+    a MAP-SIDE nested ``transform`` over a bound array column — no
+    self-join of the embedding table, no shuffle until the d² aggregate.
+
+    Scale shape: d²=64 cells per row explode locally and reduce through
+    one map-side-combined shuffle of |cells| rows; covariance partial
+    states are mergeable co-moments. For full d=64 (4096 cells/row) the
+    same plan holds; beyond that the textbook move is a Pandas-UDF
+    per-partition outer-product accumulation (documented, not needed at
+    these dims).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.slice(
+            F.transform("embedding", lambda x: x.cast("double")), 1, 8
+        ).alias("v")
+    )
+    cells = v.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "v",
+                    lambda vi, i: F.transform(
+                        F.col("v"),
+                        lambda vj, j: F.struct(
+                            i.alias("i"), j.alias("j"),
+                            vi.alias("vi"), vj.alias("vj"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.*")
+    return (
+        cells.groupBy("i", "j")
+        .agg(
+            F.round(F.covar_samp("vi", "vj"), 6).alias("cov"),
+            F.round(F.corr("vi", "vj"), 6).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+QUERIES["x46_embedding_covariance"] = x46_embedding_covariance
+
+ORACLE["x46_embedding_covariance"] = """
+    WITH v AS (
+        SELECT list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+               v.v[i.i + 1] AS vi, v.v[j.j + 1] AS vj
+        FROM v,
+             LATERAL (SELECT unnest(range(8)) AS i) i,
+             LATERAL (SELECT unnest(range(8)) AS j) j
+    )
+    SELECT i, j,
+           ROUND(COVAR_SAMP(vi, vj), 6) AS cov,
+           ROUND(CORR(vi, vj), 6) AS corr
+    FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
+# --- X2/X4 extension: cross-split contamination audit -----------------------
+
+def x47_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit — x19's content-hash train/test split
+    composed with x33's inverted-index overlap: per language, how many
+    TEST documents share at least one 5-gram with any TRAIN document.
+    This is the eval-hygiene readout a pipeline publishes alongside a
+    split (near-dup leakage across splits silently inflates eval
+    scores even when exact dedup was clean).
+
+    Scale shape: the shared ``document_grams`` stage (hashed 5-gram
+    postings); train postings deduplicate to a distinct gram set before
+    the equi-join, so cost scales with posting-list collisions, never
+    |test| × |train|. The oracle recomputes grams as strings — counts
+    are hash-invariant up to 64-bit collisions (documented policy).
+    """
+    from ..functions.text import fingerprint_expr
+    from ..operators.dedup import document_grams
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(
+            F.substring(fingerprint_expr("text"), 1, 1) < F.lit("c"), "train"
+        ).otherwise("test"),
+    )
+    grams = document_grams(docs, "text", "doc_id", shingle_n=5,
+                           keep_cols=("lang", "split"))
+    test_post = grams.filter(F.col("split") == "test").select(
+        "id", "lang", F.explode("grams").alias("g")
+    )
+    train_set = (
+        grams.filter(F.col("split") == "train")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    leaked = test_post.join(train_set, "g").select("id", "lang").distinct()
+    totals = (
+        grams.filter(F.col("split") == "test")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_test_docs"))
+    )
+    leaks = leaked.groupBy("lang").agg(F.count("*").alias("n_leaked"))
+    return (
+        totals.join(leaks, "lang", "left")
+        .select(
+            "lang",
+            "n_test_docs",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked_docs"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0)) / F.col("n_test_docs"), 6
+            ).alias("leak_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["x47_split_leakage"] = x47_split_leakage
+
+ORACLE["x47_split_leakage"] = r"""
+    WITH labeled AS (
+        SELECT doc_id, lang,
+               CASE WHEN substring(md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+', ' ', 'g'))), 1, 1) < 'c'
+                    THEN 'train' ELSE 'test' END AS split,
+               string_split_regex(trim(lower(text)), '\s+') AS l,
+               trim(text) <> '' AS nonempty
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, split,
+               unnest(list_distinct(list_transform(range(1, len(l) - 3),
+                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                        || l[i+3] || ' ' || l[i+4]))) AS g
+        FROM labeled WHERE nonempty AND len(l) >= 5
+    ),
+    train_set AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    leaked AS (
+        SELECT DISTINCT t.doc_id, t.lang
+        FROM grams t JOIN train_set USING (g)
+        WHERE t.split = 'test'
+    ),
+    totals AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test_docs
+        FROM labeled WHERE split = 'test'
+        GROUP BY lang
+    ),
+    leaks AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_leaked
+        FROM leaked GROUP BY lang
+    )
+    SELECT t.lang, t.n_test_docs,
+           CAST(COALESCE(k.n_leaked, 0) AS BIGINT) AS n_leaked_docs,
+           ROUND(COALESCE(k.n_leaked, 0) / t.n_test_docs, 6) AS leak_ratio
+    FROM totals t LEFT JOIN leaks k USING (lang)
+    ORDER BY t.lang
+"""

@@ -118,3 +118,17 @@ def test_q50_window_partitioned_not_global(spark):
     plan = _plan(_Q["q50_rank_suite"](spark, SF_SMALL))
     assert "hashpartitioning(o_orderpriority" in plan, plan
     assert "SinglePartition" not in plan, "global window detected"
+
+
+def test_x46_no_self_join(spark):
+    """The (i,j) pair expansion is map-side HOF algebra — a self-join of
+    the embedding table would shuffle the payload twice."""
+    plan = _plan(_Q["x46_embedding_covariance"](spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1
+
+
+def test_x47_postings_join_not_cartesian(spark):
+    plan = _plan(_Q["x47_split_leakage"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
