@@ -795,3 +795,148 @@ ORACLE["x47_split_leakage"] = r"""
     FROM totals t LEFT JOIN leaks k USING (lang)
     ORDER BY t.lang
 """
+
+
+# --- X4/X6 extension: per-source distribution drift -------------------------
+
+def x48_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(source ‖ corpus) over the
+    unigram distributions — the monitoring statistic a corpus pipeline
+    tracks to catch a source whose content shifted between crawls (and
+    the quantitative form of "this source stopped looking like the
+    rest"). Every source term exists in the corpus distribution by
+    construction, so the KL sum is total (no zero-denominator terms).
+
+    Scale shape: one explode, one (source, term) count, corpus term
+    counts and per-source totals both return as broadcast joins (|vocab|
+    and |sources| rows); the KL reduction is one tiny aggregate. The
+    corpus total rides as a broadcast one-row cross join (x13's
+    no-count-action pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    terms = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    st = terms.groupBy("source", "term").agg(F.count("*").alias("cnt_st"))
+    corpus = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("cnt_t"))
+        .crossJoin(F.broadcast(terms.agg(F.count("*").alias("total"))))
+    )
+    totals = st.groupBy("source").agg(F.sum("cnt_st").alias("total_s"))
+    p_s = F.col("cnt_st") / F.col("total_s")
+    p = F.col("cnt_t") / F.col("total")
+    return (
+        st.join(F.broadcast(totals), "source")
+        .join(F.broadcast(corpus), "term")
+        .groupBy("source")
+        .agg(
+            F.max("total_s").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x48_source_drift_kl"] = x48_source_drift_kl
+
+ORACLE["x48_source_drift_kl"] = r"""
+    WITH terms AS (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    st AS (
+        SELECT source, term, COUNT(*) AS cnt_st
+        FROM terms GROUP BY 1, 2
+    ),
+    corpus AS (SELECT term, COUNT(*) AS cnt_t FROM terms GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM terms),
+    totals AS (
+        SELECT source, CAST(SUM(cnt_st) AS BIGINT) AS total_s
+        FROM st GROUP BY 1
+    )
+    SELECT st.source,
+           CAST(MAX(t.total_s) AS BIGINT) AS n_tokens,
+           ROUND(SUM((st.cnt_st / t.total_s)
+                     * ln((st.cnt_st / t.total_s)
+                          / (c.cnt_t / tot.total))), 6) AS kl_vs_corpus
+    FROM st
+    JOIN totals t USING (source)
+    JOIN corpus c USING (term)
+    CROSS JOIN tot
+    GROUP BY st.source
+    ORDER BY st.source
+"""
+
+
+# --- X6 extension: data-quality constraint suite ----------------------------
+
+def x49_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (Deequ-style) over the
+    documents table: completeness, key uniqueness, derived-column
+    consistency (``n_chars == length(text)``), and a format pattern —
+    each a ratio in [0,1] with a pass flag. This generalizes q17's
+    single COUNT reconciliation into the constraint-report shape a
+    validation gate publishes.
+
+    Scale shape: ALL constraint metrics reduce in ONE aggregate pass
+    over the table (mergeable sums + one distinct-count); the report is
+    a 4-row map-side unpivot of the single aggregate row. Ratios of
+    equal integers are exactly 1.0 in IEEE arithmetic, so the pass flag
+    (metric == 1.0) is engine-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        (F.sum(F.col("text").isNotNull().cast("bigint")) / F.count("*"))
+        .alias("completeness_text"),
+        (F.countDistinct("doc_id") / F.count("*")).alias("uniqueness_doc_id"),
+        (F.sum((F.col("n_chars") == F.length("text")).cast("bigint"))
+         / F.count("*")).alias("consistency_n_chars"),
+        (F.sum(F.col("source").like("src%").cast("bigint")) / F.count("*"))
+        .alias("pattern_source"),
+    )
+    report = agg.select(
+        F.expr(
+            "stack(4, "
+            "'completeness_text', completeness_text, "
+            "'uniqueness_doc_id', uniqueness_doc_id, "
+            "'consistency_n_chars', consistency_n_chars, "
+            "'pattern_source', pattern_source) AS (constraint, metric)"
+        )
+    )
+    return report.select(
+        "constraint",
+        F.round("metric", 6).alias("metric"),
+        (F.col("metric") == 1.0).alias("passed"),
+    ).orderBy("constraint")
+
+
+QUERIES["x49_quality_constraints"] = x49_quality_constraints
+
+ORACLE["x49_quality_constraints"] = """
+    WITH agg AS (
+        SELECT
+            SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+                / COUNT(*) AS completeness_text,
+            COUNT(DISTINCT doc_id) / COUNT(*) AS uniqueness_doc_id,
+            SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+                / COUNT(*) AS consistency_n_chars,
+            SUM(CASE WHEN source LIKE 'src%' THEN 1 ELSE 0 END)
+                / COUNT(*) AS pattern_source
+        FROM documents
+    ),
+    report AS (
+        SELECT 'completeness_text' AS "constraint",
+               completeness_text AS metric FROM agg
+        UNION ALL
+        SELECT 'uniqueness_doc_id', uniqueness_doc_id FROM agg
+        UNION ALL
+        SELECT 'consistency_n_chars', consistency_n_chars FROM agg
+        UNION ALL
+        SELECT 'pattern_source', pattern_source FROM agg
+    )
+    SELECT "constraint", ROUND(metric, 6) AS metric,
+           (metric = 1.0) AS passed
+    FROM report ORDER BY "constraint"
+"""

@@ -132,3 +132,16 @@ def test_x47_postings_join_not_cartesian(spark):
     plan = _plan(_Q["x47_split_leakage"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x48_vocab_and_totals_broadcast(spark):
+    plan = _plan(_Q["x48_source_drift_kl"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x49_single_pass_aggregate(spark):
+    """All four constraint metrics reduce in one aggregate over the
+    table — no per-constraint rescans."""
+    plan = _plan(_Q["x49_quality_constraints"](spark, SF_SMALL))
+    assert plan.count("FileScan") == 1, plan
