@@ -940,3 +940,67 @@ ORACLE["x49_quality_constraints"] = """
            (metric = 1.0) AS passed
     FROM report ORDER BY "constraint"
 """
+
+
+# --- grouped-map escape hatch: per-group model fit via applyInPandas --------
+
+def x50_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (value ~ hour-of-day) via ``applyInPandas`` —
+    the Arrow grouped-map escape hatch for per-group logic the built-in
+    aggregates can't express (model fits, scipy calls, per-entity
+    solvers). Here the fit IS expressible as ``regr_slope`` /
+    ``regr_intercept`` — deliberately, so the oracle value-checks the
+    Python path against the closed form: the grouped-map plumbing
+    (grouping, Arrow batch shape, schema contract) is verified by the
+    driver, not just smoke-tested.
+
+    Scale shape: one shuffle on the group key; each group arrives as one
+    Arrow batch (vectorized numpy inside, no per-row Python). Groups
+    must fit in executor memory — the documented contract of any
+    grouped-map operator; for unbounded groups use the mergeable
+    co-moment aggregates (q49) instead.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        mx, my = x.mean(), y.mean()
+        dx = x - mx
+        slope = float((dx * (y - my)).sum() / (dx * dx).sum())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(x)],
+                "slope": [round(slope, 6)],
+                "intercept": [round(my - slope * mx, 6)],
+            }
+        )
+
+    return (
+        feat.groupBy("event_type")
+        .applyInPandas(fit, "event_type string, n bigint, slope double, intercept double")
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x50_grouped_ols"] = x50_grouped_ols
+
+ORACLE["x50_grouped_ols"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(value, EXTRACT(hour FROM ts)), 6) AS slope,
+           ROUND(REGR_INTERCEPT(value, EXTRACT(hour FROM ts)), 6)
+               AS intercept
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+"""
