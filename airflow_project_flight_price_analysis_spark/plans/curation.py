@@ -124,22 +124,22 @@ def x39_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so no OOV smoothing is needed). ``bits_per_token`` is derived
     from the already-rounded score so the conversion adds no float noise.
 
-    Scale shape: one explode for terms, one |vocab|-sized count aggregate
-    that rides back as a broadcast hash join (vocab ≪ corpus at any
-    scale; at web scale, cap to top-K tokens + an OOV floor row), total
-    token count as a broadcast one-row cross join (no driver ``count()``
-    action — x13's pattern), and one per-doc aggregate. The scored slice
-    (doc_id < 50) prunes into the scan on the scoring side only; the
-    vocab side still reads every document.
+    Scale shape: ONE corpus pass — the |vocab|-sized count aggregate is
+    the only consumer of the exploded terms (the corpus total derives
+    from the vocab table itself, not a second scan) and rides back as a
+    broadcast hash join (vocab ≪ corpus at any scale; at web scale, cap
+    to top-K tokens + an OOV floor row). The total rides as a broadcast
+    one-row cross join (no driver ``count()`` action — x13's pattern).
+    The scored slice (doc_id < 50) prunes into the scan on the scoring
+    side only.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
     terms = docs.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
     )
-    vocab = (
-        terms.groupBy("term")
-        .agg(F.count("*").alias("cnt"))
-        .crossJoin(F.broadcast(terms.agg(F.count("*").alias("total"))))
+    counts = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    vocab = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("cnt").alias("total")))
     )
     logp = F.log(F.col("cnt") / F.col("total"))
     scored = (
@@ -713,7 +713,13 @@ def x47_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equi-join, so cost scales with posting-list collisions, never
     |test| × |train|. The oracle recomputes grams as strings — counts
     are hash-invariant up to 64-bit collisions (documented policy).
+    The grams frame feeds THREE consumers (test postings, train gram
+    set, per-lang totals), so it is persisted — without it the
+    tokenize+shingle+fingerprint stage runs three times (measured
+    2.4s → 0.9s at sf0.1; the x08 lesson).
     """
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     from ..functions.text import fingerprint_expr
     from ..operators.dedup import document_grams
 
@@ -724,7 +730,8 @@ def x47_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("test"),
     )
     grams = document_grams(docs, "text", "doc_id", shingle_n=5,
-                           keep_cols=("lang", "split"))
+                           keep_cols=("lang", "split")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     test_post = grams.filter(F.col("split") == "test").select(
         "id", "lang", F.explode("grams").alias("g")
     )
@@ -807,21 +814,21 @@ def x48_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest"). Every source term exists in the corpus distribution by
     construction, so the KL sum is total (no zero-denominator terms).
 
-    Scale shape: one explode, one (source, term) count, corpus term
-    counts and per-source totals both return as broadcast joins (|vocab|
-    and |sources| rows); the KL reduction is one tiny aggregate. The
-    corpus total rides as a broadcast one-row cross join (x13's
-    no-count-action pattern).
+    Scale shape: ONE corpus pass — the exploded terms have a single
+    consumer, the (source, term) count; the corpus term counts, the
+    per-source totals, AND the corpus total all derive from that
+    |sources|×|vocab|-sized table (tiny re-aggregations, no second
+    scan) and return as broadcast joins. The corpus total rides as a
+    broadcast one-row cross join (x13's no-count-action pattern).
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
     terms = docs.select(
         "source", F.explode(tokens_expr(F.col("text"))).alias("term")
     )
     st = terms.groupBy("source", "term").agg(F.count("*").alias("cnt_st"))
-    corpus = (
-        terms.groupBy("term")
-        .agg(F.count("*").alias("cnt_t"))
-        .crossJoin(F.broadcast(terms.agg(F.count("*").alias("total"))))
+    corpus_counts = st.groupBy("term").agg(F.sum("cnt_st").alias("cnt_t"))
+    corpus = corpus_counts.crossJoin(
+        F.broadcast(corpus_counts.agg(F.sum("cnt_t").alias("total")))
     )
     totals = st.groupBy("source").agg(F.sum("cnt_st").alias("total_s"))
     p_s = F.col("cnt_st") / F.col("total_s")

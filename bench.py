@@ -58,6 +58,10 @@ HEADLINE = [
     "x21_neardup_clusters",
     "x26_repetition_signals",
     "x28_boilerplate_ngrams",
+    # round-3 additions
+    "x38_span_dedup",
+    "x45_gapfill_resample",
+    "x47_split_leakage",
 ]
 
 
