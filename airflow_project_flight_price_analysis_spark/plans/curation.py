@@ -1011,3 +1011,174 @@ ORACLE["x50_grouped_ols"] = """
     FROM events
     GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- ordered-funnel conversion analysis -------------------------------------
+
+def x51_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the events table: how many users
+    completed signup → click → purchase IN ORDER (each later stage
+    strictly after the user's earliest qualifying prior stage) — the
+    staged-conversion operator every product-analytics engine ships
+    (and a sequence-pattern query relational engines express poorly).
+
+    Implemented as ONE aggregation pass: per user, the stage timestamps
+    fold as conditional MIN aggregates over a sorted per-user event
+    array — no joins, no repeated scans. The per-user array is bounded
+    by user activity (the grouped-map memory contract, same as x50);
+    for power-law users a pre-aggregation to (user, type, min_ts) per
+    day bounds it further.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_type"))
+            ).alias("seq")
+        )
+    )
+    t1 = F.filter("seq", lambda s: s.getField("event_type") == "signup")[0][
+        "ts"
+    ]
+    per_user = per_user.withColumn("t1", t1)
+    t2 = F.filter(
+        "seq",
+        lambda s: (s.getField("event_type") == "click")
+        & (s.getField("ts") > F.col("t1")),
+    )[0]["ts"]
+    per_user = per_user.withColumn("t2", t2)
+    t3 = F.filter(
+        "seq",
+        lambda s: (s.getField("event_type") == "purchase")
+        & (s.getField("ts") > F.col("t2")),
+    )[0]["ts"]
+    per_user = per_user.withColumn("t3", t3)
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("bigint")).alias("reached_signup"),
+        F.sum(F.col("t2").isNotNull().cast("bigint")).alias("reached_click"),
+        F.sum(F.col("t3").isNotNull().cast("bigint")).alias(
+            "reached_purchase"
+        ),
+    )
+
+
+QUERIES["x51_funnel"] = x51_funnel
+
+ORACLE["x51_funnel"] = """
+    WITH f AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END)
+            AS t1
+        FROM f GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT f.user_id,
+               MIN(CASE WHEN f.event_type = 'click' AND f.ts > s1.t1
+                        THEN f.ts END) AS t2
+        FROM f JOIN s1 USING (user_id) GROUP BY f.user_id
+    ),
+    s3 AS (
+        SELECT f.user_id,
+               MIN(CASE WHEN f.event_type = 'purchase' AND f.ts > s2.t2
+                        THEN f.ts END) AS t3
+        FROM f JOIN s2 USING (user_id) GROUP BY f.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS reached_signup,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS reached_click,
+           CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS reached_purchase
+    FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+"""
+
+
+# --- EWMA smoothing over resampled series -----------------------------------
+
+def x52_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the hourly rollup —
+    the time-series smoothing operator (monitoring dashboards, trend
+    baselines for x40-style anomaly gates). Weights fold over a BOUNDED
+    trailing window (last 10 buckets, α=0.5), expressed as window
+    ``collect_list`` + higher-order zip/fold — both engines evaluate the
+    identical weighted sum in the identical frame order, so the float
+    result matches bit-for-bit before rounding.
+
+    Scale shape: one shuffle to the hourly grain, one per-type window
+    over the (tiny) bucket series; the HOF fold is map-side. The frame
+    bound (ROWS 9 PRECEDING) keeps state O(1) per row — the same
+    truncation a streaming EWMA carries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-9, W.currentRow)
+    )
+    vals = F.collect_list("total").over(w)
+    smoothed = hourly.withColumn("vals", vals)
+    k = F.size("vals")
+    # weights a^(k-1-i) for i in 0..k-1 (oldest→newest), α = 0.5
+    weighted = F.zip_with(
+        "vals",
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.pow(F.lit(0.5), k - i)),
+        lambda v, wt: v * wt,
+    )
+    norm = F.aggregate(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.pow(F.lit(0.5), k - i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ewma = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x) / norm
+    return (
+        smoothed.select(
+            "event_type",
+            "bucket",
+            "total",
+            F.round(ewma, 4).alias("ewma"),
+        )
+        .filter(F.col("bucket") < F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+        .orderBy("event_type", "bucket")
+    )
+
+
+QUERIES["x52_ewma_smoothing"] = x52_ewma_smoothing
+
+ORACLE["x52_ewma_smoothing"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    windowed AS (
+        SELECT event_type, bucket, total,
+               list(total) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM hourly
+    )
+    SELECT event_type, bucket, total,
+           ROUND(
+               list_sum(list_transform(range(1, len(vals) + 1),
+                   i -> vals[i] * pow(0.5, len(vals) - i)))
+               / list_sum(list_transform(range(1, len(vals) + 1),
+                   i -> pow(0.5, len(vals) - i))),
+           4) AS ewma
+    FROM windowed
+    WHERE bucket < TIMESTAMP '2024-01-02 00:00:00'
+    ORDER BY event_type, bucket
+"""
