@@ -21,13 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 #      fall past the budget);
 #   3. everything else (green in a prior round, unchanged — may rotate out).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 3: oracle-cast fixes (HUGEINT artifact) — must re-verify
-    "x26_repetition_signals",
-    "x27_pii_redaction",
-    "x31_sequence_packing",
-    # round 3: plan changes — must re-verify
-    "x09_simhash_pairs",
-    "x08_minhash_neardup",
+    # round 4: the 21 queries that crashed in r3 on the events-ts loader
+    # bug (driver regenerated events.parquet as timestamp[us]; the reader
+    # assumed TIMESTAMP(NANOS)). All were green in r1/r2, so the automatic
+    # "no green row" rule would NOT re-sample them — list them explicitly
+    # so CORRECTNESS_r04 re-verifies every one under the fixed reader.
+    "q15_label_per_day",
+    "q19_sessionization",
+    "q24_grouping_sets",
+    "q30_sql_running_total",
+    "q31_sql_correlated",
+    "q32_asof_join",
+    "q33_json_extract",
+    "q34_sliding_windows",
+    "q35_range_join",
+    "q43_json_typed_struct",
+    "x17_stream_tumbling",
+    "x24_stream_dedup",
+    "x25_stream_sessions",
+    "x29_stream_interval_join",
+    "x40_event_anomalies",
+    "x42_value_histogram",
+    "x43_winsorized_stats",
+    "x45_gapfill_resample",
+    "x50_grouped_ols",
+    "x51_funnel",
+    "x52_ewma_smoothing",
 )
 
 

@@ -688,22 +688,12 @@ def x17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
+    from ..sources.testdata import events_stream
     from ..streaming.windows import tumbling_counts
 
-    # events.ts is parquet TIMESTAMP(NANOS): read as long via the
-    # nanosAsLong conf and truncate to micros — same policy as the batch
-    # reader (sources/testdata.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = tumbling_counts(
+        events_stream(spark, sf_dir), width="1 hour", watermark="2 hours"
     )
-    agg = tumbling_counts(stream, width="1 hour", watermark="2 hours")
     name = "x17_" + uuid.uuid4().hex[:8]
     q = (
         agg.writeStream.format("memory")
@@ -717,18 +707,12 @@ def x17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_nanostream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming reader for the events table (TIMESTAMP(NANOS) parquet —
-    same nanosAsLong + micros-truncation policy as the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    """Streaming reader for the events table — delegates to the shared
+    footer-dispatching reader (sources/testdata.events_stream) so a testdata
+    regeneration changes one function, not every streaming query."""
+    from ..sources.testdata import events_stream
+
+    return events_stream(spark, sf_dir)
 
 
 def x24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
