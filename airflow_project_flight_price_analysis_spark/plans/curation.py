@@ -1182,3 +1182,179 @@ ORACLE["x52_ewma_smoothing"] = """
     WHERE bucket < TIMESTAMP '2024-01-02 00:00:00'
     ORDER BY event_type, bucket
 """
+
+
+# --- X2/X3 extension: sparse lexical cosine near-dup ------------------------
+
+def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical near-dup: TF-IDF cosine similarity between
+    document pairs via an inverted posting index — the *weighted* sibling
+    of x10's set-based n-gram Jaccard, and the sparse-vector sibling of
+    x16's dense embedding cosine (the third similarity family a curation
+    stack runs: set overlap, sparse lexical, dense semantic).
+
+    Scale shape: never all-pairs. Postings join on ``term``, so the pair
+    space is the sum over terms of posting-list-squared — and the
+    dominant lists are removed *before* the join by the document-
+    frequency prune (``df <= 25%`` of the corpus): stopword-grade terms
+    contribute near-zero discriminative weight but quadratic collisions,
+    exactly the term-pruning strategy of prefix-filter set-similarity
+    joins (PPJoin family). The df table is |vocab|-sized and broadcast.
+    TF-IDF formula shared with x13 (smoothed idf = ln((N+1)/(df+1))+1).
+    Reference analog: none (extension surface, SURVEY.md §2.9).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    terms = docs.select(
+        "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_t = (
+        terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= 0.25 * F.col("n_docs"))
+    )
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    w = (
+        tf.join(F.broadcast(df_t), "term")
+        .select("doc_id", "term", (F.col("tf") * idf).alias("w"))
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "d1")
+                  .withColumnRenamed("nrm", "n1"), "d1")
+        .join(norms.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("nrm", "n2"), "d2")
+        .withColumn("__cos", F.col("dot") / (F.col("n1") * F.col("n2")))
+        .filter(F.col("__cos") >= 0.5)
+        .select("d1", "d2", F.round("__cos", 6).alias("cosine"))
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["x53_tfidf_cosine_pairs"] = x53_tfidf_cosine_pairs
+
+ORACLE["x53_tfidf_cosine_pairs"] = r"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+    df AS (
+        SELECT term, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+    ),
+    kept AS (
+        SELECT df.term, ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf
+        FROM df CROSS JOIN n WHERE df.df <= 0.25 * n.n_docs
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.term, tf.tf * kept.idf AS w
+        FROM tf JOIN kept USING (term)
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, ROUND(dot / (x.nrm * y.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms x ON d1 = x.doc_id
+    JOIN norms y ON d2 = y.doc_id
+    WHERE dot / (x.nrm * y.nrm) >= 0.5
+    ORDER BY d1, d2
+"""
+
+
+# --- §2.5 extension: incremental aggregate maintenance ----------------------
+
+def x54_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-group metrics computed as a
+    MERGE of two independently-aggregated partials (a "history" partition
+    and a "delta" partition of lineitem), proving the partial state is
+    algebraically mergeable — count/sum/min/max merge directly, avg and
+    stddev derive from merged co-moments (n, Σx, Σx²). The oracle
+    recomputes everything from the full table in one pass, so the gate
+    checks merge(partial(A), partial(B)) ≡ aggregate(A ∪ B).
+
+    This is the 100 TB pattern for nightly pipelines: store per-partition
+    partial states, merge at read time, never rescan history to admit a
+    delta (the same algebra Spark's own partial aggregation uses inside
+    one job, lifted to cross-job persistence). All l_quantity values are
+    integer-valued doubles, so Σx and Σx² are exact in IEEE double and
+    the derived metrics are bit-identical across engines and split
+    points. Reference analog: validation.py's full-recount gate
+    (/root/reference/dags/tasks/validation.py) — this is the version
+    that doesn't rescan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("s_qty"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum("l_extendedprice").alias("s_price"),
+        )
+
+    history = partial(li.filter(F.col("l_orderkey") % 10 != 7))
+    delta = partial(li.filter(F.col("l_orderkey") % 10 == 7))
+    merged = history.unionByName(delta).groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        F.sum("s_qty").alias("s_qty"),
+        F.sum("ss_qty").alias("ss_qty"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        F.sum("s_price").alias("s_price"),
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(F.col("s_qty") / F.col("n"), 6).alias("avg_qty"),
+        F.round(
+            F.sqrt(
+                (F.col("ss_qty") - F.col("s_qty") * F.col("s_qty") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("std_qty"),
+        "min_price",
+        "max_price",
+        F.round("s_price", 2).alias("revenue"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["x54_incremental_agg_merge"] = x54_incremental_agg_merge
+
+ORACLE["x54_incremental_agg_merge"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           ROUND(sqrt(
+               (SUM(l_quantity * l_quantity)
+                - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+               / (COUNT(*) - 1)
+           ), 6) AS std_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+"""

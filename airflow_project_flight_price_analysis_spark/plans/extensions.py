@@ -1986,3 +1986,59 @@ ORACLE.update({
         FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
+
+
+# --- §2.7 round 4: stream-static broadcast enrichment -----------------------
+
+def x55_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — stream-static join through the real streaming engine: the
+    events stream enriched against the static customer dimension
+    (``user_id = c_custkey``), then aggregated per (market segment,
+    event type). This is the remaining streaming-join family next to
+    x29's stream-stream interval join: the static side is planned as a
+    BATCH broadcast — re-resolved per micro-batch, never stateful, so
+    there is no watermark interaction and state stays O(groups).
+
+    At 100 TB the static side is a slowly-changing dim snapshot; each
+    micro-batch picks up the current snapshot (the standard enrichment
+    pattern for clickstream × account data). Executed to completion with
+    availableNow behind the DuckDB oracle, like x17/x24/x25.
+    """
+    import uuid
+
+    from ..sources.testdata import events_stream
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = events_stream(spark, sf_dir).join(F.broadcast(cust), "user_id")
+    agg = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = "x55_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+QUERIES.update({"x55_stream_static_enrich": x55_stream_static_enrich})
+
+ORACLE.update({
+    "x55_stream_static_enrich": """
+        SELECT c.c_mktsegment, e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+})

@@ -1312,3 +1312,59 @@ ORACLE.update({
         ORDER BY o_orderpriority, metric
     """,
 })
+
+
+# --- §2.4/§2.5 extension: correlated-subquery decorrelation -----------------
+
+def q52_decorrelated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    revenue from "small lots" — lineitems with quantity below half the
+    per-part average — grouped by brand. The oracle states the query the
+    way an analyst writes it (a correlated ``(SELECT 0.5*AVG(...) WHERE
+    l2.l_partkey = l1.l_partkey)``); the Spark plan is the decorrelated
+    form a 100 TB engine must run: the per-part average as a window over
+    ``l_partkey`` (ONE shuffle of lineitem, reusing the join key's
+    partitioning), then a map-side filter and a broadcast join to part.
+    A naive correlated execution is a per-row subquery scan; the
+    decorrelated plan touches lineitem exactly once.
+
+    Determinism: l_quantity is integer-valued double, so the per-part
+    sum (hence avg, hence the 0.5*avg comparison) is exact in IEEE
+    double — no boundary flakiness between engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = W.partitionBy("l_partkey")
+    small = (
+        li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_lots"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES.update({"q52_decorrelated_avg_filter": q52_decorrelated_avg_filter})
+
+ORACLE.update({
+    "q52_decorrelated_avg_filter": """
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+               ROUND(SUM(l.l_extendedprice), 2) AS small_lot_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY 1 ORDER BY 1
+    """,
+})

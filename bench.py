@@ -90,7 +90,7 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples: list[float] = []
@@ -101,6 +101,12 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # Driver-side GC between queries: hundreds of accumulated broadcast
+        # variables / shuffle registrations only get cleaned when a JVM GC
+        # triggers the ContextCleaner, and an idle heap may not GC for the
+        # whole run — measured up to 3-4x inflation on late-list queries
+        # (x16: 0.75s clean vs 3.2s after 20 queries of accumulated state).
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -145,3 +145,57 @@ def test_x49_single_pass_aggregate(spark):
     table — no per-constraint rescans."""
     plan = _plan(_Q["x49_quality_constraints"](spark, SF_SMALL))
     assert plan.count("FileScan") == 1, plan
+
+
+# --- round 4: x53 / x54 / q52 plan shapes -----------------------------------
+
+def test_x53_no_allpairs_and_pruned_postings(spark):
+    """The pair space must come from the posting-index equi-join (never a
+    cartesian/nested-loop all-pairs), with the df table broadcast."""
+    plan = _plan(_Q["x53_tfidf_cosine_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # nested-loop joins are allowed only against the one-row n_docs
+    # aggregate (a broadcast constant riding into the df-prune — its
+    # subtree prints once per consumer of the shared postings frame);
+    # any OTHER nested-loop join would be a pair-space explosion
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "n_docs" in line, line
+    assert "BroadcastHashJoin" in plan  # df/idf table rides as broadcast
+    assert "EvalPython" not in plan
+
+
+def test_x54_merge_equals_direct_aggregate(spark):
+    """merge(partial(history), partial(delta)) must equal the one-pass
+    aggregate over the full table — the algebraic-mergeability contract."""
+    merged = {
+        r["l_returnflag"]: (r["n_rows"], r["avg_qty"], r["std_qty"],
+                            r["min_price"], r["max_price"], r["revenue"])
+        for r in _Q["x54_incremental_agg_merge"](spark, SF_SMALL).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["n"], round(r["s"] / r["n"], 6),
+                            round(((r["ss"] - r["s"] * r["s"] / r["n"])
+                                   / (r["n"] - 1)) ** 0.5, 6),
+                            r["mn"], r["mx"], round(r["sp"], 2))
+        for r in li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("s"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.sum("l_extendedprice").alias("sp"),
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_q52_decorrelated_single_lineitem_window(spark):
+    """The correlated avg must run as ONE window over l_partkey (lineitem
+    scanned once), with part joined by broadcast — no re-scan, no
+    shuffle-join of lineitem against itself."""
+    plan = _plan(_Q["q52_decorrelated_avg_filter"](spark, SF_SMALL))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 2, plan  # lineitem once + part once
+    assert "SortMergeJoin" not in plan
