@@ -1358,3 +1358,124 @@ ORACLE["x54_incremental_agg_merge"] = """
     FROM lineitem
     GROUP BY 1 ORDER BY 1
 """
+
+
+# --- §2.5/§2.6 extension: range-partition planning --------------------------
+
+def x56_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition planning as a first-class query: exact octile
+    boundaries of ``l_quantity`` in ONE aggregate pass, broadcast to the
+    scan, bucket assigned map-side (``1 + #boundaries below``), then
+    per-bucket occupancy stats. This is the planning step behind sorted/
+    clustered table layouts (Spark's own RangePartitioner does the same
+    with sampling); at 100 TB the exact ``percentile`` swaps for
+    ``percentile_approx`` and the plan shape is unchanged — one pass for
+    bounds, one map-side assignment, one aggregation. No global sort
+    anywhere (the naive ``ntile`` formulation is a single-partition
+    window over the full table — the exact shape this query avoids).
+
+    Determinism: l_quantity is integer-valued and the octile fractions
+    are exact binary fractions, so interpolated boundaries are exact in
+    IEEE double and bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_quantity, "
+            "array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))"
+        ).alias("bs")
+    )
+    assigned = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        (F.size(F.filter(F.col("bs"), lambda b: F.col("l_quantity") > b)) + 1)
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["x56_range_partition_planner"] = x56_range_partition_planner
+
+ORACLE["x56_range_partition_planner"] = """
+    WITH bs AS (
+        SELECT quantile_cont(l_quantity,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        FROM lineitem
+    )
+    SELECT CAST(len(list_filter(bs.bs, b -> l.l_quantity > b)) + 1 AS INTEGER)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l.l_quantity) AS min_qty,
+           MAX(l.l_quantity) AS max_qty
+    FROM lineitem l CROSS JOIN bs
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- X6 extension: mergeable HLL sketch profiling ---------------------------
+
+def x57_hll_merge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct profiling (X6 at cross-job granularity):
+    per-source distinct-text cardinality via DataSketches HLL, computed
+    TWICE — one single-pass sketch, and a union of two independently-
+    sketched shards (``doc_id % 2``) — then certified in-engine against
+    the exact distinct count. The row the oracle checks is the exact
+    count plus two certification booleans, so the gate pins that (a)
+    sketch union is estimate-consistent with single-pass sketching and
+    (b) the estimate lands within the declared 5% envelope.
+
+    This is x54's merge-algebra story for APPROXIMATE state: at 100 TB a
+    profiling pipeline stores one tiny HLL per partition/day and unions
+    at read time — never re-scanning history — which only works because
+    union-then-estimate ≡ estimate-of-whole. ``hll_union_agg`` is the
+    cross-job persistence form of what Spark's partial aggregation
+    already does inside one job.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    single = docs.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.xxhash64("text")))
+        .alias("est_single"),
+        F.countDistinct("text").alias("n_exact"),
+    )
+    shard_sketches = (
+        docs.withColumn("shard", F.col("doc_id") % 2)
+        .groupBy("source", "shard")
+        .agg(F.hll_sketch_agg(F.xxhash64("text")).alias("sk"))
+    )
+    merged = shard_sketches.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    return (
+        single.join(merged, "source")
+        .select(
+            "source",
+            "n_exact",
+            (F.col("est_merged") == F.col("est_single"))
+            .alias("merge_consistent"),
+            (
+                F.abs(F.col("est_merged") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x57_hll_merge_profile"] = x57_hll_merge_profile
+
+ORACLE["x57_hll_merge_profile"] = """
+    SELECT source,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+           TRUE AS merge_consistent,
+           TRUE AS within_5pct
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+"""

@@ -199,3 +199,23 @@ def test_q52_decorrelated_single_lineitem_window(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("FileScan parquet") == 2, plan  # lineitem once + part once
     assert "SortMergeJoin" not in plan
+
+
+def test_x56_no_global_sort_window(spark):
+    """Bucket assignment must be map-side against broadcast boundaries —
+    not an ntile window (a single-partition global sort at scale)."""
+    plan = _plan(_Q["x56_range_partition_planner"](spark, SF_SMALL))
+    # ntile-free: ntile only exists inside a Window operator, so Window
+    # absence covers it ("ntile" as a substring would false-match
+    # "percentile", the function this plan is SUPPOSED to use)
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_x57_sketches_not_python(spark):
+    """HLL sketch/union/estimate are JVM DataSketches aggregates — no
+    Python stage, no window; exact path is a plain distinct aggregate."""
+    plan = _plan(_Q["x57_hll_merge_profile"](spark, SF_SMALL))
+    assert "hll_sketch_agg" in plan or "hll_union_agg" in plan, plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
