@@ -1479,3 +1479,75 @@ ORACLE["x57_hll_merge_profile"] = """
     FROM documents
     GROUP BY 1 ORDER BY 1
 """
+
+
+# --- D5/SCD companion: snapshot-diff change data capture --------------------
+
+def x58_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer join
+    on the business key, classify every key as insert / delete / update /
+    unchanged, report per-class counts. The read-side complement of the
+    write-side upsert machinery (D5 anti-join insert-if-new, SCD2,
+    snapshot-swap in ``operators/transactional.py``): given yesterday's
+    and today's snapshot, emit the delta a downstream consumer applies.
+
+    The two snapshots are derived deterministically from ``orders`` so
+    the oracle can rebuild them: "old" drops ``o_orderkey % 7 = 3``
+    (today's inserts) and discounts ``% 5 = 0`` prices by 10% (today's
+    updates); "new" drops ``% 11 = 5`` (today's deletes).
+
+    Scale shape: ONE shuffle on the join key for both sides (the same
+    co-partitioning a bucketed snapshot layout gives for free at 100 TB);
+    classification is a map-side CASE; the aggregate is 4 groups. No
+    window, no driver materialization.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") * 0.9, 2)
+        ).otherwise(F.col("o_totalprice")).alias("old_price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 5).select(
+        "o_orderkey", F.col("o_totalprice").alias("new_price")
+    )
+    diff = old.join(new, "o_orderkey", "full_outer").withColumn(
+        "change_type",
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+        .otherwise("unchanged"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
+QUERIES["x58_snapshot_diff_cdc"] = x58_snapshot_diff_cdc
+
+ORACLE["x58_snapshot_diff_cdc"] = """
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN ROUND(o_totalprice * 0.9, 2)
+                    ELSE o_totalprice END AS old_price
+        FROM orders WHERE o_orderkey % 7 <> 3
+    ),
+    new AS (
+        SELECT o_orderkey, o_totalprice AS new_price
+        FROM orders WHERE o_orderkey % 11 <> 5
+    ),
+    diff AS (
+        SELECT CASE WHEN old_price IS NULL THEN 'insert'
+                    WHEN new_price IS NULL THEN 'delete'
+                    WHEN old_price <> new_price THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM diff GROUP BY 1 ORDER BY 1
+"""

@@ -62,6 +62,10 @@ HEADLINE = [
     "x38_span_dedup",
     "x45_gapfill_resample",
     "x47_split_leakage",
+    # round-4 additions
+    "x53_tfidf_cosine_pairs",
+    "x54_incremental_agg_merge",
+    "q52_decorrelated_avg_filter",
 ]
 
 

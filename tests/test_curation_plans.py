@@ -219,3 +219,14 @@ def test_x57_sketches_not_python(spark):
     assert "hll_sketch_agg" in plan or "hll_union_agg" in plan, plan
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_x58_single_copartitioned_fullouter(spark):
+    """CDC classification rides ONE full-outer join on the business key
+    (both sides shuffle-partitioned the same way) — no window, no
+    nested-loop, classification map-side."""
+    plan = _plan(_Q["x58_snapshot_diff_cdc"](spark, SF_SMALL))
+    assert "FullOuter" in plan, plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
