@@ -1551,3 +1551,57 @@ ORACLE["x58_snapshot_diff_cdc"] = """
     SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys
     FROM diff GROUP BY 1 ORDER BY 1
 """
+
+
+# --- events analytics extension: cohort retention ---------------------------
+
+def x59_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users are cohorted by
+    first-active day; for each (cohort day, day offset ≤ 7) report how
+    many of that cohort were active again — the standard product-
+    analytics retention triangle, and a different events shape from
+    funnel (x51: ordered step progression) and sessionization (q19:
+    gap-based grouping).
+
+    Scale shape: ONE scan of raw events (the (user, day) distinct), then
+    the cohort day as a ``min`` window partitioned by ``user_id`` — a
+    high-cardinality partition key, and strictly cheaper than the
+    equivalent self-join formulation (distinct → per-user min-aggregate →
+    join back), which Spark plans as a SECOND full scan+distinct of
+    events because unpersisted subplans aren't shared between consumers.
+    The final aggregate is |cohorts × 8| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    per_user = W.partitionBy("user_id")
+    return (
+        user_days.withColumn("cohort_day", F.min("d").over(per_user))
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+QUERIES["x59_cohort_retention"] = x59_cohort_retention
+
+ORACLE["x59_cohort_retention"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(d) AS cohort_day FROM user_days GROUP BY 1
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, u.d) AS INTEGER) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM user_days u JOIN cohort c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, u.d) <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

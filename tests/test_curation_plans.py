@@ -230,3 +230,15 @@ def test_x58_single_copartitioned_fullouter(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_x59_single_events_scan_window_per_user(spark):
+    """Retention reads raw events ONCE; the cohort day is a min-window
+    partitioned by user_id (high cardinality) — a join-back formulation
+    would plan a second full scan+distinct of events."""
+    plan = _plan(_Q["x59_cohort_retention"](spark, SF_SMALL))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, "global window detected"
+    assert "Join" not in plan
