@@ -1605,3 +1605,102 @@ ORACLE["x59_cohort_retention"] = """
     WHERE date_diff('day', c.cohort_day, u.d) <= 7
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- X2 extension: prefix-filtered set-similarity join (PPJoin family) ------
+
+def x60_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin family): for
+    Jaccard ≥ t, sort each document's shingle set by GLOBAL document
+    frequency (rarest first) and emit postings only for the first
+    ``n - ⌈t·n⌉ + 1`` shingles — any pair meeting the threshold MUST
+    collide inside these prefixes, so the candidate set shrinks by ~t
+    while staying lossless. Candidates are then exact-verified on the
+    full shingle sets. The oracle recomputes the answer with x10's
+    exhaustive same-block pair scan, so the driver gate empirically
+    certifies the prefix filter's losslessness end to end (a missed pair
+    would be a row-count mismatch).
+
+    This is the third index-pruning strategy in the dedup family —
+    MinHash banding (x08) and SimHash pigeonhole banding (x09) are
+    probabilistic; the prefix filter is EXACT — and the rare-first
+    global order is the same frequency heuristic x53's df-prune applies
+    to weighted cosine. Scale shape: the frequency table is |vocab|-sized
+    and broadcast; the ranking window partitions by doc id (high
+    cardinality); the candidate join shuffles on (block, shingle) like
+    x10 but over prefix postings only; verification touches candidate
+    pairs, never the corpus square.
+    """
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    from ..operators.dedup import document_grams
+
+    t = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    grams = document_grams(docs, "text", "doc_id", shingle_n=3,
+                           keep_cols=("lang",)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    postings = grams.select(
+        "id", "lang", F.size("grams").alias("n"), F.explode("grams").alias("g")
+    )
+    gfreq = postings.groupBy("g").agg(F.count("*").alias("gf"))
+    prefix = (
+        postings.join(F.broadcast(gfreq), "g")
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("id").orderBy("gf", "g"))
+        )
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("id", "lang", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("ia"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("id").alias("ib"), F.col("grams").alias("grams_b"))
+    verified = (
+        candidates.join(ga, "ia").join(gb, "ib")
+        .withColumn("common", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("grams_a") + F.size("grams_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+    return (
+        verified.select(
+            F.col("ia").alias("a"), F.col("ib").alias("b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+QUERIES["x60_prefix_filtered_jaccard"] = x60_prefix_filtered_jaccard
+
+ORACLE["x60_prefix_filtered_jaccard"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2]
+               )) AS grams
+        FROM documents
+        WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ORDER BY a, b
+"""

@@ -242,3 +242,15 @@ def test_x59_single_events_scan_window_per_user(spark):
     assert "hashpartitioning(user_id" in plan, plan
     assert "SinglePartition" not in plan, "global window detected"
     assert "Join" not in plan
+
+
+def test_x60_prefix_postings_not_allpairs(spark):
+    """Candidates must come from the prefix-posting equi-join — no
+    cartesian pair space; the gram-frequency order table rides as a
+    broadcast; the prefix rank window partitions by doc id."""
+    plan = _plan(_Q["x60_prefix_filtered_jaccard"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(id" in plan, plan
+    assert "EvalPython" not in plan
