@@ -1704,3 +1704,89 @@ ORACLE["x60_prefix_filtered_jaccard"] = r"""
           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
     ORDER BY a, b
 """
+
+
+# --- X4 extension: mixture upsampling (epochs per source) -------------------
+
+def x61_mixture_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture upsampling: give token-poor sources extra epochs so
+    the training mixture approaches token parity — ``repeats = min(4,
+    ceil(max_source_tokens / source_tokens))`` — and MATERIALIZE the
+    replicated corpus via ``explode(sequence(1, repeats))`` (each copy
+    tagged with its epoch), reporting per-source rows and tokens before
+    and after. This is the standard epoching step a pretraining pipeline
+    runs after curation (cf. data-mixing practice in public LLM recipes:
+    low-resource sources repeat; the cap bounds overfitting risk).
+
+    Scale shape: token totals are one aggregate; the per-source repeat
+    table is |sources|-sized and broadcast; replication is a map-side
+    explode (q48's salting trick used for epochs), so nothing shuffles
+    the corpus — the aggregate after replication shuffles |sources| rows.
+    """
+    from ..functions.text import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_count_expr("text").alias("n_tok")
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tok")
+    )
+    t_max = totals.agg(F.max("tok").alias("tok_max"))
+    plan = totals.crossJoin(F.broadcast(t_max)).select(
+        "source", "n_docs", "tok",
+        F.least(
+            F.lit(4), F.ceil(F.col("tok_max") / F.col("tok")).cast("int")
+        ).alias("repeats"),
+    )
+    replicated = (
+        docs.join(F.broadcast(plan.select("source", "repeats")), "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("repeats"))))
+    )
+    after = replicated.groupBy("source").agg(
+        F.count("*").alias("rows_after"), F.sum("n_tok").alias("tok_after")
+    )
+    return (
+        plan.join(after, "source")
+        .select("source", "n_docs", "repeats",
+                F.col("tok").alias("tokens_before"),
+                "rows_after", F.col("tok_after").alias("tokens_after"))
+        .orderBy("source")
+    )
+
+
+QUERIES["x61_mixture_upsampling"] = x61_mixture_upsampling
+
+ORACLE["x61_mixture_upsampling"] = r"""
+    WITH d AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        FROM documents
+    ),
+    totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tok
+        FROM d GROUP BY 1
+    ),
+    plan AS (
+        SELECT source, n_docs, tok,
+               CAST(LEAST(4, CEIL((SELECT MAX(tok) FROM totals) * 1.0 / tok))
+                    AS INTEGER) AS repeats
+        FROM totals
+    ),
+    replicated AS (
+        SELECT d.source, d.n_tok
+        FROM d JOIN plan USING (source),
+             UNNEST(range(1, plan.repeats + 1))
+    ),
+    after AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS rows_after,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_after
+        FROM replicated GROUP BY 1
+    )
+    SELECT p.source, p.n_docs, p.repeats,
+           p.tok AS tokens_before,
+           a.rows_after, a.tok_after AS tokens_after
+    FROM plan p JOIN after a USING (source)
+    ORDER BY p.source
+"""

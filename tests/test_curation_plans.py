@@ -254,3 +254,16 @@ def test_x60_prefix_postings_not_allpairs(spark):
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(id" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_x61_replication_is_mapside_explode(spark):
+    """Epoch replication must be explode after a broadcast repeat-plan
+    join — the corpus itself never shuffles; the only nested-loop join
+    allowed is the one-row token-max constant."""
+    plan = _plan(_Q["x61_mixture_upsampling"](spark, SF_SMALL))
+    assert "Generate explode" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "tok_max" in line or line.strip().endswith("BuildRight, Cross"), line
