@@ -248,6 +248,10 @@ def test_x60_prefix_postings_not_allpairs(spark):
     """Candidates must come from the prefix-posting equi-join — no
     cartesian pair space; the gram-frequency order table rides as a
     broadcast; the prefix rank window partitions by doc id."""
+    # earlier tests may have persisted a document_grams frame with the
+    # same subplan; the CacheManager would substitute InMemoryTableScan
+    # and change this plan's string — pin the UNCACHED shape
+    spark.catalog.clearCache()
     plan = _plan(_Q["x60_prefix_filtered_jaccard"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
