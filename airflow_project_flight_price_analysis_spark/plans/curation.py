@@ -1790,3 +1790,118 @@ ORACLE["x61_mixture_upsampling"] = r"""
     FROM plan p JOIN after a USING (source)
     ORDER BY p.source
 """
+
+
+# --- partitioning-observability extension: join-key skew diagnostics --------
+
+def x62_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: for each candidate shuffle key on events,
+    the key-frequency distribution summary (row count, distinct keys,
+    hottest-key frequency, skew ratio = max/avg). This is the
+    observability step BEFORE choosing a mitigation — the q48 salted
+    join and AQE skew splitting are the cures; this query is the
+    diagnosis a pipeline runs on its hot keys every load.
+
+    Scale shape: one groupBy per analyzed key (map-side combined), each
+    reducing to a one-row summary; the union is |keys analyzed| rows.
+    At 100 TB the same plan runs over a sampled scan — shape unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def key_stats(col: str) -> DataFrame:
+        freq = ev.groupBy(col).agg(F.count("*").alias("f"))
+        return freq.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("f").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("f").alias("max_freq"),
+            F.round(
+                F.max("f") / (F.sum("f") / F.count("*")), 4
+            ).alias("skew_ratio"),
+        )
+
+    return (
+        key_stats("user_id")
+        .unionByName(key_stats("event_type"))
+        .orderBy("key_col")
+    )
+
+
+QUERIES["x62_skew_diagnostics"] = x62_skew_diagnostics
+
+ORACLE["x62_skew_diagnostics"] = """
+    WITH u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f FROM events GROUP BY user_id
+    ),
+    e AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f FROM events GROUP BY event_type
+    )
+    SELECT * FROM (
+        SELECT 'user_id' AS key_col, CAST(SUM(f) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(f) AS BIGINT) AS max_freq,
+               ROUND(MAX(f) / (SUM(f) * 1.0 / COUNT(*)), 4) AS skew_ratio
+        FROM u
+        UNION ALL
+        SELECT 'event_type', CAST(SUM(f) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(MAX(f) AS BIGINT),
+               ROUND(MAX(f) / (SUM(f) * 1.0 / COUNT(*)), 4)
+        FROM e
+    ) ORDER BY key_col
+"""
+
+
+# --- events analytics extension: time-weighted average ----------------------
+
+def x63_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style) of ``value`` per event type:
+    each observation is weighted by how long it remained current (the
+    microsecond gap to the next event of the same type), the standard
+    aggregate for irregularly-sampled telemetry where a plain AVG
+    over-weights bursts. Last observation per type carries zero duration
+    (nothing is held after it) and drops out of both sums.
+
+    Scale shape: one window (lead) partitioned by event_type ordered by
+    time, then a plain aggregate — the sessionization shuffle shape
+    (q19) with an interval weight instead of a gap flag. Durations are
+    exact integer microseconds; the weighted sums are double but agree
+    across engines at the 4dp rounding.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", F.unix_micros("ts").alias("t_us")
+    )
+    w = W.partitionBy("event_type").orderBy("t_us", "value")
+    timed = ev.withColumn(
+        "dur_us", F.lead("t_us").over(w) - F.col("t_us")
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        timed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twap"),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x63_time_weighted_avg"] = x63_time_weighted_avg
+
+ORACLE["x63_time_weighted_avg"] = """
+    WITH timed AS (
+        SELECT event_type, value,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY epoch_us(ts), value
+               ) - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twap,
+           ROUND(AVG(value), 4) AS plain_avg
+    FROM timed
+    WHERE dur_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""

@@ -271,3 +271,22 @@ def test_x61_replication_is_mapside_explode(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "tok_max" in line or line.strip().endswith("BuildRight, Cross"), line
+
+
+def test_x62_one_pass_per_key_no_window(spark):
+    """Each key's frequency profile is a groupBy + one-row reduce — no
+    window, no join, nothing shuffles more than the key frequencies."""
+    plan = _plan(_Q["x62_skew_diagnostics"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_x63_window_partitioned_by_event_type(spark):
+    """The interval derivation is ONE lead-window partitioned by
+    event_type (the q19 shuffle shape) — no self-join on time."""
+    plan = _plan(_Q["x63_time_weighted_avg"](spark, SF_SMALL))
+    assert "Window" in plan
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
