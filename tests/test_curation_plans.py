@@ -290,3 +290,13 @@ def test_x63_window_partitioned_by_event_type(spark):
     assert "hashpartitioning(event_type" in plan, plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_x64_conditional_agg_no_join_no_window(spark):
+    """Funnel timing must be ONE conditional aggregation per user — a
+    per-step self-join or a window over the event stream is the shape
+    this query exists to avoid."""
+    plan = _plan(_Q["x64_conversion_lag"](spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan
+    assert "hashpartitioning(user_id" in plan, plan
