@@ -1979,3 +1979,71 @@ ORACLE["x64_conversion_lag"] = """
            ROUND(MAX((p_us - s_us) / 1e6), 3) AS max_lag_sec
     FROM conv GROUP BY 1 ORDER BY 1
 """
+
+
+# --- events analytics extension: Markov transition matrix -------------------
+
+def x65_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive (event, next-event) pair in a
+    user's timeline, the transition count and the row-normalized
+    transition probability P(next | current). This is the
+    behavioral-model twin of q19's sessionization — q19 cuts the
+    timeline into sessions, this summarizes its dynamics (the input to
+    churn models, anomaly detection on broken flows, and next-action
+    prediction baselines). Reference analog: none — extension surface
+    (the reference's BI queries are static aggregates).
+
+    Determinism: sequence order is (ts, event_id) — the id tiebreak
+    makes ``lead`` well-defined even if two events share a timestamp.
+    Counts are exact integers; probabilities are integer ratios rounded
+    to 6dp, identical across engines.
+
+    Scale shape: ONE wide shuffle on user_id (high cardinality, evenly
+    distributed) for the sequence window; ``lead`` needs no full
+    materialization beyond each user's partition-local sort. The
+    transition pairs then reduce to at most |types|² rows, and the
+    row-normalizing window runs on that tiny aggregate — the same
+    two-level reduction as x64. At 100 TB nothing after the first
+    shuffle touches event-scale data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = W.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(row_total), 6
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES["x65_event_transitions"] = x65_event_transitions
+
+ORACLE["x65_event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions * 1.0 /
+                 SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+    FROM cnt ORDER BY 1, 2
+"""

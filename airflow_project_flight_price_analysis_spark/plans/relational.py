@@ -1368,3 +1368,72 @@ ORACLE.update({
         GROUP BY 1 ORDER BY 1
     """,
 })
+
+
+def q53_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate (§2.7 — the window-frame family's
+    missing member next to q30's ROWS cumulative): 7-day rolling revenue
+    over the daily totals of ``orders``. The frame is ``RANGE BETWEEN 6
+    PRECEDING AND CURRENT ROW`` over an epoch-day ordinal, so calendar
+    GAPS shrink the window — ``n_days_7d`` < 7 around missing days —
+    which is exactly the semantics a ROWS frame gets wrong (7 *rows*
+    back silently spans the gap). Reference analog: the pandas
+    ``resample``/rolling trend in visualization.py's fare-trend chart;
+    here it's a declarative window, not a driver-side series.
+
+    Determinism: day_rev is rounded before the rolling sums, so the
+    7-value rolling additions are over identical 2dp inputs in both
+    engines.
+
+    Scale shape: one shuffle aggregates orders to ≤|days| rows (bounded
+    by the calendar, ~2.4k here, ~36k for a century), then the window
+    runs on the tiny daily frame — the single-partition sort is over
+    |days| rows, NOT |orders|, the same bounded-aggregate-then-window
+    shape as q30. At 100 TB the daily aggregate is still KiB-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+        .withColumn(
+            "day_num",
+            F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")).cast("long"),
+        )
+    )
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_rev",
+            F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+            F.count(F.lit(1)).over(w).alias("n_days_7d"),
+            F.round(F.avg("day_rev").over(w), 4).alias("avg_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES.update({"q53_rolling_range_frame": q53_rolling_range_frame})
+
+ORACLE.update({
+    "q53_rolling_range_frame": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   ROUND(SUM(o_totalprice), 2) AS day_rev
+            FROM orders GROUP BY 1
+        ),
+        numbered AS (
+            SELECT day, day_rev,
+                   datediff('day', DATE '1995-01-01', day) AS day_num
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               day_rev,
+               ROUND(SUM(day_rev) OVER w, 2) AS rev_7d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d,
+               ROUND(AVG(day_rev) OVER w, 4) AS avg_7d
+        FROM numbered
+        WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+})

@@ -300,3 +300,13 @@ def test_x64_conditional_agg_no_join_no_window(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_x65_sequence_window_then_tiny_normalizer(spark):
+    """The sequence window shuffles ONCE on user_id; the probability
+    normalizer windows only the |types|^2 aggregate. No join anywhere —
+    a per-user self-join on adjacent rows is the shape lead() replaces."""
+    plan = _plan(_Q["x65_event_transitions"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "EvalPython" not in plan

@@ -135,3 +135,18 @@ def test_x30_no_shuffle_before_sort(spark):
     n_exch = plan.count("Exchange ")
     assert n_exch <= 3, f"x30 has {n_exch} exchanges:\n{plan}"
     assert "Generate" in plan
+
+
+def test_q53_window_runs_on_daily_aggregate(spark):
+    """q53's RANGE frame may single-partition — but only AFTER the
+    per-day aggregation has reduced orders to |days| rows: the
+    HashAggregate must sit below the Window in the plan, and the
+    orders-scale shuffle must be the aggregate's, not the window's."""
+    plan = _plan(_Q["q53_rolling_range_frame"](spark, SF_ORACLE))
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: the Window node appears BEFORE the
+    # aggregate feeding it, so the window consumes the daily rollup.
+    assert win_pos < agg_pos, plan
