@@ -2047,3 +2047,155 @@ ORACLE["x65_event_transitions"] = """
                  SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
     FROM cnt ORDER BY 1, 2
 """
+
+
+# --- X1/X4 extension: weighted reservoir sampling ---------------------------
+
+def x66_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    doc draws key ``u^(1/w)`` with weight w = n_chars, and the top-8
+    keys per source are the sample — inclusion probability rises with
+    document length, the token-budget-aware cousin of x20's uniform
+    per-source cap (sampling proportional-to-size is how you downsample
+    a corpus while preserving most of its TOKENS, not just its rows).
+
+    Engine-independence: the uniform draw is a pure-arithmetic Knuth
+    multiplicative hash of doc_id — ``((doc_id % 2^20) * 2654435761)
+    % 2^32`` — evaluated identically by any engine with 64-bit integer
+    math (the multiplication is bounded by 2^20·KNUTH ≈ 2.8e15, well
+    inside int64), then mapped into (0,1). ``rand()`` would change the
+    sample every run and break the driver's cross-engine gate; at 100 TB
+    swap the arithmetic hash for ``xxhash64`` (same plan shape, loses
+    only DuckDB-replayability). Keys are continuous doubles, so rank
+    order is stable across engines' libm pow to ~1 ulp.
+
+    Scale shape: one map-side key computation, one shuffle on source for
+    the per-source top-k window — identical to x20. No join, no global
+    sort; the |sources|×8 result is the only thing leaving the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    m = ((F.col("doc_id") % F.lit(1048576)) * F.lit(2654435761)) % F.lit(4294967296)
+    u = (m + F.lit(1)) / F.lit(4294967297.0)
+    key = F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+    w = W.partitionBy("source").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        docs.withColumn("sample_key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 8)
+        .select(
+            "source", "sample_rank", "doc_id",
+            F.round("sample_key", 6).alias("sample_key"),
+        )
+        .orderBy("source", "sample_rank")
+    )
+
+
+QUERIES["x66_weighted_sample"] = x66_weighted_sample
+
+ORACLE["x66_weighted_sample"] = """
+    WITH keyed AS (
+        SELECT source, doc_id,
+               POWER((((doc_id % 1048576) * 2654435761) % 4294967296 + 1)
+                         / 4294967297.0,
+                     1.0 / GREATEST(n_chars, 1)) AS sample_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, sample_key,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sample_key DESC, doc_id) AS sample_rank
+        FROM keyed
+    )
+    SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id,
+           ROUND(sample_key, 6) AS sample_key
+    FROM ranked WHERE sample_rank <= 8 ORDER BY source, sample_rank
+"""
+
+
+# --- X2 extension: asymmetric containment (quote / near-superset) join ------
+
+def x67_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment join: for same-lang pairs, the
+    fraction of EACH document's distinct 3-gram shingles shared with the
+    other — ``c_a_in_b = |A∩B| / |A|``. Jaccard (x10/x60) is symmetric
+    and misses quote/near-superset relations: a short doc embedded
+    verbatim in a long one has tiny Jaccard but containment ≈ 1. This is
+    the detector curation pipelines run for quotation chains and
+    partial-copy provenance (and the doc-level analog of x38's span
+    dedup). Reference analog: none — extension surface.
+
+    Same inverted-postings shape as x10: pairs materialize only where a
+    shingle actually collides, so disjoint docs are never paired, and a
+    pair with max-containment ≥ t > 0 must share a shingle — the index
+    is lossless for any positive threshold. Counts are over xxhash64'd
+    distinct shingles (engine-side) vs string shingles (oracle):
+    identical up to 64-bit intra-doc collisions (~1e-9).
+
+    Scale shape: shuffle on (lang, shingle) — collision-proportional
+    cost, hot shingles are AQE skew-split; the per-pair reduce keys on
+    (a, b). At 100 TB the same prefix-filter that powers x60 drops the
+    postings volume; kept exhaustive here because the driver gate
+    certifies THIS plan against the exhaustive oracle.
+    """
+    from ..operators.dedup import document_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = document_grams(docs, "text", "doc_id", shingle_n=3,
+                           keep_cols=("lang",))
+    postings = grams.select(
+        "id", "lang", F.size("grams").alias("n"),
+        F.explode("grams").alias("shingle"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    c_ab = F.col("shared") / F.col("na")
+    c_ba = F.col("shared") / F.col("nb")
+    return (
+        shared.filter(F.greatest(c_ab, c_ba) >= 0.2)
+        .select(
+            "a", "b", "shared",
+            F.round(c_ab, 6).alias("c_a_in_b"),
+            F.round(c_ba, 6).alias("c_b_in_a"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+QUERIES["x67_containment_pairs"] = x67_containment_pairs
+
+ORACLE["x67_containment_pairs"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2]
+               )) AS grams
+        FROM documents
+        WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
+           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams), 6)
+               AS c_a_in_b,
+           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 / len(b.grams), 6)
+               AS c_b_in_a
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE GREATEST(len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams),
+                   len(list_intersect(a.grams, b.grams)) * 1.0 / len(b.grams))
+          >= 0.2
+    ORDER BY a, b
+"""

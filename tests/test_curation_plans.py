@@ -310,3 +310,21 @@ def test_x65_sequence_window_then_tiny_normalizer(spark):
     assert "Join" not in plan
     assert "hashpartitioning(user_id" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_x66_mapside_keys_single_source_window(spark):
+    """Weighted-sample keys are map-side arithmetic; the only shuffle is
+    the per-source top-k window. No join, no Python, no global sort."""
+    plan = _plan(_Q["x66_weighted_sample"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_x67_postings_join_not_cartesian(spark):
+    """Containment pairs come from the inverted-postings equi-join —
+    never a cartesian/broadcast-nested-loop all-pairs product."""
+    plan = _plan(_Q["x67_containment_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
