@@ -2199,3 +2199,80 @@ ORACLE["x67_containment_pairs"] = r"""
           >= 0.2
     ORDER BY a, b
 """
+
+
+# --- events analytics extension: last-touch attribution ---------------------
+
+def x68_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event, then purchases
+    roll up per touch type with timing stats. The engine surface is the
+    filtered-history window — ``last(CASE …, ignorenulls) OVER (ROWS
+    UNBOUNDED PRECEDING → 1 PRECEDING)`` — which scans each user's
+    timeline ONCE; the join formulation (purchases × prior events,
+    max-per-purchase) re-touches the event stream per purchase and is
+    exactly what this shape avoids. Completes the funnel family: x51
+    measures reach, x64 signup→purchase time, this assigns credit.
+
+    Determinism: timeline order is (ts, event_id); gaps are exact
+    integer microseconds, averaged then rounded to 3dp.
+
+    Scale shape: one shuffle on user_id for the window, then a
+    |touch types|-row aggregate — nothing after the first shuffle is
+    event-scale. Same two-level reduction as x64/x65.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    hist = W.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    non_purchase_t = F.when(F.col("event_type") != "purchase", F.col("t_us"))
+    touched = ev.withColumn(
+        "touch_type", F.last(non_purchase, ignorenulls=True).over(hist)
+    ).withColumn(
+        "touch_t_us", F.last(non_purchase_t, ignorenulls=True).over(hist)
+    )
+    purchases = touched.filter(
+        (F.col("event_type") == "purchase") & F.col("touch_type").isNotNull()
+    )
+    return (
+        purchases.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.avg((F.col("t_us") - F.col("touch_t_us")) / F.lit(1e6)), 3
+            ).alias("avg_gap_sec"),
+            F.round(
+                F.max((F.col("t_us") - F.col("touch_t_us")) / F.lit(1e6)), 3
+            ).alias("max_gap_sec"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+QUERIES["x68_last_touch_attribution"] = x68_last_touch_attribution
+
+ORACLE["x68_last_touch_attribution"] = """
+    WITH touched AS (
+        SELECT event_type,
+               epoch_us(ts) AS t_us,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                   OVER w AS touch_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                          IGNORE NULLS)
+                   OVER w AS touch_t_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(AVG((t_us - touch_t_us) / 1e6), 3) AS avg_gap_sec,
+           ROUND(MAX((t_us - touch_t_us) / 1e6), 3) AS max_gap_sec
+    FROM touched
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""

@@ -1437,3 +1437,43 @@ ORACLE.update({
         ORDER BY day
     """,
 })
+
+
+def q54_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` — the null-aware anti join (§2.4 next to
+    q13's plain LEFT ANTI): suppliers with no near-full-quantity
+    lineitem. SQL's three-valued logic makes ``x NOT IN (set with
+    NULL)`` yield UNKNOWN for every row, so the planner cannot use a
+    plain anti join unless it can prove the subquery side non-null —
+    Spark plans a null-aware anti join (NAAJ) / adds the
+    ``isnull(key)`` disjunct to the join condition. q13 covers the
+    NOT-EXISTS shape; this pins the NOT-IN shape, which users write
+    interchangeably but which optimizes differently.
+
+    Scale shape: the subquery side (distinct high-quantity suppkeys) is
+    a small filtered set — broadcastable; the probe side streams. The
+    quantity predicate is pushed to the lineitem scan.
+    """
+    register_views(spark, sf_dir, tables=("supplier", "lineitem"))
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey NOT IN (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        )
+        ORDER BY s_suppkey
+    """)
+
+
+QUERIES.update({"q54_not_in_null_aware": q54_not_in_null_aware})
+
+ORACLE.update({
+    "q54_not_in_null_aware": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey NOT IN (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        )
+        ORDER BY s_suppkey
+    """,
+})

@@ -328,3 +328,12 @@ def test_x67_postings_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_x68_single_history_window_no_join(spark):
+    """Attribution must be the ignorenulls filtered-history window —
+    one user_id shuffle — never a purchases×events self-join."""
+    plan = _plan(_Q["x68_last_touch_attribution"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "EvalPython" not in plan

@@ -150,3 +150,16 @@ def test_q53_window_runs_on_daily_aggregate(spark):
     # executedPlan prints top-down: the Window node appears BEFORE the
     # aggregate feeding it, so the window consumes the daily rollup.
     assert win_pos < agg_pos, plan
+
+
+def test_q54_is_null_aware_anti_join(spark):
+    """NOT IN must plan as the single-column null-aware anti join
+    (BroadcastHashJoin LeftAnti with the NAAJ flag), with the quantity
+    predicate pushed to the lineitem scan — not a nested-loop product."""
+    plan = _plan(_Q["q54_not_in_null_aware"](spark, SF_ORACLE))
+    join_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert join_lines and "BroadcastHashJoin" in join_lines[0], plan
+    assert join_lines[0].rstrip().endswith("true"), join_lines[0]  # isNullAware
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(l_quantity,49.0)" in plan, plan
