@@ -2276,3 +2276,118 @@ ORACLE["x68_last_touch_attribution"] = """
     WHERE event_type = 'purchase' AND touch_type IS NOT NULL
     GROUP BY 1 ORDER BY 1
 """
+
+
+# --- events analytics extension: RFM segmentation ---------------------------
+
+def x69_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing rollup: per-user purchase stats, each
+    dimension scored 1-4 against corpus quartile bounds, users counted
+    per (r, f, m) cell. Scoring uses BROADCAST quantile bounds (the x56
+    range-planner technique) rather than three NTILE windows: ntile
+    globally sorts |users| rows through one partition, while the bounds
+    are one tiny aggregate cross-joined back map-side — the shape that
+    survives a 100× user count.
+
+    Determinism: recency is exact integer days (floor of a microsecond
+    difference), frequency exact counts, monetary 2dp-rounded sums.
+    Quartile bounds interpolate at g ∈ {0, .25, .5, .75} — exact binary
+    fractions over identical 2dp-grid inputs, so both engines place
+    every user on the same side of every bound (a bound can only equal
+    a grid point when g = 0, where interpolation is exact in both).
+
+    Scale shape: one shuffle on user_id (purchase filter pushed to the
+    scan), one single-row bounds aggregate broadcast back, map-side CASE
+    scoring, and a ≤64-cell final aggregate. No window over user-scale
+    data, no join bigger than a broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    corpus = per_user.agg(F.max("last_us").alias("corpus_max_us"))
+    per_user = per_user.crossJoin(F.broadcast(corpus)).withColumn(
+        "recency_days",
+        F.floor((F.col("corpus_max_us") - F.col("last_us")) / F.lit(86400000000)),
+    )
+    bounds = per_user.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}q{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> F.Column:
+        s = (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{prefix}q25")).cast("int")
+            + (F.col(col) > F.col(f"{prefix}q50")).cast("int")
+            + (F.col(col) > F.col(f"{prefix}q75")).cast("int")
+        )
+        return (F.lit(5) - s) if invert else s
+
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        score("recency_days", "r", invert=True).alias("r_score"),
+        score("frequency", "f", invert=False).alias("f_score"),
+        score("monetary", "m", invert=False).alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("monetary"), 3).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+QUERIES["x69_rfm_segmentation"] = x69_rfm_segmentation
+
+ORACLE["x69_rfm_segmentation"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    rec AS (
+        SELECT *,
+               CAST(FLOOR(((SELECT MAX(last_us) FROM per_user) - last_us)
+                          / 86400000000) AS BIGINT) AS recency_days
+        FROM per_user
+    ),
+    bounds AS (
+        SELECT quantile_cont(recency_days, 0.25) AS rq25,
+               quantile_cont(recency_days, 0.50) AS rq50,
+               quantile_cont(recency_days, 0.75) AS rq75,
+               quantile_cont(frequency, 0.25) AS fq25,
+               quantile_cont(frequency, 0.50) AS fq50,
+               quantile_cont(frequency, 0.75) AS fq75,
+               quantile_cont(monetary, 0.25) AS mq25,
+               quantile_cont(monetary, 0.50) AS mq50,
+               quantile_cont(monetary, 0.75) AS mq75
+        FROM rec
+    ),
+    scored AS (
+        SELECT CAST(5 - (1 + (recency_days > rq25)::INT + (recency_days > rq50)::INT
+                           + (recency_days > rq75)::INT) AS INT) AS r_score,
+               CAST(1 + (frequency > fq25)::INT + (frequency > fq50)::INT
+                      + (frequency > fq75)::INT AS INT) AS f_score,
+               CAST(1 + (monetary > mq25)::INT + (monetary > mq50)::INT
+                      + (monetary > mq75)::INT AS INT) AS m_score,
+               monetary
+        FROM rec, bounds
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(monetary), 3) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

@@ -337,3 +337,13 @@ def test_x68_single_history_window_no_join(spark):
     assert "Join" not in plan
     assert "hashpartitioning(user_id" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_x69_broadcast_bounds_no_user_window(spark):
+    """RFM scores come from broadcast quartile bounds — no ntile window
+    over user-scale data, both cross-joins are broadcasts."""
+    plan = _plan(_Q["x69_rfm_segmentation"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds broadcast
+    assert "EvalPython" not in plan
