@@ -2391,3 +2391,147 @@ ORACLE["x69_rfm_segmentation"] = """
            ROUND(AVG(monetary), 3) AS avg_monetary
     FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+# --- X4 extension: array higher-order-function suite ------------------------
+
+def x70_array_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface (§2.5's lambda family in one
+    oracle-checked query): per document, ``filter`` (long-token count),
+    ``aggregate`` (total token chars folded from 0), ``transform`` +
+    ``array_max`` (longest token), and ``array_distinct`` (case-folded
+    unique-token ratio). All four lambdas run inside whole-stage codegen
+    — the JVM expression path a 100 TB text pipeline needs where a
+    per-row Python tokenizer would be the 10-100× slow path. DuckDB's
+    ``list_*`` family replays the identical semantics (the one edge:
+    ``aggregate`` folds empty arrays to its 0 seed while ``list_sum``
+    yields NULL — COALESCEd in the oracle).
+
+    Scale shape: pure map-side expressions over one scan; the only
+    ordering is the output's doc_id sort. Nothing shuffles but the
+    result.
+    """
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias(
+                "n_long_tokens"
+            ),
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            ).alias("total_tok_chars"),
+            F.array_max(F.transform(toks, F.length)).alias("max_tok_len"),
+            F.round(
+                F.size(F.array_distinct(F.transform(toks, F.lower)))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ).alias("uniq_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["x70_array_lambda_suite"] = x70_array_lambda_suite
+
+ORACLE["x70_array_lambda_suite"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 6)) AS INTEGER)
+               AS n_long_tokens,
+           COALESCE(CAST(list_sum(list_transform(toks, t -> length(t)))
+                         AS BIGINT), 0) AS total_tok_chars,
+           CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER)
+               AS max_tok_len,
+           ROUND(len(list_distinct(list_transform(toks, t -> lower(t)))) * 1.0 /
+                 GREATEST(len(toks), 1), 6) AS uniq_ratio
+    FROM t ORDER BY doc_id
+"""
+
+
+# --- events analytics extension: sequence surprisal scoring -----------------
+
+def x71_sequence_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral anomaly score: average surprisal −ln P(next |
+    current) of each user's transitions under the corpus-wide Markov
+    matrix (x65). This is the broadcast-model-scoring composition every
+    curation pipeline runs — fit a tiny model ON the corpus (here the
+    |types|² matrix), broadcast it, score the corpus against it
+    map-side (same shape as x39's unigram-LM doc scoring, one level up
+    the sequence hierarchy). High scores = users whose flows the model
+    finds improbable — bot/broken-client candidates.
+
+    Determinism: probabilities are exact integer ratios; ln is libm
+    1-ulp on both engines and the per-user average is rounded to 4dp,
+    far above summation-order noise (~1e-15 relative).
+
+    Scale shape: the transition pairs are computed ONCE (persisted) and
+    feed both the matrix aggregate and the scoring join; the matrix is
+    a broadcast (≤|types|² rows), so scoring is map-side — the second
+    pass over event-scale data shuffles only on user_id for the final
+    per-user reduce.
+    """
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select("user_id", F.col("event_type").alias("from_type"), "to_type")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = W.partitionBy("from_type")
+    matrix = cnt.withColumn(
+        "p", F.col("n") / F.sum("n").over(row_total)
+    ).select("from_type", "to_type", "p")
+    return (
+        pairs.join(F.broadcast(matrix), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_surprisal"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["x71_sequence_surprisal"] = x71_sequence_surprisal
+
+ORACLE["x71_sequence_surprisal"] = """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id, from_type, to_type FROM seq WHERE to_type IS NOT NULL
+    ),
+    cnt AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+    ),
+    matrix AS (
+        SELECT from_type, to_type,
+               n * 1.0 / SUM(n) OVER (PARTITION BY from_type) AS p
+        FROM cnt
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(AVG(-ln(p)), 4) AS avg_surprisal
+    FROM pairs JOIN matrix USING (from_type, to_type)
+    GROUP BY 1 ORDER BY 1
+"""

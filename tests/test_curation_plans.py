@@ -347,3 +347,22 @@ def test_x69_broadcast_bounds_no_user_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds broadcast
     assert "EvalPython" not in plan
+
+
+def test_x70_pure_mapside_codegen(spark):
+    """All four lambdas must stay JVM-side expressions in one scan —
+    no shuffle except the output sort, no Python, no join."""
+    plan = _plan(_Q["x70_array_lambda_suite"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Window" not in plan
+
+
+def test_x71_matrix_is_broadcast_scoring_join(spark):
+    """The Markov matrix joins back as a BROADCAST — the event-scale
+    side never shuffles on (from_type, to_type)."""
+    plan = _plan(_Q["x71_sequence_surprisal"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
