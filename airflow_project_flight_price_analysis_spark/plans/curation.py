@@ -2535,3 +2535,137 @@ ORACLE["x71_sequence_surprisal"] = """
     FROM pairs JOIN matrix USING (from_type, to_type)
     GROUP BY 1 ORDER BY 1
 """
+
+
+# --- events analytics extension: top onboarding paths -----------------------
+
+def x72_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's FIRST THREE events joined into a
+    path string (``click>signup>purchase``), ranked by user count — the
+    product-analytics "common flows" report, and the categorical
+    companion to x65's pairwise transition matrix (3-step paths catch
+    order effects pairs can't). Rank-3 prefixes keep the path space
+    dense (|types|³ ≤ 125 cells) where full paths are all-unique noise.
+
+    Determinism: the per-user prefix is row_number ≤ 3 over (ts,
+    event_id); the path string is assembled from an array_sort over the
+    same key, so assembly order is engine-independent; ties in the
+    top-20 cut break on the path string itself.
+
+    Scale shape: one user_id shuffle for the prefix window (the q19
+    shape), a per-user reduce to one short string, a ≤125-cell count,
+    and TakeOrdered for the top-20 — no global sort of user-scale data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("t_us", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path3")
+    )
+    return (
+        paths.groupBy("path3")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path3")
+        .limit(20)
+    )
+
+
+QUERIES["x72_top_event_paths"] = x72_top_event_paths
+
+ORACLE["x72_top_event_paths"] = """
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path3
+        FROM ranked WHERE rn <= 3 GROUP BY 1
+    )
+    SELECT path3, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY 1
+    ORDER BY n_users DESC, path3 LIMIT 20
+"""
+
+
+# --- events analytics extension: DAU / WAU / stickiness ---------------------
+
+def x73_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and stickiness (DAU/WAU) per day — the
+    engagement KPI triple. The WAU trick is the scale-defining choice:
+    COUNT(DISTINCT) over a sliding 7-day window can't partial-aggregate,
+    so each (user, day) activity row is EXPLODED to the 7 window days it
+    serves (map-side ×7 on the already-deduped user-day frame, NOT raw
+    events) and each window day counts distinct users independently —
+    the standard shuffle-friendly rewrite of windowed distinct counts.
+
+    Determinism: exact integer distinct counts; stickiness is an integer
+    ratio rounded to 4dp.
+
+    Scale shape: events reduce to distinct (user, day) first (one
+    shuffle); the ×7 fan-out happens on that much smaller frame; the
+    final per-day distinct is a second bounded shuffle. Days with no
+    same-day activity drop via the inner join — both engines agree.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    win = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = win.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["x73_dau_wau_stickiness"] = x73_dau_wau_stickiness
+
+ORACLE["x73_dau_wau_stickiness"] = """
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY 1
+    ),
+    win AS (
+        SELECT UNNEST(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY))::DATE AS wday,
+               user_id
+        FROM ud
+    ),
+    wau AS (
+        SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM win GROUP BY 1
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.wday
+    ORDER BY day
+"""

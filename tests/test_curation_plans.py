@@ -366,3 +366,22 @@ def test_x71_matrix_is_broadcast_scoring_join(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_x72_topk_is_take_ordered(spark):
+    """Top-20 paths must be TakeOrderedAndProject over the ≤|types|³
+    count — never a global sort; prefix selection windows on user_id."""
+    plan = _plan(_Q["x72_top_event_paths"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan
+
+
+def test_x73_explode_runs_on_deduped_user_days(spark):
+    """The ×7 window fan-out must generate from the distinct (user, day)
+    aggregate, not raw events: Generate sits above a HashAggregate."""
+    plan = _plan(_Q["x73_dau_wau_stickiness"](spark, SF_SMALL))
+    assert "Generate explode" in plan, plan
+    gen = plan.find("Generate explode")
+    assert "HashAggregate" in plan[gen:], plan
+    assert "EvalPython" not in plan
