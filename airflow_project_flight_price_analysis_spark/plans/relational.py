@@ -1477,3 +1477,67 @@ ORACLE.update({
         ORDER BY s_suppkey
     """,
 })
+
+
+def q55_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving bag
+    variants (§2.5 next to q26's distinct set ops): order-priority
+    demand in 1995 vs 1996 as multisets, where INTERSECT ALL keeps
+    min(n₉₅, n₉₆) copies per priority and EXCEPT ALL keeps
+    max(n₉₅ − n₉₆, 0) — the year-over-year "matched demand" and "excess
+    demand" decomposition. Distinct-set operators would collapse each
+    priority to one row and lose exactly the quantity being measured.
+
+    Scale shape: Spark plans bag ops as a count-aggregate + generate
+    (multiplicity replay) — one shuffle per side on the compared
+    columns; the per-priority rollup then reduces the replay. Both
+    predicates push to the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_orderpriority")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return (
+        inter.unionByName(exc)
+        .select("op", "o_orderpriority", "n_rows")
+        .orderBy("op", "o_orderpriority")
+    )
+
+
+QUERIES.update({"q55_bag_set_ops": q55_bag_set_ops})
+
+ORACLE.update({
+    "q55_bag_set_ops": """
+        WITH a AS (SELECT o_orderpriority FROM orders
+                   WHERE year(o_orderdate) = 1995),
+             b AS (SELECT o_orderpriority FROM orders
+                   WHERE year(o_orderdate) = 1996),
+        i AS (
+            SELECT 'intersect_all' AS op, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+            GROUP BY 2
+        ),
+        e AS (
+            SELECT 'except_all' AS op, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            GROUP BY 2
+        )
+        SELECT * FROM i
+        UNION ALL
+        SELECT * FROM e
+        ORDER BY op, o_orderpriority
+    """,
+})
