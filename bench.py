@@ -110,7 +110,12 @@ def main() -> None:
         # triggers the ContextCleaner, and an idle heap may not GC for the
         # whole run — measured up to 3-4x inflation on late-list queries
         # (x16: 0.75s clean vs 3.2s after 20 queries of accumulated state).
+        # The cleaner itself is ASYNC: give it a beat to drain before the
+        # next query's timing starts, or its unpersist/remove RPCs contend
+        # with the measured run (x06 medians 1.0s mid-bench vs 0.62s
+        # standalone without the settle).
         spark._jvm.System.gc()
+        time.sleep(0.3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
