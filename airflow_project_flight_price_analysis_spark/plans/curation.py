@@ -2678,3 +2678,164 @@ ORACLE["x73_dau_wau_stickiness"] = """
     FROM dau JOIN wau ON dau.day = wau.wday
     ORDER BY day
 """
+
+
+# --- X4 extension: per-source token entropy ---------------------------------
+
+def x74_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the information-density
+    companion to x48's cross-source KL drift (KL measures how a source
+    differs from the corpus; entropy measures how internally diverse it
+    is). Low-entropy sources are boilerplate/template farms, prime
+    downweighting candidates in a training mix. H = −Σ p ln p over each
+    source's token distribution, with the token count and vocab size
+    alongside.
+
+    Determinism: p are exact integer ratios per (source, term); the
+    entropy sum's float ordering differs across engines by ~1e-15
+    relative — rounded to 4dp.
+
+    Scale shape: explode → one (source, term) count aggregate (map-side
+    combined) → one |sources|-row reduce. The per-term p needs the
+    per-source total, which rides back as a BROADCAST join (the x39
+    pattern), never a window over the term table.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    from ..functions.text import tokens_expr
+
+    terms = docs.select(
+        "source", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+    )
+    counts = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c") / F.col("total")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.max("vocab").alias("n_vocab"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x74_token_entropy"] = x74_token_entropy
+
+ORACLE["x74_token_entropy"] = r"""
+    WITH terms AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (
+        SELECT source, term, COUNT(*) AS c FROM terms GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM counts GROUP BY 1
+    )
+    SELECT counts.source,
+           MAX(total) AS n_tokens,
+           MAX(vocab) AS n_vocab,
+           ROUND(-SUM((c * 1.0 / total) * ln(c * 1.0 / total)), 4)
+               AS entropy_nats
+    FROM counts JOIN totals ON counts.source = totals.source
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- X4 extension: PMI collocations -----------------------------------------
+
+def x75_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    bigrams scoring ln(N·c(ab) / (c(a)·c(b))) — the classic
+    collocation-mining statistic (Church & Hanks 1990), used in
+    curation to find multiword boilerplate and build phrase vocabularies
+    before tokenizer training. Bigrams under 5 occurrences are pruned
+    (PMI's low-frequency pathology), then the top 20 by (PMI, bigram)
+    are kept.
+
+    Determinism: counts are exact; PMI is a ratio of integers under ln,
+    rounded to 4dp; the top-20 cut tie-breaks on the bigram string.
+
+    Scale shape: shingle the token array map-side (x10's machinery, kept
+    as strings for the report), one bigram count aggregate, unigram
+    counts joined back as BROADCASTS (post-prune vocab is small), top-k
+    via TakeOrdered. No window, no self-join.
+    """
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(tokens_expr(F.lower(F.col("text"))).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_total = uni.agg(F.sum("cu").alias("n"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+        .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= 5)
+    )
+    u1 = uni.select(F.col("t").alias("t1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("cu").alias("c2"))
+    pmi = F.log(F.col("n") * F.col("cb") / (F.col("c1") * F.col("c2")))
+    return (
+        bigrams.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            F.col("cb").alias("n_occurrences"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+QUERIES["x75_pmi_collocations"] = x75_pmi_collocations
+
+ORACLE["x75_pmi_collocations"] = r"""
+    WITH toks AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+        SELECT t, COUNT(*) AS cu
+        FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1
+    ),
+    n_total AS (SELECT SUM(cu) AS n FROM uni),
+    bigrams AS (
+        SELECT t1, t2, COUNT(*) AS cb FROM (
+            SELECT toks[i] AS t1, toks[i + 1] AS t2
+            FROM toks, UNNEST(range(1, len(toks))) AS r(i)
+        ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT t1 || ' ' || t2 AS bigram,
+           CAST(cb AS BIGINT) AS n_occurrences,
+           ROUND(ln(n * cb / (c1 * c2)), 4) AS pmi
+    FROM bigrams
+    JOIN (SELECT t AS t1, cu AS c1 FROM uni) USING (t1)
+    JOIN (SELECT t AS t2, cu AS c2 FROM uni) USING (t2)
+    CROSS JOIN n_total
+    ORDER BY pmi DESC, bigram LIMIT 20
+"""

@@ -385,3 +385,22 @@ def test_x73_explode_runs_on_deduped_user_days(spark):
     gen = plan.find("Generate explode")
     assert "HashAggregate" in plan[gen:], plan
     assert "EvalPython" not in plan
+
+
+def test_x74_totals_broadcast_no_window(spark):
+    """Per-source totals ride back as a broadcast (x39 pattern) — no
+    window over the (source, term) table."""
+    plan = _plan(_Q["x74_token_entropy"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_x75_unigrams_broadcast_topk_take_ordered(spark):
+    """Both unigram joins are broadcasts and the top-20 is TakeOrdered —
+    no shuffle join on term, no global sort."""
+    plan = _plan(_Q["x75_pmi_collocations"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan
