@@ -1541,3 +1541,43 @@ ORACLE.update({
         ORDER BY op, o_orderpriority
     """,
 })
+
+
+def q56_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with LIMIT (§2.4's remaining frontend
+    shape): each customer's top-2 orders by value, written the way SQL
+    users write it — a per-row dependent subquery — and decorrelated by
+    the planner into the same per-key window/top-k machinery q18
+    expresses directly. Pins that the engine accepts the LATERAL form
+    at all (it reached Spark in 4.0; q31 covers scalar correlation,
+    this covers correlated TABLE subqueries).
+
+    Scale shape: after decorrelation the plan is a partitioned window
+    over o_custkey — one shuffle, no per-customer re-execution of the
+    subquery (the naive nested-loop interpretation).
+    """
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """)
+
+
+QUERIES.update({"q56_lateral_topk": q56_lateral_topk})
+
+ORACLE.update({
+    "q56_lateral_topk": """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+})

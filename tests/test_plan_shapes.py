@@ -163,3 +163,13 @@ def test_q54_is_null_aware_anti_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "GreaterThanOrEqual(l_quantity,49.0)" in plan, plan
+
+
+def test_q56_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL-with-LIMIT must decorrelate into the window top-k
+    machinery with WindowGroupLimit pre-pruning — never a per-customer
+    nested-loop re-execution of the subquery."""
+    plan = _plan(_Q["q56_lateral_topk"](spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
