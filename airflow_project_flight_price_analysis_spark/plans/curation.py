@@ -2839,3 +2839,86 @@ ORACLE["x75_pmi_collocations"] = r"""
     CROSS JOIN n_total
     ORDER BY pmi DESC, bigram LIMIT 20
 """
+
+
+# --- events analytics extension: chi-square independence --------------------
+
+def x76_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is event-type mix independent of
+    weekday? The contingency table (event_type × day-of-week), expected
+    counts under independence (row·col/total), and per-cell Pearson
+    residuals — the statistical-QA check a pipeline runs to catch
+    schedule-coupled behavior drift (e.g. batch jobs masquerading as
+    users on Sundays). Completes the profiling family: x48 compares
+    distributions across sources, x74 within one, this tests two
+    factors' joint distribution.
+
+    Determinism: observed counts are exact; marginals are exact integer
+    sums broadcast back; expected and residuals are integer-ratio
+    arithmetic rounded to 4dp.
+
+    Scale shape: ONE pass builds the ≤|types|×7 contingency aggregate;
+    marginals derive from that tiny frame and ride back as broadcasts.
+    Nothing after the first aggregate touches event-scale data.
+    """
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    # persisted: the ≤|types|×7 contingency frame has FOUR consumers
+    # (cells + both marginals + total); without the persist each one
+    # re-aggregates the raw event scan — 4 passes over 100 TB for a
+    # 35-row table.
+    obs = (
+        ev.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row_m = obs.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
+    col_m = obs.groupBy("dow").agg(F.sum("observed").alias("col_n"))
+    total = obs.agg(F.sum("observed").alias("n"))
+    expected = F.col("row_n") * F.col("col_n") / F.col("n")
+    return (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                (F.col("observed") - expected) / F.sqrt(expected), 4
+            ).alias("pearson_residual"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+QUERIES["x76_chisq_independence"] = x76_chisq_independence
+
+ORACLE["x76_chisq_independence"] = """
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2
+    ),
+    row_m AS (
+        SELECT event_type, CAST(SUM(observed) AS BIGINT) AS row_n
+        FROM obs GROUP BY 1
+    ),
+    col_m AS (
+        SELECT dow, CAST(SUM(observed) AS BIGINT) AS col_n FROM obs GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+    SELECT event_type, obs.dow, observed,
+           ROUND(row_n * col_n * 1.0 / n, 4) AS expected,
+           ROUND((observed - row_n * col_n * 1.0 / n)
+                 / sqrt(row_n * col_n * 1.0 / n), 4) AS pearson_residual
+    FROM obs
+    JOIN row_m USING (event_type)
+    JOIN col_m ON obs.dow = col_m.dow
+    CROSS JOIN total
+    ORDER BY event_type, obs.dow
+"""

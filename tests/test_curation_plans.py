@@ -404,3 +404,15 @@ def test_x75_unigrams_broadcast_topk_take_ordered(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_x76_single_events_pass_marginals_broadcast(spark):
+    """One event-scale aggregate: all four consumers (cells, both
+    marginals, total) must read the persisted contingency frame
+    (InMemoryTableScan — its printed child FileScan repeats per
+    reference but executes once), with marginals broadcast back."""
+    plan = _plan(_Q["x76_chisq_independence"](spark, SF_SMALL))
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
