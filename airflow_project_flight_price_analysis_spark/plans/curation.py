@@ -2922,3 +2922,77 @@ ORACLE["x76_chisq_independence"] = """
     CROSS JOIN total
     ORDER BY event_type, obs.dow
 """
+
+
+# --- events analytics extension: rate-burst detection -----------------------
+
+def x77_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: bucket each event type's stream into
+    10-minute windows, then flag buckets whose event COUNT exceeds the
+    type's mean + 3σ bucket rate — the RATE-level companion to x40
+    (which flags anomalous VALUES): incident spikes, bot storms,
+    retry floods. Per type: bucket count, burst-bucket count, and the
+    peak bucket rate.
+
+    Determinism: bucket counts are exact integers; μ and σ are ratios
+    of exact integer sums (population σ, matching DuckDB ``stddev_pop``
+    semantics explicitly); the burst comparison is integer-vs-double —
+    a flip needs the threshold within 1 ulp of an integer count.
+
+    Scale shape: one event-scale aggregate to (type, bucket) counts
+    (map-side combined — the bucket expression is a pure timestamp
+    truncation); per-type stats reduce the bucket frame and ride back
+    as a BROADCAST; the burst flags and rollup stay on the tiny bucket
+    table. Same one-pass + broadcast-stats shape as x40/x76.
+    """
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / F.lit(600_000_000))).alias("bucket"),
+    )
+    buckets = (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = buckets.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    flagged = buckets.join(F.broadcast(stats), "event_type").withColumn(
+        "is_burst",
+        (F.col("n") > F.col("mu") + 3 * F.col("sigma")).cast("int"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("is_burst").alias("n_burst_buckets"),
+            F.max("n").alias("peak_rate"),
+            F.round(F.max("mu"), 4).alias("mean_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x77_burst_detection"] = x77_burst_detection
+
+ORACLE["x77_burst_detection"] = """
+    WITH buckets AS (
+        SELECT event_type, FLOOR(epoch_us(ts) / 600000000) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, AVG(n) AS mu, stddev_pop(n) AS sigma
+        FROM buckets GROUP BY 1
+    )
+    SELECT buckets.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n > mu + 3 * sigma THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_burst_buckets,
+           MAX(n) AS peak_rate,
+           ROUND(MAX(mu), 4) AS mean_rate
+    FROM buckets JOIN stats ON buckets.event_type = stats.event_type
+    GROUP BY 1 ORDER BY 1
+"""

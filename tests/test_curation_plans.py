@@ -416,3 +416,13 @@ def test_x76_single_events_pass_marginals_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_x77_stats_broadcast_bucket_frame_reused(spark):
+    """Per-type stats come back as a broadcast onto the persisted bucket
+    frame — no window, no event-scale second pass."""
+    plan = _plan(_Q["x77_burst_detection"](spark, SF_SMALL))
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
