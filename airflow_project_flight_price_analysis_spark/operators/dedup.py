@@ -191,11 +191,11 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     sketch for both sides of a self-join. A pair matching in several
     bands dedups *after* the (cheap, 32-comparison) estimate via
     distinct."""
-    from pyspark import StorageLevel  # noqa: PLC0415
+    from ..cache import track_persist  # noqa: PLC0415
 
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                               grams=grams) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     banded = _banded(sigs, num_bands)
     a, b = banded.alias("a"), banded.alias("b")
     est = (
@@ -319,7 +319,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     (measured 12.3s → 2.0s for the x08 certification at sf0.1); the
     shuffle key is (block, shingle), and a pathological hot shingle is a
     skew key AQE's skew-join splitting handles."""
-    from pyspark import StorageLevel  # noqa: PLC0415
+    from ..cache import track_persist  # noqa: PLC0415
 
     # persisted at the grams level: the shingle computation is the
     # expensive part and is referenced by the n projection, the explode,
@@ -332,7 +332,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     if grams is None:
         grams = document_grams(df, text_col, id_col, shingle_n,
                                keep_cols=(block_col,)) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(track_persist)
     docs = grams.select("id", F.col(block_col).alias("block"), "grams")
     postings = docs.select(
         "id", "block", F.size("grams").alias("n"),

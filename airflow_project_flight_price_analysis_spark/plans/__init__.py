@@ -21,42 +21,58 @@ from pyspark.sql import DataFrame, SparkSession
 #      fall past the budget);
 #   3. everything else (green in a prior round, unchanged — may rotate out).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 4: the 21 queries that crashed in r3 on the events-ts loader
-    # bug (driver regenerated events.parquet as timestamp[us]; the reader
-    # assumed TIMESTAMP(NANOS)). All were green in r1/r2, so the automatic
-    # "no green row" rule would NOT re-sample them — list them explicitly
-    # so CORRECTNESS_r04 re-verifies every one under the fixed reader.
-    "q15_label_per_day",
-    "q19_sessionization",
-    "q24_grouping_sets",
-    "q30_sql_running_total",
-    "q31_sql_correlated",
-    "q32_asof_join",
-    "q33_json_extract",
-    "q34_sliding_windows",
-    "q35_range_join",
-    "q43_json_typed_struct",
-    "x17_stream_tumbling",
-    "x24_stream_dedup",
-    "x25_stream_sessions",
-    "x29_stream_interval_join",
-    "x40_event_anomalies",
-    "x42_value_histogram",
-    "x43_winsorized_stats",
-    "x45_gapfill_resample",
-    "x50_grouped_ols",
-    "x51_funnel",
-    "x52_ewma_smoothing",
+    # round 5: queries whose SEMANTICS/PLAN change this round and so need
+    # a fresh driver row despite being green in r4:
+    "q54_not_in_null_aware",     # ADVICE r4: was vacuously green (0 rows);
+    #                              predicate tightened so a NULL key flows
+    #                              through the null-aware anti-join.
+    "x53_tfidf_cosine_pairs",    # posting-list length bound added (r4
+    #                              brief item 4) — same oracle, new plan.
+    # round 5 rotation: re-certify the stalest driver rows (latest green
+    # row r1/r2, i.e. BEFORE the round-4 testdata regeneration). The local
+    # oracle replica passes all of them on current data; these driver rows
+    # make that the hard signal. Oldest first.
+    "q22_profile",
+    "q23_standardize_text",
+    "q25_distinct_aggs",
+    "q26_set_ops",
+    "q27_percentiles",
+    "q28_levenshtein_pairs",
+    "q29_date_arithmetic",
+    "q36_window_suite",
+    "q37_pricing_summary",
+    "q38_shipping_priority",
+    "q39_forecast_revenue",
+    "q40_salted_agg",
+    "q41_local_supplier_volume",
+    "q42_collect_sorted",
+    "q44_full_outer",
+    "q45_union_by_name",
+    "q46_cube",
+    "x01_exact_dedup_docs",
+    "x02_token_stats",
+    "x03_quality_scores",
+    "x04_fingerprints",
+    "x05_lang_id",
+    "x06_cosine_topk",
+    "x07_lsh_topk",
+    "x10_ngram_jaccard",
+    "x11_media_features",
+    "x12_approx_profile",
+    "x13_tfidf_top_terms",
+    "x14_label_centroids",
+    "x15_ivf_topk",
+    "x16_embedding_neardup",
 )
+# Slots 34..49 are left to the automatic no-green-row tier: x77 (the
+# declared r4 overflow, never driver-sampled) sorts there first, followed
+# by every query added this round — so new work cannot fall past the
+# budget while the rotation above re-certifies the stalest rows. The
+# remaining r2-stale queries (x18-x33) rotate in round 6.
 
-# Round-4 additions outnumber the driver budget by exactly one: the 21
-# re-verifications + 30 new queries = 51 > 50 slots. The overflow is
-# DELIBERATE and named here (not silent): x77 was added last, is verified
-# by the full local gate (both SFs) and the judge's local oracle replica,
-# and rotates into the driver budget in round 5 when the round-3 priority
-# entries above clear. test_registration_order excludes exactly these
-# names from its past-the-budget guard.
-_BUDGET_OVERFLOW_OK: tuple[str, ...] = ("x77_burst_detection",)
+# No deliberate overflow this round. (Round 4 declared x77 here; its
+# driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
+_BUDGET_OVERFLOW_OK: tuple[str, ...] = ()
 
 
 def _green_in_recorded_correctness() -> set[str]:
@@ -82,6 +98,23 @@ def _green_in_recorded_correctness() -> set[str]:
     return green
 
 
+def _with_cache_rotation(fn: Callable) -> Callable:
+    """Release the PREVIOUS query invocation's tracked persists before
+    building this one (see ``cache.py`` — harnesses that don't
+    ``clearCache()`` between queries would otherwise accumulate every
+    query's cached blocks across a 133-query sweep)."""
+    import functools
+
+    from .. import cache
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cache.release_prior_persists()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def _prioritize(out: dict) -> dict:
     green = _green_in_recorded_correctness()
     ordered: dict = {k: out[k] for k in _DRIVER_PRIORITY if k in out}
@@ -89,7 +122,7 @@ def _prioritize(out: dict) -> dict:
         {k: v for k, v in out.items() if k not in ordered and k not in green}
     )
     ordered.update({k: v for k, v in out.items() if k not in ordered})
-    return ordered
+    return {k: _with_cache_rotation(v) for k, v in ordered.items()}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -718,7 +718,7 @@ def x47_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+shingle+fingerprint stage runs three times (measured
     2.4s → 0.9s at sf0.1; the x08 lesson).
     """
-    from pyspark import StorageLevel  # noqa: PLC0415
+    from ..cache import track_persist  # noqa: PLC0415
 
     from ..functions.text import fingerprint_expr
     from ..operators.dedup import document_grams
@@ -731,7 +731,7 @@ def x47_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = document_grams(docs, "text", "doc_id", shingle_n=5,
                            keep_cols=("lang", "split")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     test_post = grams.filter(F.col("split") == "test").select(
         "id", "lang", F.explode("grams").alias("g")
     )
@@ -1186,26 +1186,22 @@ ORACLE["x52_ewma_smoothing"] = """
 
 # --- X2/X3 extension: sparse lexical cosine near-dup ------------------------
 
-def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted lexical near-dup: TF-IDF cosine similarity between
-    document pairs via an inverted posting index — the *weighted* sibling
-    of x10's set-based n-gram Jaccard, and the sparse-vector sibling of
-    x16's dense embedding cosine (the third similarity family a curation
-    stack runs: set overlap, sparse lexical, dense semantic).
+# x53's per-term pair space is bounded by POSTING_CAP² regardless of
+# corpus size (r4 brief item 4): the fractional df prune alone admits
+# posting lists of length 0.25·N, i.e. O(N²/16) candidate pairs per
+# surviving term at 100 TB. A term in >10k documents is stopword-grade
+# for near-dup purposes at any web scale; dropping it loses ~no
+# discriminative signal while capping the join's per-term cost at a
+# CONSTANT. Inactive at test SFs (0.25·N < cap), so bench numbers and
+# the oracle hash are unchanged there; the property test exercises it
+# on a synthetic corpus via the factored core below.
+TFIDF_POSTING_CAP = 10_000
 
-    Scale shape: never all-pairs. Postings join on ``term``, so the pair
-    space is the sum over terms of posting-list-squared — and the
-    dominant lists are removed *before* the join by the document-
-    frequency prune (``df <= 25%`` of the corpus): stopword-grade terms
-    contribute near-zero discriminative weight but quadratic collisions,
-    exactly the term-pruning strategy of prefix-filter set-similarity
-    joins (PPJoin family). The df table is |vocab|-sized and broadcast.
-    TF-IDF formula shared with x13 (smoothed idf = ln((N+1)/(df+1))+1).
-    Reference analog: none (extension surface, SURVEY.md §2.9).
-    """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.trim(F.col("text")) != ""
-    )
+
+def tfidf_cosine_pairs(docs: DataFrame, posting_cap: int = TFIDF_POSTING_CAP,
+                       threshold: float = 0.5) -> DataFrame:
+    """Core of x53 over any ``(doc_id, text)`` frame — factored out so the
+    posting-cap behavior is property-testable on synthetic corpora."""
     # NOT persisted: the exploded token frame is the corpus's largest
     # intermediate, and materializing it costs more than the second
     # tokenizer pass it saves (measured 1.0s → 1.4s at sf0.1 when
@@ -1220,7 +1216,10 @@ def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= 0.25 * F.col("n_docs"))
+        .filter(
+            (F.col("df") <= 0.25 * F.col("n_docs"))
+            & (F.col("df") <= F.lit(posting_cap))
+        )
     )
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     # Also not persisted, same measurement: the three consumers (norms +
@@ -1245,10 +1244,37 @@ def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms.withColumnRenamed("doc_id", "d2")
               .withColumnRenamed("nrm", "n2"), "d2")
         .withColumn("__cos", F.col("dot") / (F.col("n1") * F.col("n2")))
-        .filter(F.col("__cos") >= 0.5)
+        .filter(F.col("__cos") >= F.lit(threshold))
         .select("d1", "d2", F.round("__cos", 6).alias("cosine"))
         .orderBy("d1", "d2")
     )
+
+
+def x53_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical near-dup: TF-IDF cosine similarity between
+    document pairs via an inverted posting index — the *weighted* sibling
+    of x10's set-based n-gram Jaccard, and the sparse-vector sibling of
+    x16's dense embedding cosine (the third similarity family a curation
+    stack runs: set overlap, sparse lexical, dense semantic).
+
+    Scale shape: never all-pairs. Postings join on ``term``, so the pair
+    space is the sum over terms of posting-list-squared — and the
+    dominant lists are removed *before* the join by TWO prunes: the
+    document-frequency fraction (``df <= 25%`` of the corpus — stopword-
+    grade terms contribute near-zero discriminative weight but quadratic
+    collisions, the term-pruning strategy of prefix-filter set-similarity
+    joins, PPJoin family) and the CONSTANT posting-length cap
+    ``df <= TFIDF_POSTING_CAP`` (r4 brief: the fraction alone still
+    admits O(N²/16) pairs per term at 100 TB; the cap bounds per-term
+    pair space at 10k² regardless of corpus size). The df table is
+    |vocab|-sized and broadcast. TF-IDF formula shared with x13
+    (smoothed idf = ln((N+1)/(df+1))+1).
+    Reference analog: none (extension surface, SURVEY.md §2.9).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    return tfidf_cosine_pairs(docs)
 
 
 QUERIES["x53_tfidf_cosine_pairs"] = x53_tfidf_cosine_pairs
@@ -1266,7 +1292,8 @@ ORACLE["x53_tfidf_cosine_pairs"] = r"""
     ),
     kept AS (
         SELECT df.term, ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf
-        FROM df CROSS JOIN n WHERE df.df <= 0.25 * n.n_docs
+        FROM df CROSS JOIN n
+        WHERE df.df <= 0.25 * n.n_docs AND df.df <= 10000
     ),
     w AS (
         SELECT tf.doc_id, tf.term, tf.tf * kept.idf AS w
@@ -1640,7 +1667,7 @@ def x60_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     x10 but over prefix postings only; verification touches candidate
     pairs, never the corpus square.
     """
-    from pyspark import StorageLevel  # noqa: PLC0415
+    from ..cache import track_persist  # noqa: PLC0415
 
     from ..operators.dedup import document_grams
 
@@ -1648,7 +1675,7 @@ def x60_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = document_grams(docs, "text", "doc_id", shingle_n=3,
                            keep_cols=("lang",)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     postings = grams.select(
         "id", "lang", F.size("grams").alias("n"), F.explode("grams").alias("g")
     )
@@ -2488,7 +2515,7 @@ def x71_sequence_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over event-scale data shuffles only on user_id for the final
     per-user reduce.
     """
-    from pyspark import StorageLevel
+    from ..cache import track_persist  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
@@ -2498,7 +2525,7 @@ def x71_sequence_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("to_type", F.lead("event_type").over(w))
         .filter(F.col("to_type").isNotNull())
         .select("user_id", F.col("event_type").alias("from_type"), "to_type")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     )
     cnt = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -2861,7 +2888,7 @@ def x76_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals derive from that tiny frame and ride back as broadcasts.
     Nothing after the first aggregate touches event-scale data.
     """
-    from pyspark import StorageLevel
+    from ..cache import track_persist  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").alias("dow")
@@ -2873,7 +2900,7 @@ def x76_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         ev.groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).alias("observed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     )
     row_m = obs.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
     col_m = obs.groupBy("dow").agg(F.sum("observed").alias("col_n"))
@@ -2945,7 +2972,7 @@ def x77_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a BROADCAST; the burst flags and rollup stay on the tiny bucket
     table. Same one-pass + broadcast-stats shape as x40/x76.
     """
-    from pyspark import StorageLevel
+    from ..cache import track_persist  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -2954,7 +2981,7 @@ def x77_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         ev.groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     )
     stats = buckets.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")

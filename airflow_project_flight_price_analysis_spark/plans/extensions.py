@@ -176,11 +176,11 @@ def x08_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+shingle is the CPU-dominant stage and MinHash signatures are
     invariant to the distinct-grams form (measured 3.4s → 2.4s at
     sf0.1)."""
-    from pyspark import StorageLevel  # noqa: PLC0415
+    from ..cache import track_persist  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents")
     grams = document_grams(docs, "text", "doc_id", keep_cols=("lang",)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track_persist)
     true_pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
                                      block_col="lang", threshold=0.5,
                                      grams=grams)
@@ -219,9 +219,11 @@ def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_candidate_pairs`` over the sample signatures. The
     full-corpus path in this plan is the banded equi-join alone
     (``has_candidates``)."""
+    from ..cache import track_persist  # noqa: PLC0415
+
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs, "text", "doc_id")
-    sigs = sigs.persist()
+    sigs = sigs.transform(track_persist)
     banded = simhash_candidate_pairs(sigs, max_hamming=3)
 
     sample_cap = 2000
@@ -233,7 +235,7 @@ def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.crossJoin(F.broadcast(smod))
         .filter(F.col("id") % F.col("smod") == 0)
         .select("id", "simhash")
-        .persist()
+        .transform(track_persist)
     )
     banded_sample = simhash_candidate_pairs(sample, max_hamming=3)
     a, b = sample.alias("a"), sample.alias("b")
@@ -1172,7 +1174,7 @@ def x26_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flags mirror Gopher's repetition filters: ``n_top_heavy`` = docs
     whose most frequent token exceeds 10% of tokens; ``n_repetitive`` =
     docs whose duplicate-bigram fraction exceeds 20%."""
-    from pyspark import StorageLevel  # noqa: PLC0415
+    from ..cache import track_persist  # noqa: PLC0415
 
     docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
     # persisted: the five metric expressions below reference ``th`` from
@@ -1187,7 +1189,7 @@ def x26_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.transform(tokens_expr(F.lower(F.col("text"))),
                     lambda t: F.xxhash64(t)).alias("th"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(track_persist)
 
     # run-length fold over the sorted hash array: acc = (prev, run, best)
     sorted_th = F.array_sort("th")

@@ -1450,16 +1450,36 @@ def q54_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS shape; this pins the NOT-IN shape, which users write
     interchangeably but which optimizes differently.
 
-    Scale shape: the subquery side (distinct high-quantity suppkeys) is
-    a small filtered set — broadcastable; the probe side streams. The
-    quantity predicate is pushed to the lineitem scan.
+    The probe side unions in one explicit NULL-key sentinel row so a
+    NULL actually flows through the NAAJ comparison: ``NULL NOT IN
+    (non-empty set)`` is UNKNOWN, so the sentinel must be absent from
+    the result — both engines prove the three-valued path, on data, not
+    just in the plan. (A NULL on the *subquery* side would empty the
+    whole result by the same logic — that branch is pinned in
+    tests/test_plan_shapes.py::test_not_in_null_subquery_empties_result,
+    where an empty result is assertable.)
+    The predicate is tight enough that some suppliers survive at every
+    test SF, so the row-set itself is a non-vacuous signal (ADVICE r4:
+    the old ``l_quantity >= 49`` version returned 0 rows at driver
+    scale — every supplier matched — and supplier keys are never null).
+
+    Scale shape: the subquery side (distinct filtered suppkeys) is a
+    small set — broadcastable; the probe side streams. Both predicates
+    are pushed to the lineitem scan.
     """
     register_views(spark, sf_dir, tables=("supplier", "lineitem"))
     return spark.sql("""
+        WITH probe AS (
+            SELECT s_suppkey, s_name FROM supplier
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT) AS s_suppkey,
+                   'NULL-KEY SENTINEL' AS s_name
+        )
         SELECT s_suppkey, s_name
-        FROM supplier
+        FROM probe
         WHERE s_suppkey NOT IN (
-            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+            SELECT l_suppkey FROM lineitem
+            WHERE l_quantity >= 50 AND month(l_shipdate) = 1
         )
         ORDER BY s_suppkey
     """)
@@ -1469,10 +1489,17 @@ QUERIES.update({"q54_not_in_null_aware": q54_not_in_null_aware})
 
 ORACLE.update({
     "q54_not_in_null_aware": """
+        WITH probe AS (
+            SELECT s_suppkey, s_name FROM supplier
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT) AS s_suppkey,
+                   'NULL-KEY SENTINEL' AS s_name
+        )
         SELECT s_suppkey, s_name
-        FROM supplier
+        FROM probe
         WHERE s_suppkey NOT IN (
-            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+            SELECT l_suppkey FROM lineitem
+            WHERE l_quantity >= 50 AND month(l_shipdate) = 1
         )
         ORDER BY s_suppkey
     """,

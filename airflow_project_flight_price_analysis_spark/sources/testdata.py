@@ -67,10 +67,16 @@ def _events_ts_kind(sf_dir: str) -> str:
         path = parts[0]
     t = str(pq.read_schema(path).field("ts").type)
     if t.startswith("timestamp"):
+        # Unit check FIRST (ADVICE r4): Spark's vectorized reader rejects
+        # parquet TIMESTAMP(NANOS) regardless of tz-adjustment, so
+        # ``timestamp[ns, tz=...]`` must take the nanosAsLong path, not
+        # the tz path. (isAdjustedToUTC nanos store UTC epoch nanos and
+        # the session tz is pinned UTC, so the long->micros normalization
+        # is value-preserving for both nanos flavors.)
+        if t.startswith("timestamp[ns"):
+            return "nanos"
         if "tz=" in t:
             return "tz"
-        if t == "timestamp[ns]":
-            return "nanos"
         return "ntz"
     return "long"
 

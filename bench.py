@@ -66,6 +66,13 @@ HEADLINE = [
     "x53_tfidf_cosine_pairs",
     "x54_incremental_agg_merge",
     "q52_decorrelated_avg_filter",
+    # round-5 additions (r4 brief item 5): the round-4 heavy families
+    # carry perf accountability, not just correctness
+    "x60_prefix_filtered_jaccard",
+    "x67_containment_pairs",
+    "x73_dau_wau_stickiness",
+    "x76_chisq_independence",
+    "x77_burst_detection",
 ]
 
 

@@ -165,6 +165,27 @@ def test_x53_no_allpairs_and_pruned_postings(spark):
     assert "EvalPython" not in plan
 
 
+def test_x53_posting_cap_bounds_per_term_pair_space(spark):
+    """r4 brief item 4: a term whose posting list exceeds TFIDF_POSTING_CAP
+    must be dropped BEFORE the pair join even when it survives the 25%-df
+    fraction prune — per-term pair space is bounded by a constant, not by
+    corpus fraction. Synthetic corpus: 16 docs, 3 share the term
+    'shared' (df=3 <= 0.25*16, so the fraction prune keeps it); with
+    cap=2 the capped prune drops it and NO pair can form; with cap=4 the
+    three sharing docs pair up."""
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [(i, f"shared uniq{i}") for i in range(3)]
+    rows += [(i, f"uniq{i}") for i in range(3, 16)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = tfidf_cosine_pairs(docs, posting_cap=2, threshold=0.3).collect()
+    assert capped == [], f"cap=2 must prune the df=3 term: {capped}"
+    uncapped = tfidf_cosine_pairs(docs, posting_cap=4, threshold=0.3).collect()
+    assert {(r.d1, r.d2) for r in uncapped} == {(0, 1), (0, 2), (1, 2)}
+
+
 def test_x54_merge_equals_direct_aggregate(spark):
     """merge(partial(history), partial(delta)) must equal the one-pass
     aggregate over the full table — the algebraic-mergeability contract."""

@@ -162,7 +162,31 @@ def test_q54_is_null_aware_anti_join(spark):
     assert join_lines[0].rstrip().endswith("true"), join_lines[0]  # isNullAware
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "GreaterThanOrEqual(l_quantity,49.0)" in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,50.0)" in plan, plan
+
+
+def test_q54_null_sentinel_flows_through_naaj(spark):
+    """The probe-side NULL sentinel must be EXCLUDED (NULL NOT IN set
+    is UNKNOWN) while real suppliers survive — the result is non-empty
+    and never contains the sentinel, so the three-valued path is
+    exercised by data, not just planned (ADVICE r4)."""
+    rows = _Q["q54_not_in_null_aware"](spark, SF_ORACLE).collect()
+    assert rows, "tightened predicate should leave some suppliers"
+    assert all(r.s_suppkey is not None for r in rows)
+    assert not any(r.s_name == "NULL-KEY SENTINEL" for r in rows)
+
+
+def test_not_in_null_subquery_empties_result(spark):
+    """The dual branch q54 cannot show in its output: one NULL in the
+    SUBQUERY set makes ``x NOT IN (...)`` UNKNOWN for every probe row,
+    so the whole result must be empty under three-valued logic."""
+    n = spark.sql("""
+        SELECT COUNT(*) AS n FROM (
+            SELECT * FROM VALUES (1), (2), (3) AS probe(k)
+            WHERE k NOT IN (SELECT v FROM VALUES (9), (CAST(NULL AS INT)) AS s(v))
+        )
+    """).collect()[0].n
+    assert n == 0
 
 
 def test_q56_lateral_decorrelates_to_window_group_limit(spark):

@@ -145,6 +145,37 @@ def test_register_views_isolates_broken_table(spark, tmp_path):
     register_views(spark, SF_SMALL)
 
 
+def test_tz_aware_nanos_takes_nanos_path(spark, tmp_path):
+    """ADVICE r4: ``timestamp[ns, tz=...]`` must classify as "nanos", not
+    "tz" — Spark's vectorized reader rejects parquet TIMESTAMP(NANOS)
+    regardless of tz-adjustment, so the tz path would crash the reader.
+    isAdjustedToUTC nanos store UTC epoch nanos, so the nanosAsLong →
+    timestamp_micros normalization is value-preserving too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airflow_project_flight_price_analysis_spark.sources.testdata import (
+        _events_ts_kind,
+    )
+
+    t = pq.read_table(f"{SF_SMALL}/events.parquet")
+    ts_nanos_tz = t.column("ts").cast(pa.timestamp("ns", tz="UTC"), safe=False)
+    pq.write_table(
+        t.set_column(t.schema.get_field_index("ts"), "ts", ts_nanos_tz),
+        tmp_path / "events.parquet",
+    )
+    assert _events_ts_kind(str(tmp_path)) == "nanos"
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = df.selectExpr("min(ts) AS lo", "max(ts) AS hi", "count(*) AS n").first()
+    want = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("min(ts) AS lo", "max(ts) AS hi", "count(*) AS n")
+        .first()
+    )
+    assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
+
+
 def test_canary_catches_dtype_corruption(spark, tmp_path):
     # Deliberately store ts as int64 millis in a temp copy: the loader's
     # footer dispatch treats plain int64 as epoch-nanos, so normalization
