@@ -23,6 +23,23 @@ def test_q01_broadcasts_dim(spark):
     assert "lineitem" in pre_join
 
 
+def test_q03_q04_partial_aggregation(spark):
+    """r4 brief item 6: both fare aggregates must run partial→final
+    HashAggregate (map-side combine before the group-key shuffle), with
+    no sort-merge join — the lineitem side flows straight from the scan
+    through the broadcast join into the partial aggregate, so the only
+    hash exchange carries |groups| partial rows, not lineitem rows."""
+    for name in ("q03_fare_trend", "q04_seasonal_fare_variation"):
+        plan = _plan(_Q[name](spark, SF_ORACLE))
+        assert "partial_avg" in plan, f"{name}: no map-side combine\n{plan}"
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # exactly one hash-partitioned exchange (the partial-agg shuffle);
+        # the broadcast and the final rangepartitioning sort don't count
+        n_hash_ex = plan.count("hashpartitioning")
+        assert n_hash_ex == 1, f"{name}: {n_hash_ex} hash exchanges\n{plan}"
+
+
 def test_q05_topk_is_take_ordered(spark):
     plan = _plan(_Q["q05_top_routes"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
