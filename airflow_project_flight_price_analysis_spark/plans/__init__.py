@@ -126,19 +126,19 @@ def _prioritize(out: dict) -> dict:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import kpi, relational, temporal, extensions, curation
+    from . import kpi, relational, temporal, extensions, curation, insights
 
     out: dict = {}
-    for mod in (kpi, relational, temporal, extensions, curation):
+    for mod in (kpi, relational, temporal, extensions, curation, insights):
         out.update(mod.QUERIES)
     return _prioritize(out)
 
 
 def all_oracle_sql() -> dict[str, str]:
-    from . import kpi, relational, temporal, extensions, curation
+    from . import kpi, relational, temporal, extensions, curation, insights
 
     out: dict = {}
-    for mod in (kpi, relational, temporal, extensions, curation):
+    for mod in (kpi, relational, temporal, extensions, curation, insights):
         out.update(mod.ORACLE)
     # mirror the queries() schedule exactly, so the driver sees one order
     order = list(all_queries())

@@ -1,0 +1,457 @@
+"""Round-5 analytics extensions — iterative graph scoring, robust
+statistics, corpus-distribution diagnostics, and language-quality
+auditing (SURVEY.md §2.9 X4/X6 extension surface).
+
+Same driver contract as the other plan modules: every query pairs with
+DuckDB oracle SQL under identical column aliases; counts CAST to BIGINT
+in the oracle; doubles ROUNDed so cross-engine libm last-ulp noise can't
+break the value hash (the x39/x71 ln-parity precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import lang_id_expr, tokens_expr
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+# Fixed PageRank iteration count — part of the operator's definition
+# (both engines run exactly K steps from the uniform vector, so the
+# result is deterministic and oracle-checkable; convergence-threshold
+# variants would couple the row set to FP noise).
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+# --- iterative graph scoring ------------------------------------------------
+
+def x78_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph — the engine's
+    iterative-algorithm showcase (the fixed-point sibling of x21's
+    min-label propagation, but with weighted float state rather than
+    label sets). Nodes are event types; edge weights are the
+    row-normalized transition probabilities of x65's Markov matrix;
+    ``PAGERANK_ITERS`` damped power-iteration steps from the uniform
+    vector, exactly mirrored by a recursive CTE in the oracle.
+
+    Precondition (asserted by ``tests/test_insights.py`` on every test
+    SF): each event type occurs as BOTH transition source and target, so
+    there is no dangling mass and no inbound-less node — the recursion
+    then preserves the full node set every step in both engines without
+    a second recursive self-reference (SQL recursive CTEs allow only
+    one).
+
+    Scale shape: ONE event-scale pass (the per-user lead window shared
+    with x65/x71) builds the |types|² edge table; the K iterations then
+    join/aggregate frames bounded by |types| rows — at 100 TB the
+    iteration cost is independent of event count. No driver-side
+    collect; n_nodes rides as a broadcast one-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    edges = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # persisted (cache.py-tracked): every one of the K iterations joins
+    # against p — without the persist each iteration RE-RUNS the
+    # event-scale window+aggregate (measured: 22 parquet scans in the
+    # executed plan vs 2 with it; the plan-shape test pins the 2).
+    from ..cache import track_persist  # noqa: PLC0415
+
+    p = edges.withColumn(
+        "p", F.col("n") / F.sum("n").over(W.partitionBy("from_type"))
+    ).select("from_type", "to_type", "p").transform(track_persist)
+
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct().transform(track_persist)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        pr = (
+            pr.join(p, pr.node == p.from_type)
+            .groupBy(F.col("to_type").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inbound"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    (1.0 - PAGERANK_DAMPING) / F.col("n_nodes")
+                    + PAGERANK_DAMPING * F.col("inbound")
+                ).alias("rank"),
+            )
+        )
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+QUERIES["x78_event_pagerank"] = x78_event_pagerank
+
+ORACLE["x78_event_pagerank"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    edges AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT from_type, to_type,
+               n * 1.0 / SUM(n) OVER (PARTITION BY from_type) AS p
+        FROM edges
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    pr AS (
+        SELECT 0 AS k, node, 1.0 / n_nodes AS rank FROM nodes, nn
+        UNION ALL
+        SELECT pr.k + 1, p.to_type AS node,
+               {1.0 - PAGERANK_DAMPING} / nn.n_nodes
+                   + {PAGERANK_DAMPING} * SUM(pr.rank * p.p)
+        FROM pr JOIN p ON pr.node = p.from_type CROSS JOIN nn
+        WHERE pr.k < {PAGERANK_ITERS}
+        GROUP BY pr.k + 1, p.to_type, nn.n_nodes
+    )
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM pr WHERE k = {PAGERANK_ITERS}
+    ORDER BY node
+"""
+
+
+# --- robust statistics ------------------------------------------------------
+
+def x79_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier screen: exact median + median
+    absolute deviation, flagging documents beyond 3 scaled MADs
+    (1.4826·MAD ≈ σ under normality) — the breakdown-resistant sibling
+    of x43's winsorized moments (a single 10 GB document shifts a mean
+    arbitrarily but moves a median by at most one rank). The curation
+    use: catch sources whose length distribution has heavy-tail
+    contamination before length-normalized sampling (x35) trusts it.
+
+    Scale shape: exact grouped medians are two sort-based aggregations
+    on the (source)-key — heavy but bounded shuffles (the documented
+    cost of EXACT over approx; x12's approx_percentile is the cheap
+    path); the deviation pass re-joins the |sources|-row median table
+    broadcast-side. Output is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.median("n_chars").alias("med_chars")
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", "med_chars",
+        F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
+        "n_chars",
+    )
+    mad = dev.groupBy("source").agg(
+        F.first("med_chars").alias("med_chars"),
+        F.median("adev").alias("mad_chars"),
+    )
+    return (
+        dev.select("source", "n_chars")
+        .join(F.broadcast(mad), "source")
+        .withColumn(
+            "is_out",
+            (
+                F.abs(F.col("n_chars") - F.col("med_chars"))
+                > 3 * 1.4826 * F.col("mad_chars")
+            ).cast("int"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.first("med_chars").alias("med_chars"),
+            F.first("mad_chars").alias("mad_chars"),
+            F.sum("is_out").cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x79_mad_outliers"] = x79_mad_outliers
+
+ORACLE["x79_mad_outliers"] = """
+    WITH med AS (
+        SELECT source, median(n_chars) AS med_chars
+        FROM documents GROUP BY 1
+    ),
+    mad AS (
+        SELECT d.source, ANY_VALUE(m.med_chars) AS med_chars,
+               median(abs(d.n_chars - m.med_chars)) AS mad_chars
+        FROM documents d JOIN med m USING (source)
+        GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ANY_VALUE(mad.med_chars) AS med_chars,
+           ANY_VALUE(mad.mad_chars) AS mad_chars,
+           CAST(SUM(CASE WHEN abs(d.n_chars - mad.med_chars)
+                              > 3 * 1.4826 * mad.mad_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN mad USING (source)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+# --- corpus-distribution diagnostics ----------------------------------------
+
+ZIPF_TOP_TERMS = 500
+
+
+def x80_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: OLS fit of ln(freq) against ln(rank) over
+    the top corpus terms. Natural text tracks slope ≈ −1; a corpus whose
+    slope collapses toward 0 (flat head) or dives below −1.5 (template
+    spam repeating a tiny vocabulary) failed collection or dedup — the
+    one-number distribution-health check run before LM training trusts
+    a corpus, complementing x74's token entropy (which measures the
+    whole distribution, not its shape). Fit via regr_slope/intercept/r2
+    on both engines (identical co-moment algebra).
+
+    Rank determinism: freq DESC then term ASC — total order, identical
+    in both engines (the x13 tie-break rule).
+
+    Scale shape: one corpus-scale token pass → vocab-scale counts; the
+    top-K head is a TakeOrdered (never a global sort), and the
+    regression aggregates K rows to one. Output is one row.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    freq = (
+        docs.select(
+            F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), "term").limit(ZIPF_TOP_TERMS)
+    ranked = top.select(
+        F.log(
+            F.row_number().over(W.orderBy(F.desc("freq"), "term")).cast("double")
+        ).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.expr("regr_slope(ly, lx)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ly, lx)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+    )
+
+
+QUERIES["x80_zipf_slope"] = x80_zipf_slope
+
+ORACLE["x80_zipf_slope"] = rf"""
+    WITH freq AS (
+        SELECT term, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY 1
+    ),
+    top AS (
+        SELECT term, freq FROM freq
+        ORDER BY freq DESC, term LIMIT {ZIPF_TOP_TERMS}
+    ),
+    ranked AS (
+        SELECT ln(ROW_NUMBER() OVER (ORDER BY freq DESC, term)) AS lx,
+               ln(freq) AS ly
+        FROM top
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ly, lx), 6) AS slope,
+           ROUND(regr_intercept(ly, lx), 6) AS intercept,
+           ROUND(regr_r2(ly, lx), 6) AS r2
+    FROM ranked
+"""
+
+
+# --- language-quality audit -------------------------------------------------
+
+def x81_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata audit: confusion matrix of the declared ``lang``
+    column against x05's heuristic language-ID prediction — the
+    mislabeled-language detector a curation pipeline runs because
+    upstream lang tags are crawler guesses, and routing zh text into an
+    en-only training mix silently degrades both. Diagonal = agreement;
+    off-diagonal cells name exactly which (declared → detected) flows
+    need review. Composes ``lang_id_expr`` (x05) with the declared
+    column; the oracle re-derives the prediction in pure SQL.
+
+    Scale shape: one corpus pass, map-side expression scoring (zero
+    Python), one |langs|²-bounded aggregate. Output ≤ |langs|² rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+QUERIES["x81_lang_confusion"] = x81_lang_confusion
+
+# mirrors functions/text.lang_id_expr exactly (the x05 oracle, with the
+# declared lang carried through): han-ratio > 0.2 -> zh; else argmax of
+# per-language stopword hit-rate with Spark's struct-max tie-break
+# (lexicographically larger lang wins a tie: fr > es > en > de); no
+# hits -> und.
+ORACLE["x81_lang_confusion"] = r"""
+    WITH scored AS (
+        SELECT lang,
+            length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                * 1.0 / GREATEST(length(text), 1) AS han_ratio,
+            [x * 1.0 / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+             for x in [
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('the','and','of','to','is','in','that','it','was','for'))),
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('le','la','les','et','de','des','un','une','est','dans'))),
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('el','la','los','las','de','que','y','es','en','un'))),
+                len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('der','die','das','und','ist','von','ein','eine','mit','nicht')))
+             ]] AS s  -- [en, fr, es, de]
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang, CASE
+            WHEN han_ratio > 0.2 THEN 'zh'
+            WHEN GREATEST(s[1], s[2], s[3], s[4]) > 0 THEN
+                CASE GREATEST(s[1], s[2], s[3], s[4])
+                    WHEN s[2] THEN 'fr'
+                    WHEN s[3] THEN 'es'
+                    WHEN s[1] THEN 'en'
+                    ELSE 'de'
+                END
+            ELSE 'und'
+        END AS pred_lang
+        FROM scored
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- bigram language-model scoring ------------------------------------------
+
+def x82_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per source: train an add-one-smoothed bigram
+    model on the corpus itself, score every document's mean
+    −ln P(wᵢ | wᵢ₋₁), and aggregate per source — the second-order
+    extension of x39's unigram LM score (x39 catches odd vocabulary;
+    this catches odd *sequencing*: shuffled words, concatenation
+    artifacts, template glue that unigram stats cannot see). Context
+    counts use bigram-start occurrences, so P sums to 1 over the
+    smoothed vocabulary per context.
+
+    Scale shape: bigrams are built map-side from the token array
+    (slice+zip — no per-position window pass), counted in one shuffle
+    keyed by the pair, and scored by joining the doc-bigram stream back
+    to the count table on the same pair key (co-partitioned); the
+    vocab-scale context table and the one-row |V| aggregate ride as
+    broadcasts. Python never touches a row.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", "source", tokens_expr(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    bi = toks.select(
+        "doc_id", "source",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "source", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    cb = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = (
+        docs.select(F.explode(tokens_expr(F.lower(F.col("text")))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        bi.join(cb, ["a", "b"])
+        .join(F.broadcast(ctx), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "source",
+            (-F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.col("v")))).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("s").alias("doc_s"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("doc_s"), 6).alias("avg_surprisal"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x82_bigram_surprisal"] = x82_bigram_surprisal
+
+ORACLE["x82_bigram_surprisal"] = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+        WHERE trim(text) <> ''
+          AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+    ),
+    bi AS (
+        SELECT doc_id, source, pr[1] AS a, pr[2] AS b FROM (
+            SELECT doc_id, source,
+                   unnest(list_zip(list_slice(t, 1, len(t) - 1),
+                                   list_slice(t, 2, len(t)))) AS pr
+            FROM toks
+        )
+    ),
+    cb AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+    vocab AS (
+        SELECT COUNT(DISTINCT term) AS v FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        )
+    ),
+    scored AS (
+        SELECT bi.doc_id, bi.source,
+               -ln((cb.c_ab + 1.0) / (ctx.c_a + vocab.v)) AS s
+        FROM bi JOIN cb USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, source, AVG(s) AS doc_s FROM scored GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(doc_s), 6) AS avg_surprisal
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -1608,3 +1608,271 @@ ORACLE.update({
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
     """,
 })
+
+
+# --- round 5: SQL-frontend surface — recursion, IGNORE NULLS, arrays --------
+
+def q57_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` — the iterative SQL-frontend surface (§2.7
+    next to q53's RANGE frame): a dense calendar-month spine generated
+    by recursion from the orders date bounds, left-joined to monthly
+    revenue so months with no orders surface as explicit zero rows (the
+    report-grade variant of x45's sequence+explode gap-fill — this one
+    pins the recursive-CTE evaluator itself; both engines must converge
+    the recursion to the same fixpoint).
+
+    Scale shape: the recursion runs on the one-row bounds aggregate —
+    O(months) driver-free iterations of a single-row frame, never
+    event-scale; the monthly rollup is the only orders-scale pass
+    (partial-agged on the month key); the spine⋈rollup join is
+    |months| rows on both sides.
+    """
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql("""
+        WITH RECURSIVE months AS (
+            SELECT date_trunc('MONTH', MIN(o_orderdate)) AS m,
+                   date_trunc('MONTH', MAX(o_orderdate)) AS hi
+            FROM orders
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+        ),
+        rev AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               COALESCE(rev.revenue, 0.0) AS revenue,
+               CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        ORDER BY month
+    """)
+
+
+QUERIES.update({"q57_recursive_month_spine": q57_recursive_month_spine})
+
+ORACLE.update({
+    "q57_recursive_month_spine": """
+        WITH RECURSIVE months AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS m,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(months.m, '%Y-%m') AS month,
+               COALESCE(rev.revenue, 0.0) AS revenue,
+               CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        ORDER BY month
+    """,
+})
+
+
+def q58_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IGNORE NULLS`` window semantics — last-observation-carried-
+    forward per user over the event stream (§2.7 window surface; the
+    per-entity LOCF every telemetry pipeline runs, and the windowed
+    sibling of x45's spine-grain carry-forward). 'error' events mask
+    ``value`` to NULL; ``last_value(v) IGNORE NULLS`` over the
+    (ts, event_id)-ordered per-user frame repairs them from the most
+    recent good reading. The frame clause matters: the default
+    RANGE-to-CURRENT frame with IGNORE NULLS is exactly the LOCF
+    contract, pinned here with an explicit ROWS frame so both engines
+    evaluate the identical window.
+
+    Scale shape: one event-scale shuffle on user_id (window + the final
+    per-user rollup share it — the aggregation keys are a prefix of the
+    window partition keys, so no second exchange); output is |users|.
+    """
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql("""
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        locf AS (
+            SELECT user_id, v,
+                   last_value(v) IGNORE NULLS OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM base
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN v IS NULL AND filled IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               ROUND(MAX(CASE WHEN rn = 1 THEN filled END), 2) AS last_value
+        FROM locf
+        GROUP BY user_id
+        ORDER BY user_id
+    """)
+
+
+QUERIES.update({"q58_locf_ignore_nulls": q58_locf_ignore_nulls})
+
+ORACLE.update({
+    "q58_locf_ignore_nulls": """
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        locf AS (
+            SELECT user_id, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM base
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN v IS NULL AND filled IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               ROUND(MAX(CASE WHEN rn = 1 THEN filled END), 2) AS last_value
+        FROM locf
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+})
+
+
+def q59_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra surface (§2.5's set ops lifted to the collection
+    domain): per customer, the DISTINCT order-priority profile of 1995
+    vs 1996 as sorted arrays, compared with array_intersect /
+    array_except — the retained / churned demand decomposition. Pins
+    collect_set determinism (sets are unordered — every array is
+    sort_array'd before any cross-engine comparison), the null-free
+    set-semantics of the array algebra, and array_join rendering.
+
+    Scale shape: one orders-scale shuffle on (custkey, year); the
+    year-pivot self-join is |customers|⋈|customers| on the grouping
+    key (AQE broadcasts the smaller year side when it fits); arrays are
+    bounded by |priorities| = 5, so rows stay narrow.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    per = (
+        orders.filter(yr.isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), yr.alias("y"))
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("s"))
+    )
+    a = per.filter(F.col("y") == 1995).select("c_custkey", F.col("s").alias("s95"))
+    b = per.filter(F.col("y") == 1996).select("c_custkey", F.col("s").alias("s96"))
+    inter = F.sort_array(F.array_intersect("s95", "s96"))
+    return (
+        a.join(b, "c_custkey")
+        .select(
+            "c_custkey",
+            F.size(inter).alias("n_common"),
+            F.size(F.array_except("s95", "s96")).alias("n_only95"),
+            F.size(F.array_except("s96", "s95")).alias("n_only96"),
+            F.array_join(inter, ",").alias("common_str"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES.update({"q59_array_set_algebra": q59_array_set_algebra})
+
+ORACLE.update({
+    "q59_array_set_algebra": """
+        WITH per AS (
+            SELECT o_custkey AS c_custkey, year(o_orderdate) AS y,
+                   list_sort(list(DISTINCT o_orderpriority)) AS s
+            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2
+        ),
+        a AS (SELECT c_custkey, s AS s95 FROM per WHERE y = 1995),
+        b AS (SELECT c_custkey, s AS s96 FROM per WHERE y = 1996)
+        SELECT a.c_custkey,
+               CAST(len(list_intersect(s95, s96)) AS INTEGER) AS n_common,
+               CAST(len(list_filter(s95, x -> NOT list_contains(s96, x))) AS INTEGER) AS n_only95,
+               CAST(len(list_filter(s96, x -> NOT list_contains(s95, x))) AS INTEGER) AS n_only96,
+               COALESCE(  -- DuckDB renders the empty list as NULL; Spark as ''
+                   array_to_string(list_sort(list_intersect(s95, s96)), ','), ''
+               ) AS common_str
+        FROM a JOIN b USING (c_custkey)
+        ORDER BY c_custkey
+    """,
+})
+
+
+def q60_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct decomposition: per day, DAU split into new
+    vs returning users plus the running total of users ever seen — the
+    first-touch pattern behind every growth dashboard. COUNT(DISTINCT)
+    cannot run inside a cumulative window at scale; the engine form is
+    first-touch attribution (min event day per user → per-day new-user
+    counts → running sum), which needs only day-grain state. The two
+    engines compute it through different mechanisms (Spark: two
+    event-scale aggregates + day-grain window; DuckDB: identical SQL) —
+    the oracle pins that the decomposition DAU = new + returning holds
+    exactly.
+
+    Scale shape: two event-scale shuffles (per-(day,user) distinct →
+    per-day DAU; per-user first day → per-day news), then a |days|-row
+    window — same bounded-grain posture as q53/x45. Output |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    day_users = ev.distinct()
+    dau = day_users.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    news = (
+        day_users.groupBy("user_id").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count("*").cast("bigint").alias("new_users"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dau.join(news, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("returning", (F.col("dau") - F.col("new_users")).cast("bigint"))
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "new_users", "returning", "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES.update({"q60_new_vs_returning": q60_new_vs_returning})
+
+ORACLE.update({
+    "q60_new_vs_returning": """
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        firsts AS (SELECT user_id, MIN(day) AS day FROM du GROUP BY 1),
+        news AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM firsts GROUP BY 1)
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+               dau.dau,
+               CAST(COALESCE(news.new_users, 0) AS BIGINT) AS new_users,
+               CAST(dau.dau - COALESCE(news.new_users, 0) AS BIGINT) AS returning,
+               CAST(SUM(COALESCE(news.new_users, 0)) OVER (
+                   ORDER BY dau.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM dau LEFT JOIN news ON dau.day = news.day
+        ORDER BY day
+    """,
+})
