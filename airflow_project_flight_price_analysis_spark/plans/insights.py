@@ -455,3 +455,447 @@ ORACLE["x82_bigram_surprisal"] = r"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# --- graph topology ---------------------------------------------------------
+
+def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (suppliers joined
+    by supplying the same part, thresholded to the significantly-linked
+    pairs: shared-part count ≥ mean + 0.5·σ of the pair distribution —
+    SF-adaptive, so the graph is non-degenerate at every test scale).
+    Reports node/edge/triangle counts and global transitivity
+    (3·triangles / wedges) — the clustering diagnostic run before
+    trusting a similarity graph's communities (x21/x44).
+
+    Scale shape: the Spark side counts each triangle ONCE via
+    degree-ordered edge orientation — every edge points from the
+    (degree, id)-smaller endpoint to the larger, so each triangle has
+    exactly one out-degree-2 apex and the wedge⋈closing-edge join never
+    enumerates a triangle twice; wedge fan-out is bounded by the
+    orientation (out-degree ≤ max(in-neighbors' degrees)), the classic
+    skew cap for power-law graphs — a hub of degree d contributes
+    C(d,2) wedges naively but only C(out_d,2) oriented ones. The oracle
+    counts the same triangles by the naive ordered join (s1<s2<s3);
+    identical totals, different physical strategy.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    st = pairs.agg(
+        (F.avg("shared") + 0.5 * F.stddev_pop("shared")).alias("thr")
+    )
+    e = (
+        pairs.crossJoin(F.broadcast(st))
+        .filter(F.col("shared") >= F.col("thr"))
+        .select("s1", "s2")
+    )
+    from ..cache import track_persist  # noqa: PLC0415
+
+    e = e.transform(track_persist)
+    deg = (
+        e.select(F.col("s1").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge from the (degree, id)-smaller endpoint
+    d1 = deg.withColumnRenamed("v", "s1").withColumnRenamed("d", "d1")
+    d2 = deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2")
+    oe = (
+        e.join(d1, "s1").join(d2, "s2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.struct(F.col("s1").alias("u"), F.col("s2").alias("v")),
+            ).otherwise(
+                F.struct(F.col("s2").alias("u"), F.col("s1").alias("v"))
+            ).alias("uv")
+        )
+        .select("uv.u", "uv.v")
+        .transform(track_persist)
+    )
+    x, y, z = oe.alias("x"), oe.alias("y"), oe.alias("z")
+    tri = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") != F.col("y.v")))
+        .join(z, (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).alias("n_wedges")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges).crossJoin(tri).crossJoin(wedges)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
+
+
+QUERIES["x83_triangle_count"] = x83_triangle_count
+
+ORACLE["x83_triangle_count"] = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    st AS (SELECT AVG(shared) + 0.5 * stddev_pop(shared) AS thr FROM pairs),
+    e AS (SELECT s1, s2 FROM pairs, st WHERE shared >= thr),
+    deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e a
+        JOIN e b ON a.s2 = b.s1
+        JOIN e c ON a.s1 = c.s1 AND b.s2 = c.s2
+    ),
+    wedges AS (SELECT SUM(d * (d - 1)) / 2.0 AS n_wedges FROM deg)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * tri.n_triangles / wedges.n_wedges, 6) AS transitivity
+    FROM tri, wedges
+"""
+
+
+# --- feature engineering ----------------------------------------------------
+
+N_BINS = 10
+
+
+def x84_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature binning both ways: equi-DEPTH deciles from exact
+    interpolated percentile bounds (each bin ≈ equal population) and
+    equi-WIDTH buckets via ``width_bucket`` (each bin equal span) over
+    document length — the discretization step before categorical
+    encoders or per-bin sampling (x35). Output is the 2-D contingency
+    of the two binnings: its off-diagonal mass IS the skewness evidence
+    (a symmetric distribution aligns the two; a heavy tail pushes
+    equi-width mass into the top equi-depth bins).
+
+    Bin-assignment convention (pinned identically in both engines):
+    equi-depth bin = 1 + #{bounds b : b ≤ x} over the 9 interior decile
+    bounds; equi-width follows Oracle/Spark width_bucket semantics
+    (x ≥ max → n+1 overflow bucket; DuckDB mirrors the exact
+    floor((x−min)/((max−min)/n))+1 arithmetic, verified bit-parity on
+    integer inputs).
+
+    Scale shape: two one-row global aggregates (percentile bounds +
+    min/max) broadcast into a map-side bin assignment — no per-row
+    join, no sort; then one ≤ |bins|²-group aggregate. The exact
+    percentile is the documented heavy-but-bounded sort (q27); at
+    100 TB swap approx_percentile in with one line.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    qs = [i / N_BINS for i in range(1, N_BINS)]
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(qs)).alias("bounds"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                1 + F.size(F.filter("bounds", lambda b: b <= F.col("n_chars")))
+            ).alias("bin_depth"),
+            F.expr(f"width_bucket(n_chars, lo, hi, {N_BINS})")
+            .cast("int").alias("bin_width"),
+            "n_chars",
+        )
+        .groupBy("bin_depth", "bin_width")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin_depth", "bin_width")
+    )
+
+
+QUERIES["x84_quantile_binning"] = x84_quantile_binning
+
+ORACLE["x84_quantile_binning"] = f"""
+    WITH b AS (
+        SELECT quantile_cont(n_chars,
+                   [{", ".join(str(i / N_BINS) for i in range(1, N_BINS))}]
+               ) AS bounds,
+               MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        FROM documents
+    ),
+    binned AS (
+        SELECT 1 + len(list_filter(b.bounds, x -> x <= d.n_chars)) AS bin_depth,
+               CASE WHEN d.n_chars >= b.hi THEN {N_BINS + 1}
+                    ELSE CAST(floor((d.n_chars - b.lo)
+                              / ((b.hi - b.lo) / {N_BINS}.0)) + 1 AS INTEGER)
+               END AS bin_width,
+               d.n_chars
+        FROM documents d, b
+    )
+    SELECT CAST(bin_depth AS INTEGER) AS bin_depth, bin_width,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM binned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+TARGET_SMOOTHING = 100.0
+
+
+def x85_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-mean encoding of a categorical against a numeric
+    target: market segment → mean order value, shrunk toward the global
+    mean with pseudo-count m={TARGET_SMOOTHING} (enc = (Σy + m·ȳ)/(n + m)
+    — the empirical-Bayes estimator that keeps rare categories from
+    memorizing their few targets), plus the leave-one-out envelope
+    (min/max of (Σy − yᵢ)/(n − 1)) that quantifies single-row leakage
+    spread. This table is the artifact a feature pipeline broadcast-joins
+    back onto the fact side.
+
+    Scale shape: one broadcast dim join (customer → segment) + one
+    |segments|-group aggregate; the global mean rides as a one-row
+    broadcast. LOO extremes derive from (sum, count, min, max) — no
+    per-row window needed.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice")
+    g = j.agg(F.avg("o_totalprice").alias("gmean"))
+    m = TARGET_SMOOTHING
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            F.round(F.col("s") / F.col("n_orders"), 4).alias("raw_mean"),
+            F.round(
+                (F.col("s") + m * F.col("gmean")) / (F.col("n_orders") + m), 4
+            ).alias("smoothed"),
+            F.round(
+                (F.col("s") - F.col("mx")) / (F.col("n_orders") - 1), 4
+            ).alias("loo_min"),
+            F.round(
+                (F.col("s") - F.col("mn")) / (F.col("n_orders") - 1), 4
+            ).alias("loo_max"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["x85_target_encoding"] = x85_target_encoding
+
+ORACLE["x85_target_encoding"] = f"""
+    WITH j AS (
+        SELECT c.c_mktsegment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT AVG(o_totalprice) AS gmean FROM j)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice) / COUNT(*), 4) AS raw_mean,
+           ROUND((SUM(o_totalprice) + {TARGET_SMOOTHING} * ANY_VALUE(g.gmean))
+                 / (COUNT(*) + {TARGET_SMOOTHING}), 4) AS smoothed,
+           ROUND((SUM(o_totalprice) - MAX(o_totalprice)) / (COUNT(*) - 1), 4)
+               AS loo_min,
+           ROUND((SUM(o_totalprice) - MIN(o_totalprice)) / (COUNT(*) - 1), 4)
+               AS loo_max
+    FROM j, g
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+# --- distribution drift -----------------------------------------------------
+
+def x86_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift screen: for every source, the
+    KS statistic D = max |ECDF_source − ECDF_rest| of the document-length
+    distribution against the pooled remainder — the nonparametric
+    complement of x48's binned KL divergence (KL needs a bin choice and
+    misses tail shifts between bin edges; KS is binning-free and
+    supremum-sensitive). Sources ranked by D — the top of this list is
+    where a mixture rebalance (x61) looks first.
+
+    Scale shape: ECDFs evaluated only at observed jump points — the
+    value grid is |distinct lengths| × |sources|, never row-scale; one
+    (source, value) count shuffle, one |values|-row global cumulative
+    join, one window pass per source over the value grid, one
+    |sources|-row max aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    n_s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    cnt_s = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cnt_g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cg"))
+    total = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    grid = (
+        d.select("n_chars").distinct()
+        .crossJoin(F.broadcast(n_s))
+        .join(cnt_s, ["source", "n_chars"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .join(cnt_g, "n_chars")
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        W.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ecdf = grid.select(
+        "source", "n_src",
+        (F.sum("c").over(w) / F.col("n_src")).alias("f_src"),
+        (
+            (F.sum("cg").over(w) - F.sum("c").over(w))
+            / (F.col("n_tot") - F.col("n_src"))
+        ).alias("f_rest"),
+    )
+    return (
+        ecdf.groupBy("source")
+        .agg(
+            F.first("n_src").cast("bigint").alias("n_docs"),
+            F.round(F.max(F.abs(F.col("f_src") - F.col("f_rest"))), 6).alias("ks"),
+        )
+        .orderBy(F.desc("ks"), "source")
+    )
+
+
+QUERIES["x86_ks_drift"] = x86_ks_drift
+
+ORACLE["x86_ks_drift"] = """
+    WITH n_s AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+    cnt_s AS (
+        SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    cnt_g AS (SELECT n_chars, COUNT(*) AS cg FROM documents GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n_tot FROM documents),
+    grid AS (
+        SELECT s.source, x.n_chars, s.n_src, COALESCE(cnt_s.c, 0) AS c,
+               cnt_g.cg, total.n_tot
+        FROM (SELECT DISTINCT n_chars FROM documents) x
+        CROSS JOIN n_s s
+        LEFT JOIN cnt_s ON cnt_s.source = s.source AND cnt_s.n_chars = x.n_chars
+        JOIN cnt_g ON cnt_g.n_chars = x.n_chars
+        CROSS JOIN total
+    ),
+    ecdf AS (
+        SELECT source, n_src,
+               SUM(c) OVER wnd * 1.0 / n_src AS f_src,
+               (SUM(cg) OVER wnd - SUM(c) OVER wnd) * 1.0
+                   / (n_tot - n_src) AS f_rest
+        FROM grid
+        WINDOW wnd AS (
+            PARTITION BY source ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT source,
+           CAST(ANY_VALUE(n_src) AS BIGINT) AS n_docs,
+           ROUND(MAX(ABS(f_src - f_rest)), 6) AS ks
+    FROM ecdf
+    GROUP BY 1
+    ORDER BY ks DESC, source
+"""
+
+
+# --- heavy-tail estimation --------------------------------------------------
+
+HILL_K = 200
+
+
+def x87_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the term-frequency tail index over the top-K
+    order statistics: α̂ = (K−1) / Σᵢ(ln xᵢ − ln x_K) — the
+    maximum-likelihood Pareto exponent of the frequency head, the
+    parametric cross-check of x80's Zipf OLS slope (for a pure Zipf
+    corpus, slope ≈ −1/α̂; divergence between the two flags a head that
+    is not actually power-law, i.e. template spam or a truncated
+    vocabulary). One row out; reported with the implied Zipf slope for
+    the side-by-side.
+
+    Scale shape: identical posture to x80 — corpus-scale token pass →
+    vocab-scale counts → top-K TakeOrdered → one-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    freq = (
+        docs.select(
+            F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), "term").limit(HILL_K)
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("freq").cast("bigint").alias("x_k"),
+        F.round(
+            (F.count(F.lit(1)) - 1)
+            / (
+                F.sum(F.log(F.col("freq").cast("double")))
+                - F.count(F.lit(1)) * F.log(F.min("freq").cast("double"))
+            ),
+            6,
+        ).alias("alpha"),
+        F.round(
+            -(
+                F.sum(F.log(F.col("freq").cast("double")))
+                - F.count(F.lit(1)) * F.log(F.min("freq").cast("double"))
+            )
+            / (F.count(F.lit(1)) - 1),
+            6,
+        ).alias("implied_zipf_slope"),
+    )
+
+
+QUERIES["x87_hill_tail_index"] = x87_hill_tail_index
+
+ORACLE["x87_hill_tail_index"] = rf"""
+    WITH freq AS (
+        SELECT term, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY 1
+    ),
+    top AS (
+        SELECT term, freq FROM freq
+        ORDER BY freq DESC, term LIMIT {HILL_K}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MIN(freq) AS BIGINT) AS x_k,
+           ROUND((COUNT(*) - 1)
+                 / (SUM(ln(freq)) - COUNT(*) * ln(MIN(freq))), 6) AS alpha,
+           ROUND(-(SUM(ln(freq)) - COUNT(*) * ln(MIN(freq)))
+                 / (COUNT(*) - 1), 6) AS implied_zipf_slope
+    FROM top
+"""

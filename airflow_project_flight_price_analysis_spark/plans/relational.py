@@ -1876,3 +1876,125 @@ ORACLE.update({
         ORDER BY day
     """,
 })
+
+
+def q61_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` (NULL on /0 instead
+    of error or ±Inf) and ``try_cast`` (NULL on malformed input) — the
+    error-tolerant expression family a pipeline uses so one bad row
+    can't fail a 100 TB job (the reference's pandas coercion P7 is the
+    same decision at library level; this pins the SQL-surface form).
+    Per return flag: how many unit-margin divisions hit a zero
+    denominator, the mean of the survivors, and how many of a
+    mixed numeric/alpha string column survive a ``try_cast`` to double.
+
+    DuckDB mirror: ``x / NULLIF(d, 0)`` for try_divide (identical NULL
+    semantics) and ``TRY_CAST`` (same name, same semantics).
+
+    Scale shape: pure map-side expressions into one 3-group aggregate —
+    the cheapest possible plan; no row ever errors, so no task retries.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    margin = F.expr("try_divide(l_extendedprice, l_quantity - 1)")
+    mixed = F.expr(
+        "try_cast(CASE WHEN l_quantity < 10 THEN cast(l_quantity AS string) "
+        "ELSE l_linestatus END AS double)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(margin.isNull(), 1)).cast("bigint").alias("n_div_zero"),
+            F.round(F.avg(margin), 4).alias("avg_margin"),
+            F.count(mixed).cast("bigint").alias("n_numeric"),
+            F.round(F.avg(mixed), 4).alias("avg_numeric"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES.update({"q61_try_arithmetic": q61_try_arithmetic})
+
+ORACLE.update({
+    "q61_try_arithmetic": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_extendedprice / NULLIF(l_quantity - 1, 0)
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+               ROUND(AVG(l_extendedprice / NULLIF(l_quantity - 1, 0)), 4) AS avg_margin,
+               CAST(COUNT(TRY_CAST(CASE WHEN l_quantity < 10
+                                        THEN CAST(l_quantity AS VARCHAR)
+                                        ELSE l_linestatus END AS DOUBLE)) AS BIGINT) AS n_numeric,
+               ROUND(AVG(TRY_CAST(CASE WHEN l_quantity < 10
+                                       THEN CAST(l_quantity AS VARCHAR)
+                                       ELSE l_linestatus END AS DOUBLE)), 4) AS avg_numeric
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})
+
+
+def q62_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column algebra: per-customer order-priority histogram
+    built as a MAP column (``map_from_entries`` over a sorted entry
+    array — insertion order is deterministic), thinned with
+    ``map_filter`` (keep priorities ordered ≥ 2 times), rendered with
+    ``map_keys`` + ``array_join``, and exploded back to relational rows
+    (``explode`` of a map yields (key, value) pairs). The collection
+    sibling of q59's array set-algebra — pins that map state composes
+    and round-trips losslessly to rows, so the oracle never needs a map
+    type at all (DuckDB mirrors with plain GROUP BY + window algebra).
+
+    Scale shape: one orders-scale shuffle keyed by custkey; maps are
+    bounded by |priorities| = 5 entries, so rows stay narrow; the
+    explode fans back out to at most 5 rows per customer map-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = (
+        cnt.groupBy("o_custkey")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("o_orderpriority", "n"))
+                )
+            ).alias("m")
+        )
+    )
+    return (
+        m.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.size("m").alias("n_priorities"),
+            F.array_join(F.map_keys("m"), ",").alias("all_pri"),
+            F.explode(F.map_filter("m", lambda k, v: v >= 2)).alias(
+                "priority", "n_orders"
+            ),
+        )
+        .withColumn("n_orders", F.col("n_orders").cast("bigint"))
+        .orderBy("c_custkey", "priority")
+    )
+
+
+QUERIES.update({"q62_map_algebra": q62_map_algebra})
+
+ORACLE.update({
+    "q62_map_algebra": """
+        WITH cnt AS (
+            SELECT o_custkey AS c_custkey, o_orderpriority AS priority,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT c_custkey,
+                   CAST(COUNT(*) AS INTEGER) AS n_priorities,
+                   string_agg(priority, ',' ORDER BY priority) AS all_pri
+            FROM cnt GROUP BY 1
+        )
+        SELECT cnt.c_custkey, agg.n_priorities, agg.all_pri,
+               cnt.priority, CAST(cnt.n AS BIGINT) AS n_orders
+        FROM cnt JOIN agg USING (c_custkey)
+        WHERE cnt.n >= 2
+        ORDER BY c_custkey, priority
+    """,
+})

@@ -134,3 +134,146 @@ def test_recursive_spine_month_coverage(spark):
     lo_y, lo_m = map(int, lo.split("-"))
     hi_y, hi_m = map(int, hi.split("-"))
     assert len(months) == (hi_y - lo_y) * 12 + (hi_m - lo_m) + 1
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+def test_triangle_graph_is_nondegenerate(spark, sf_dir):
+    """x83's mean+0.5σ threshold must leave a graph that actually has
+    triangles at every test SF (the raw co-supply graph is complete at
+    small SF — an untested threshold could silently prune to empty and
+    make the oracle comparison vacuous)."""
+    row = _Q["x83_triangle_count"](spark, sf_dir).collect()[0]
+    assert row.n_edges > 0 and row.n_triangles > 0, row
+    assert 0.0 <= row.transitivity <= 1.0, row
+
+
+def test_triangle_orientation_matches_naive_count(spark):
+    """The degree-oriented wedge join must count exactly the triangles
+    the naive s1<s2<s3 ordered join counts (the oracle does the naive
+    form; this pins the equivalence INSIDE Spark so an orientation bug
+    can't hide behind a coincidentally-equal oracle)."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.plans.insights import (
+        x83_triangle_count,
+    )
+
+    got = x83_triangle_count(spark, SF_SMALL).collect()[0].n_triangles
+
+    ps = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    thr = pairs.agg(
+        (F.avg("shared") + 0.5 * F.stddev_pop("shared")).alias("t")
+    ).collect()[0].t
+    e = pairs.filter(F.col("shared") >= thr).select("s1", "s2")
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    naive = (
+        x.join(y, F.col("x.s2") == F.col("y.s1"))
+        .join(z, (F.col("z.s1") == F.col("x.s1")) & (F.col("z.s2") == F.col("y.s2")))
+        .count()
+    )
+    assert got == naive, (got, naive)
+
+
+def test_quantile_binning_is_broadcast_only(spark):
+    """x84 assigns bins via a one-row broadcast of the bounds — the
+    document side must never shuffle before the final ≤|bins|² agg
+    (no SortMergeJoin; the cross join is a broadcast nested loop)."""
+    plan = _plan(_Q["x84_quantile_binning"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantile_binning_depth_bins_are_balanced(spark):
+    """Equi-depth deciles must be population-balanced: every bin within
+    ±20% of n/10 at driver scale (ties can skew small bins — the point
+    of the check is no empty and no runaway bin)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        _Q["x84_quantile_binning"](spark, SF_ORACLE)
+        .groupBy("bin_depth").agg(F.sum("n_docs").alias("n")).collect()
+    )
+    per = {r.bin_depth: r.n for r in rows}
+    total = sum(per.values())
+    assert set(per) == set(range(1, 11)), per
+    for b, n in per.items():
+        assert abs(n - total / 10) <= total * 0.02, (b, n, total)
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    """Smoothing must land every encoding strictly between the raw
+    segment mean and the global mean (the empirical-Bayes contract),
+    and the LOO envelope must bracket the raw mean."""
+    rows = _Q["x85_target_encoding"](spark, SF_ORACLE).collect()
+    g = sum(r.raw_mean * r.n_orders for r in rows) / sum(r.n_orders for r in rows)
+    for r in rows:
+        lo, hi = sorted((r.raw_mean, g))
+        assert lo - 1e-6 <= r.smoothed <= hi + 1e-6, (r, g)
+        assert r.loo_min <= r.raw_mean <= r.loo_max, r
+
+
+def test_ks_grid_is_value_scale_not_row_scale(spark):
+    """x86's ECDF grid must be |distinct lengths| × |sources| rows —
+    the KS evaluation never fans out to row scale."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_vals = docs.select("n_chars").distinct().count()
+    n_src = docs.select("source").distinct().count()
+    out = _Q["x86_ks_drift"](spark, SF_ORACLE)
+    rows = out.collect()
+    assert len(rows) == n_src
+    for r in rows:
+        assert 0.0 <= r.ks <= 1.0, r
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert n_vals * n_src < docs.count() * n_src  # grid stays sub-row-scale
+
+
+def test_hill_estimator_sane_and_take_ordered(spark):
+    """α̂ must be positive and finite, the head a TakeOrdered (x80's
+    rule), and the implied Zipf slope negative."""
+    df = _Q["x87_hill_tail_index"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    row = df.collect()[0]
+    assert row.alpha > 0, row
+    assert row.implied_zipf_slope < 0, row
+    assert row.k > 0 and row.x_k >= 1, row
+
+
+def test_try_arithmetic_exercises_both_null_paths(spark):
+    """q61 is only meaningful if BOTH error paths fire at test scale:
+    some divisions hit the zero denominator and some casts fail."""
+    from pyspark.sql import functions as F
+
+    rows = _Q["q61_try_arithmetic"](spark, SF_SMALL).collect()
+    assert sum(r.n_div_zero for r in rows) > 0, rows
+    li = load_table(spark, SF_SMALL, "lineitem")
+    n = li.count()
+    assert sum(r.n_numeric for r in rows) < n  # some casts DID fail
+    assert sum(r.n_numeric for r in rows) > 0  # and some succeeded
+
+
+def test_map_algebra_roundtrip_and_filter(spark):
+    """q62's exploded rows must carry only n_orders ≥ 2 (map_filter
+    contract) while n_priorities still counts the UNfiltered map."""
+    from pyspark.sql import functions as F
+
+    df = _Q["q62_map_algebra"](spark, SF_SMALL)
+    bad = df.filter(F.col("n_orders") < 2).count()
+    assert bad == 0
+    r = df.filter(
+        F.size(F.split("all_pri", ",")) < F.col("n_priorities")
+    ).count()
+    assert r == 0  # all_pri renders every key of the unfiltered map
