@@ -73,6 +73,12 @@ HEADLINE = [
     "x73_dau_wau_stickiness",
     "x76_chisq_independence",
     "x77_burst_detection",
+    # round-5 additions: x83 is the repo's heaviest single query (5.3M
+    # triangles at sf0.1 — measured 4.3s standalone after the
+    # degree-ordered wedge halving); it carries the graph family's perf
+    # accountability. x86 covers the window-heavy ECDF/drift family.
+    "x83_triangle_count",
+    "x86_ks_drift",
 ]
 
 
