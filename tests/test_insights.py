@@ -277,3 +277,29 @@ def test_map_algebra_roundtrip_and_filter(spark):
         F.size(F.split("all_pri", ",")) < F.col("n_priorities")
     ).count()
     assert r == 0  # all_pri renders every key of the unfiltered map
+
+
+def test_width_bucket_matches_oracle_floor_formula(spark):
+    """The x84 oracle mirrors Spark's width_bucket with explicit
+    CASE + floor((x-lo)/((hi-lo)/n))+1 arithmetic (DuckDB has no
+    width_bucket). Pin the equivalence inside Spark over a dense value
+    sweep and several (lo, hi) configurations — if Spark ever changes
+    its bucket arithmetic, fail HERE with the exact values, not in a
+    driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") - 500).cast("double").alias("x")
+    )
+    for lo, hi, n in [(48, 553, 10), (0, 1000, 7), (-250, 750, 13)]:
+        got = df.select(
+            "x",
+            F.expr(f"width_bucket(x, {lo}, {hi}, {n})").alias("wb"),
+            F.when(F.col("x") >= hi, F.lit(n + 1))
+            .when(F.col("x") < lo, F.lit(0))
+            .otherwise(
+                F.floor((F.col("x") - lo) / ((hi - lo) / float(n))) + 1
+            ).cast("long").alias("mirror"),
+        )
+        bad = got.filter(F.col("wb") != F.col("mirror")).collect()
+        assert not bad, (lo, hi, n, bad[:5])
