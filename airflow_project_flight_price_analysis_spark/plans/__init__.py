@@ -53,22 +53,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x02_token_stats",
     "x03_quality_scores",
     "x04_fingerprints",
-    "x05_lang_id",
-    "x06_cosine_topk",
-    "x07_lsh_topk",
-    "x10_ngram_jaccard",
-    "x11_media_features",
-    "x12_approx_profile",
-    "x13_tfidf_top_terms",
-    "x14_label_centroids",
-    "x15_ivf_topk",
-    "x16_embedding_neardup",
 )
-# Slots 34..49 are left to the automatic no-green-row tier: x77 (the
+# Slots 23..49 are left to the automatic no-green-row tier: x77 (the
 # declared r4 overflow, never driver-sampled) sorts there first, followed
-# by every query added this round — so new work cannot fall past the
-# budget while the rotation above re-certifies the stalest rows. The
-# remaining r2-stale queries (x18-x33) rotate in round 6.
+# by every query added this round (q57-q64, x78-x95: 26 of them) — so new
+# work cannot fall past the budget while the rotation above re-certifies
+# the stalest rows. The remaining r2-stale queries (x05-x16, x18-x33)
+# rotate in round 6.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -126,19 +117,27 @@ def _prioritize(out: dict) -> dict:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import kpi, relational, temporal, extensions, curation, insights
+    from . import (
+        kpi, relational, temporal, extensions, curation, insights, mining,
+    )
 
     out: dict = {}
-    for mod in (kpi, relational, temporal, extensions, curation, insights):
+    for mod in (
+        kpi, relational, temporal, extensions, curation, insights, mining,
+    ):
         out.update(mod.QUERIES)
     return _prioritize(out)
 
 
 def all_oracle_sql() -> dict[str, str]:
-    from . import kpi, relational, temporal, extensions, curation, insights
+    from . import (
+        kpi, relational, temporal, extensions, curation, insights, mining,
+    )
 
     out: dict = {}
-    for mod in (kpi, relational, temporal, extensions, curation, insights):
+    for mod in (
+        kpi, relational, temporal, extensions, curation, insights, mining,
+    ):
         out.update(mod.ORACLE)
     # mirror the queries() schedule exactly, so the driver sees one order
     order = list(all_queries())

@@ -1,0 +1,773 @@
+"""Round-5 mining & ranking extensions — lexical retrieval scoring,
+deterministic sampling, distribution audits, dependence measures, and
+multi-objective frontier extraction (SURVEY.md §2.9 X4/X6 extension
+surface, same contract as ``insights.py``).
+
+Driver contract notes shared by every query here: DuckDB oracle SQL
+under identical column aliases; counts CAST to BIGINT; doubles ROUNDed
+(6 for ratios/scores, 2 for money) so cross-engine libm last-ulp noise
+can't break the value hash (the x39/x71 ln-parity precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..cache import track_persist
+from ..functions.text import tokens_expr
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+# BM25 constants — Robertson/Spärck Jones defaults; part of the operator
+# definition (both engines score with exactly these).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("merge", "window", "spark")
+BM25_TOP_K = 20
+
+
+# --- lexical retrieval ------------------------------------------------------
+
+def x88_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set — the lexical
+    retrieval scorer every corpus-curation stack keeps next to its
+    embedding ANN (x06/x15): cheap, exact, and the standard first-stage
+    retriever for decontamination-by-query and targeted corpus audits.
+    Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape: ONE corpus pass computes per-doc length and per-term
+    tf entirely map-side (``size(filter(tokens, ...))`` — no explode, no
+    corpus-scale shuffle); corpus stats (N, avgdl, per-term df) reduce to
+    a ONE-ROW broadcast; the top-k is a TakeOrderedAndProject. The only
+    rows that survive the score>0 filter are query-term postings, so the
+    final sort input is posting-scale, not corpus-scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = tokens_expr(F.lower(F.col("text")))
+    tf_cols = [
+        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    # persisted (cache.py-tracked): consumed by the stats aggregate AND
+    # the scoring pass — without it the tokenizer runs the corpus twice.
+    per_doc = docs.select(
+        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    ).transform(track_persist)
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        term_score = idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select("doc_id", score.alias("raw"))
+        .filter(F.col("raw") > 0)
+        .orderBy(F.desc("raw"), "doc_id")
+        .limit(BM25_TOP_K)
+        .select("doc_id", F.round("raw", 6).alias("bm25"))
+    )
+
+
+QUERIES["x88_bm25_ranking"] = x88_bm25_ranking
+
+_BM25_TF_SQL = ", ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(BM25_QUERY_TERMS)
+)
+_BM25_DF_SQL = ", ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(BM25_QUERY_TERMS))
+)
+_BM25_SCORE_SQL = " + ".join(
+    f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * ({BM25_K1} + 1)"
+    f" / (tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    for i in range(len(BM25_QUERY_TERMS))
+)
+ORACLE["x88_bm25_ranking"] = rf"""
+    WITH per_doc AS (
+        SELECT doc_id, len(toks) AS dl, {_BM25_TF_SQL}
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        )
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {_BM25_DF_SQL}
+        FROM per_doc
+    ),
+    scored AS (
+        SELECT doc_id, {_BM25_SCORE_SQL} AS raw
+        FROM per_doc, stats
+    )
+    SELECT doc_id, ROUND(raw, 6) AS bm25
+    FROM scored WHERE raw > 0
+    ORDER BY raw DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+STRATA_FRACTION = 0.1
+
+
+def x89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample: ceil(10%) of each language
+    stratum, selected by md5(doc_id) rank — the reproducible eval-split
+    carve-out a curation pipeline uses when a plain ``sample()`` would
+    under-represent small languages. Deterministic across engines,
+    cluster sizes, and partitionings (content-independent hash order,
+    doc_id tie-break), unlike seed-based sampling whose row assignment
+    depends on partition layout.
+
+    Scale shape: one pass; per-stratum window rank (shuffle keyed on
+    ``lang``). Exact k-of-n selection fundamentally needs a per-stratum
+    rank; at 100 TB with a skewed stratum, swap the rank for a hash
+    THRESHOLD computed from approx_quantile(hash, frac) per stratum —
+    same hash, same determinism, no sort — at the cost of ±epsilon on
+    the stratum size. The exact variant is kept registered because it is
+    oracle-checkable to the row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(F.col("rnk") <= F.ceil(F.lit(STRATA_FRACTION) * F.col("n_lang")))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+QUERIES["x89_stratified_sample"] = x89_stratified_sample
+
+ORACLE["x89_stratified_sample"] = f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    WHERE rnk <= CEIL({STRATA_FRACTION} * n_lang)
+    ORDER BY lang, doc_id
+"""
+
+
+# --- distribution audits ----------------------------------------------------
+
+def x90_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the
+    fabricated-data / unit-mixing screen run on ingested financial
+    columns: organically-grown magnitudes follow P(d) = log10(1 + 1/d);
+    uniform or spiky first-digit histograms flag synthetic or truncated
+    feeds. First digit extracted via integer-floor string math (exact on
+    both engines — no float log10 at the digit boundary).
+
+    Scale shape: one map-side pass to a 9-row digit table; shares ride
+    window sums over those 9 rows. Output is exactly ≤9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = W.partitionBy()
+    exp_share = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    obs_share = F.col("n") / F.sum("n").over(total)
+    return (
+        counts.select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs_share, 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(F.abs(obs_share - exp_share), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["x90_benford_digits"] = x90_benford_digits
+
+ORACLE["x90_benford_digits"] = """
+    WITH counts AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY 1
+    )
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n / SUM(n) OVER (), 6) AS obs_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+           ROUND(abs(n / SUM(n) OVER () - log10(1.0 + 1.0 / digit)), 6)
+               AS abs_dev
+    FROM counts
+    ORDER BY digit
+"""
+
+
+def x91_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) per market segment — the
+    whale-dependence audit: G → 0 means spend is spread evenly across
+    customers, G → 1 means a handful of accounts carry the segment.
+    Rank-based estimator G = 2·Σ(i·r_i)/(n·Σr) − (n+1)/n over revenues
+    sorted ascending; ties in revenue are swap-invariant under Σ(i·r_i),
+    so the custkey tie-break affects determinism only, not the value.
+
+    Scale shape: orders pre-aggregate per customer (partial agg
+    map-side) before the customer join; the rank is a per-segment window
+    (|segments| ≈ 5 sort groups). At 100 TB replace the per-segment sort
+    with range-partitioned ranking (repartitionByRange on revenue +
+    per-partition offsets) or a binned Lorenz approximation; the exact
+    rank form is kept because it is oracle-checkable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    seg = rev.join(customer, rev.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "revenue"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("revenue")
+    ranked = seg.select(
+        "c_mktsegment",
+        "revenue",
+        F.row_number().over(w).cast("double").alias("i"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("revenue"))
+                / (F.count(F.lit(1)) * F.sum("revenue"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["x91_gini_concentration"] = x91_gini_concentration
+
+ORACLE["x91_gini_concentration"] = """
+    WITH rev AS (
+        SELECT o_custkey, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c.c_mktsegment, r.revenue,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment ORDER BY r.revenue
+               ) AS DOUBLE) AS i
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * revenue) / (COUNT(*) * SUM(revenue))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+# --- temporal dependence ----------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def x92_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    periodicity probe behind anomaly baselines: a strong lag-7 spike
+    says "weekly seasonality, detrend before thresholding" (feeds x40's
+    anomaly screen and x93's changepoint scan). Standard ACF estimator:
+    r_k = Σ_{t>k}(x_t−μ)(x_{t−k}−μ) / Σ_t(x_t−μ)², with μ and the
+    denominator over the FULL series.
+
+    Precondition (pinned by tests/test_mining.py): the event stream
+    covers a dense daily range — lag-k adjacency in row order equals
+    calendar adjacency. A gapped regeneration fails the precondition
+    test by name, not the value hash.
+
+    Scale shape: the event-scale pass collapses to |days| rows FIRST;
+    the lag windows and the stack/unpivot run on the day-scale series
+    (the x45 gap-fill precedent). Output is ``ACF_MAX_LAG`` rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    stats = daily.agg(
+        F.avg("x").alias("mu"),
+        (F.var_pop("x") * F.count(F.lit(1))).alias("ss"),
+    )
+    w = W.orderBy("day")
+    dev = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("dev", F.col("x") - F.col("mu"))
+    )
+    lagged = dev.select(
+        "dev",
+        "ss",
+        *[F.lag("dev", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    stack_args = ", ".join(
+        f"{k}, dev * l{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    pairs = lagged.selectExpr(
+        "ss", f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, prod)"
+    ).filter(F.col("prod").isNotNull())
+    return (
+        pairs.groupBy(F.col("lag").cast("bigint").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("prod") / F.max("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+QUERIES["x92_daily_autocorrelation"] = x92_daily_autocorrelation
+
+ORACLE["x92_daily_autocorrelation"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT AVG(x) AS mu, var_pop(x) * COUNT(*) AS ss FROM daily
+    ),
+    numbered AS (
+        SELECT x - mu AS dev, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily, stats
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS k)
+    SELECT CAST(k AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(a.dev * b.dev) / ANY_VALUE(ss), 6) AS acf
+    FROM lags
+    JOIN numbered a ON TRUE
+    JOIN numbered b ON b.rn = a.rn - k,
+    stats
+    GROUP BY k
+    ORDER BY lag
+"""
+
+
+CUSUM_TOP_K = 5
+
+
+def x93_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-CUSUM level-shift scan over the daily mean of the
+    event ``value`` stream: S_t = Σ_{i≤t}(x_i−μ)/σ. A sustained shift in
+    level makes |S_t| peak at the change day (Page 1954's classical
+    statistic); the top-|S_t| days are the candidate changepoints a
+    drift review starts from (complements x86's distribution-shape KS
+    drift — CUSUM sees small-but-sustained mean shifts KS dilutes).
+
+    Scale shape: event-scale pass → |days| series; cumulative window on
+    the day-scale frame only; TakeOrdered top-k. Output ``CUSUM_TOP_K``
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    stats = daily.agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "cusum",
+            F.sum((F.col("x") - F.col("mu")) / F.col("sigma")).over(w),
+        )
+    )
+    return (
+        scored.orderBy(F.desc(F.abs(F.col("cusum"))), "day")
+        .limit(CUSUM_TOP_K)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("cusum", 6).alias("cusum"),
+            F.round(F.abs(F.col("cusum")), 6).alias("abs_cusum"),
+        )
+    )
+
+
+QUERIES["x93_cusum_changepoint"] = x93_cusum_changepoint
+
+ORACLE["x93_cusum_changepoint"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, AVG(value) AS x
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT AVG(x) AS mu, stddev_pop(x) AS sigma FROM daily
+    ),
+    scored AS (
+        SELECT day,
+               SUM((x - mu) / sigma) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW
+               ) AS cusum
+        FROM daily, stats
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(cusum, 6) AS cusum, ROUND(abs(cusum), 6) AS abs_cusum
+    FROM scored
+    ORDER BY abs(cusum) DESC, day LIMIT {CUSUM_TOP_K}
+"""
+
+
+# --- dependence measures ----------------------------------------------------
+
+def x94_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information decomposition of the (event_type ×
+    ISO-weekday) contingency table: per cell, PMI = ln(p(x,y)/(p(x)p(y)))
+    and its MI contribution p(x,y)·PMI — the information-theoretic
+    sibling of x76's chi-square screen (chi-square says WHETHER type and
+    weekday are dependent; the PMI cells say WHERE, in nats, and their
+    sum is the mutual information). Weekday via ISO day-of-week (1=Mon),
+    identical on both engines.
+
+    Scale shape: one event-scale pass to a |types|×7 contingency table;
+    marginals are window sums over that tiny table. Output ≤ |types|×7
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    joint = (
+        ev.select(
+            "event_type",
+            (F.weekday("ts") + F.lit(1)).cast("bigint").alias("isodow"),
+        )
+        .groupBy("event_type", "isodow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wx = W.partitionBy("event_type")
+    wy = W.partitionBy("isodow")
+    tot = W.partitionBy()
+    nx = F.sum("n").over(wx)
+    ny = F.sum("n").over(wy)
+    nn = F.sum("n").over(tot)
+    pmi = F.log(F.col("n") * nn / (nx * ny))
+    return (
+        joint.select(
+            "event_type",
+            "isodow",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(pmi, 6).alias("pmi"),
+            F.round((F.col("n") / nn) * pmi, 6).alias("mi_contrib"),
+        )
+        .orderBy("event_type", "isodow")
+    )
+
+
+QUERIES["x94_mutual_information"] = x94_mutual_information
+
+ORACLE["x94_mutual_information"] = """
+    WITH joint AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, isodow,
+           CAST(n AS BIGINT) AS n,
+           ROUND(ln(n * SUM(n) OVER ()
+                    / (SUM(n) OVER (PARTITION BY event_type)
+                       * SUM(n) OVER (PARTITION BY isodow))), 6) AS pmi,
+           ROUND((n / SUM(n) OVER ())
+                 * ln(n * SUM(n) OVER ()
+                      / (SUM(n) OVER (PARTITION BY event_type)
+                         * SUM(n) OVER (PARTITION BY isodow))), 6)
+               AS mi_contrib
+    FROM joint
+    ORDER BY event_type, isodow
+"""
+
+
+# --- relational: pivot / frontier -------------------------------------------
+
+def q63_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region × order-month revenue matrix via PIVOT — the wide-format
+    report query (`groupBy().pivot()` with EXPLICIT month values, so
+    Spark skips the extra distinct-values scan and the output schema is
+    static). Months come out as m01..m12 columns.
+
+    Scale shape: orders pre-aggregate per (custkey, month) BEFORE the
+    customer join (shrinks the shuffle to ≤12 rows per customer); the
+    nation→region mapping is a broadcast; the pivot itself is an
+    ordinary hash aggregate over |regions| groups with 12 pivot slots —
+    no extra shuffle beyond the FK join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    per_cust_month = orders.groupBy(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = per_cust_month.join(
+        dim, per_cust_month.o_custkey == dim.c_custkey
+    )
+    pivoted = (
+        joined.groupBy("r_name")
+        .pivot("m", list(range(1, 13)))
+        .agg(F.sum("rev"))
+    )
+    return pivoted.select(
+        "r_name",
+        *[F.round(F.col(str(m)), 2).alias(f"m{m:02d}") for m in range(1, 13)],
+    ).orderBy("r_name")
+
+
+QUERIES["q63_pivot_revenue_matrix"] = q63_pivot_revenue_matrix
+
+_PIVOT_CASE_SQL = ",\n           ".join(
+    f"ROUND(SUM(CASE WHEN month(o_orderdate) = {m} THEN o_totalprice END), 2)"
+    f" AS m{m:02d}"
+    for m in range(1, 13)
+)
+ORACLE["q63_pivot_revenue_matrix"] = f"""
+    SELECT r.r_name,
+           {_PIVOT_CASE_SQL}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""
+
+
+PARETO_PRUNE_BUCKETS = 64
+
+
+def q64_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of customers over (total spend,
+    order count): a customer is kept iff no other customer is ≥ on both
+    axes and > on at least one. The oracle states the SEMANTICS directly
+    (NOT EXISTS dominance, O(n²)); the Spark plan computes the same set
+    with a bucket-pruned O(n log n) sweep:
+
+    1. per-customer aggregate (map-side partial);
+    2. broadcast (min, max) spend → assign each point one of
+       ``PARETO_PRUNE_BUCKETS`` spend buckets;
+    3. per-bucket max order-count (tiny agg) → suffix-max over HIGHER
+       buckets, broadcast back: any point with count ≤ a strictly-higher
+       bucket's max is dominated (higher bucket ⇒ strictly higher spend,
+       given the distinct-spend precondition pinned in
+       tests/test_mining.py) and is dropped BEFORE the sort;
+    4. exact sweep on the survivors: sort by spend DESC, keep iff count
+       exceeds the running max of all previous rows.
+
+    Dominators needed by the sweep always survive pruning (a pruned
+    point's own dominator transitively dominates whatever it dominated),
+    so the sweep over survivors is exact. At 100 TB the expensive global
+    sort runs only on the pruned survivor set, whose size is bounded by
+    the frontier's inherent output size plus per-bucket slack.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bounds = agg.agg(
+        F.min("spend").alias("lo"), F.max("spend").alias("hi")
+    )
+    bucketed = agg.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(PARETO_PRUNE_BUCKETS - 1),
+            F.floor(
+                (F.col("spend") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) + F.lit(1e-12))
+                * PARETO_PRUNE_BUCKETS
+            ),
+        ),
+    )
+    bucket_max = bucketed.groupBy("bucket").agg(
+        F.max("n_orders").alias("bmax")
+    )
+    w_above = W.orderBy(F.desc("bucket")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    thr = bucket_max.select(
+        "bucket", F.max("bmax").over(w_above).alias("thr")
+    )
+    survivors = bucketed.join(F.broadcast(thr), "bucket").filter(
+        F.col("thr").isNull() | (F.col("n_orders") > F.col("thr"))
+    )
+    w_sweep = W.orderBy(F.desc("spend")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    frontier = survivors.withColumn(
+        "prev_max", F.max("n_orders").over(w_sweep)
+    ).filter(
+        F.col("prev_max").isNull() | (F.col("n_orders") > F.col("prev_max"))
+    )
+    return frontier.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round("spend", 2).alias("spend"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    ).orderBy(F.desc("spend"))
+
+
+QUERIES["q64_pareto_frontier"] = q64_pareto_frontier
+
+ORACLE["q64_pareto_frontier"] = """
+    WITH agg AS (
+        SELECT o_custkey AS c_custkey,
+               SUM(o_totalprice) AS spend,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, ROUND(spend, 2) AS spend,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM agg a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM agg b
+        WHERE b.spend >= a.spend AND b.n_orders >= a.n_orders
+          AND (b.spend > a.spend OR b.n_orders > a.n_orders)
+    )
+    ORDER BY spend DESC
+"""
+
+
+# --- vocabulary coverage ----------------------------------------------------
+
+VOCAB_K = 20
+
+
+def x95_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own top-K
+    term vocabulary — the tokenizer-coverage audit run before committing
+    a vocab: a source whose OOV mass is an outlier is either a different
+    register/language or garbage, and will fragment into rare tokens at
+    training time (complements x74's entropy and x80's Zipf shape).
+    Vocabulary = top ``VOCAB_K`` terms by corpus frequency, term-asc
+    tie-break (the x13 rule).
+
+    Scale shape: ONE corpus token pass to per-(source, term) counts
+    (persisted — consumed by the vocab head AND the coverage agg);
+    vocabulary head is a TakeOrdered over term-scale rows; coverage is a
+    broadcast semi-style join of term counts against the K-row vocab.
+    No corpus-scale shuffle after the first aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    term_counts = (
+        docs.select(
+            "source",
+            F.explode(tokens_expr(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(track_persist)
+    )
+    vocab = (
+        term_counts.groupBy("term")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(VOCAB_K)
+        .select("term")
+    )
+    flagged = term_counts.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)
+                )
+                / F.sum("n"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["x95_vocab_oov"] = x95_vocab_oov
+
+ORACLE["x95_vocab_oov"] = rf"""
+    WITH term_counts AS (
+        SELECT source, term, COUNT(*) AS n FROM (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, SUM(n) AS freq FROM term_counts GROUP BY 1
+        )
+        ORDER BY freq DESC, term LIMIT {VOCAB_K}
+    )
+    SELECT tc.source,
+           CAST(SUM(tc.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN tc.n ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN tc.n ELSE 0 END)
+                 / CAST(SUM(tc.n) AS DOUBLE), 6) AS oov_rate
+    FROM term_counts tc LEFT JOIN vocab v ON tc.term = v.term
+    GROUP BY 1
+    ORDER BY 1
+"""
