@@ -49,16 +49,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q44_full_outer",
     "q45_union_by_name",
     "q46_cube",
-    "x01_exact_dedup_docs",
-    "x02_token_stats",
-    "x03_quality_scores",
-    "x04_fingerprints",
 )
-# Slots 23..49 are left to the automatic no-green-row tier: x77 (the
+# Slots 19..49 are left to the automatic no-green-row tier: x77 (the
 # declared r4 overflow, never driver-sampled) sorts there first, followed
-# by every query added this round (q57-q64, x78-x95: 26 of them) — so new
+# by every query added this round (q57-q68, x78-x95: 30 of them) — so new
 # work cannot fall past the budget while the rotation above re-certifies
-# the stalest rows. The remaining r2-stale queries (x05-x16, x18-x33)
+# the stalest rows. The remaining r2-stale queries (x01-x16, x18-x33)
 # rotate in round 6.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its

@@ -1998,3 +1998,286 @@ ORACLE.update({
         ORDER BY c_custkey, priority
     """,
 })
+
+
+def q65_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair shipping volume (TPC-H Q7 shape): revenue flowing
+    between two trading nations in BOTH directions, by ship year — the
+    classic two-dimension-table star join where the same dim (nation)
+    role-plays twice (supplier side and customer side, the q05 role-play
+    rule).
+
+    Scale shape: the two-nation filter is pushed INTO the supplier and
+    customer dimension branches BEFORE they touch lineitem, so the fact
+    scan is reduced by two broadcast hash joins (supplier side) and a
+    pre-filtered customer join; revenue aggregates partially map-side
+    into |2 × 2 × years| groups. No lineitem-scale shuffle beyond the
+    orders FK join.
+    """
+    nations = ("NATION_1", "NATION_2")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).filter(F.col("n_name").isin(*nations))
+    sup_n = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)\
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)\
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(sup_n), li.l_suppkey == sup_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+QUERIES.update({"q65_volume_shipping": q65_volume_shipping})
+
+ORACLE.update({
+    "q65_volume_shipping": """
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+          AND nc.n_name IN ('NATION_1', 'NATION_2')
+          AND ns.n_name <> nc.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+})
+
+
+def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share (TPC-H Q8 shape): the fraction of a region's order
+    revenue supplied by one target nation, per order year — the
+    conditional-aggregate-over-join pattern (share = SUM(CASE)/SUM, one
+    aggregate, no second pass).
+
+    Scale shape: region restriction pushes to the customer dimension
+    branch (broadcast nation⋈region); the supplier nation rides in as a
+    broadcast attribute and the share is computed inside ONE partial
+    aggregate over |years| groups — the CASE lives map-side.
+    """
+    target, mkt_region = "NATION_5", "ASIA"
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == mkt_region
+    )
+    cust_in_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg),
+                         nat.n_regionkey == reg.r_regionkey)
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sup_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
+        .join(F.broadcast(sup_n), li.l_suppkey == sup_n.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target, rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+QUERIES.update({"q66_market_share": q66_market_share})
+
+ORACLE.update({
+    "q66_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS mkt_share,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})
+
+
+def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): revenue per
+    supplier over one ship quarter, returning the supplier(s) whose
+    revenue equals the maximum — the scalar-subquery-over-aggregate
+    pattern (Q15's CREATE VIEW + MAX). The equality compares doubles
+    PRODUCED BY THE SAME ENGINE (max picks one of the computed sums),
+    so it is exact within each engine; cross-engine agreement needs only
+    the argmax supplier to match, not the bitwise sum.
+
+    Scale shape: date-pruned lineitem scan (predicate pushdown to
+    parquet) → per-supplier partial agg; the MAX is a one-row broadcast
+    joined back with a crossJoin filter; the supplier name attaches via
+    broadcast at the end, to |argmax| rows only.
+    """
+    lo, hi = "1997-01-01", "1997-04-01"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("raw_rev")
+        )
+    )
+    mx = rev.agg(F.max("raw_rev").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("raw_rev") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round("raw_rev", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES.update({"q67_top_supplier": q67_top_supplier})
+
+ORACLE.update({
+    "q67_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS raw_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, ROUND(r.raw_rev, 2) AS total_revenue
+        FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.raw_rev = (SELECT MAX(raw_rev) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+})
+
+
+def q68_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers per nation (TPC-H Q22 shape):
+    customers whose account balance exceeds the average POSITIVE balance
+    and who have never placed an order — the scalar-subquery threshold +
+    NOT EXISTS anti-join combination, grouped to nation level.
+
+    Scale shape: the average-balance threshold is a one-row broadcast
+    (no second customer pass at filter time); the "never ordered" test
+    is a left-anti hash join against the orders key projection (column-
+    pruned scan); the nation name attaches via broadcast; final agg is
+    |nations| groups.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(
+            F.broadcast(nat), dormant.c_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES.update({"q68_dormant_rich_customers": q68_dormant_rich_customers})
+
+ORACLE.update({
+    "q68_dormant_rich_customers": """
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+                  SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+              )
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              )
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

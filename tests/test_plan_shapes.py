@@ -214,3 +214,50 @@ def test_q56_lateral_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q65_nation_filter_pushed_into_dim_branches(spark):
+    """The two-nation restriction must reach both dimension branches as
+    broadcast joins (supplier side fully broadcast), so the lineitem
+    scan is never joined against the unfiltered dims."""
+    plan = _plan(_Q["q65_volume_shipping"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q66_share_is_single_aggregate(spark):
+    """SUM(CASE)/SUM must compute inside one partial→final aggregate —
+    no second pass over the join for the denominator."""
+    plan = _plan(_Q["q66_market_share"](spark, SF_ORACLE))
+    import re
+    aggs = re.findall(r"HashAggregate", plan)
+    # one partial + one final for the year groups, plus dim-side joins;
+    # crucially NOT two separate year-level aggregations unioned/joined
+    assert "Union" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q67_shipdate_pushed_to_scan_and_max_broadcast(spark):
+    """The quarter filter must reach the parquet scan (PushedFilters),
+    and the MAX attaches as a broadcast one-row join, not a self-join
+    shuffle."""
+    df = _Q["q67_top_supplier"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    scan = plan[plan.index("FileScan"):]
+    assert "l_shipdate" in scan.split("PushedFilters")[1][:300], plan
+
+
+def test_q68_anti_join_on_pruned_orders_projection(spark):
+    """The never-ordered test must be a left-anti hash join whose orders
+    side scans ONLY o_custkey (column pruning)."""
+    plan = _plan(_Q["q68_dormant_rich_customers"](spark, SF_ORACLE))
+    assert "LeftAnti" in plan, plan
+    import re
+    orders_scans = [
+        seg for seg in plan.split("FileScan") if "orders" in seg[:200]
+    ]
+    assert any(
+        "o_custkey" in seg[:400] and "o_totalprice" not in seg[:400]
+        for seg in orders_scans
+    ), plan
