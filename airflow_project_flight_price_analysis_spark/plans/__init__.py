@@ -43,19 +43,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q37_pricing_summary",
     "q38_shipping_priority",
     "q39_forecast_revenue",
-    "q40_salted_agg",
     "q41_local_supplier_volume",
-    "q42_collect_sorted",
-    "q44_full_outer",
-    "q45_union_by_name",
-    "q46_cube",
 )
-# Slots 19..49 are left to the automatic no-green-row tier: x77 (the
+# Slots 14..49 are left to the automatic no-green-row tier: x77 (the
 # declared r4 overflow, never driver-sampled) sorts there first, followed
-# by every query added this round (q57-q68, x78-x95: 30 of them) — so new
+# by every query added this round (q57-q69, x78-x99: 35 of them) — so new
 # work cannot fall past the budget while the rotation above re-certifies
-# the stalest rows. The remaining r2-stale queries (x01-x16, x18-x33)
-# rotate in round 6.
+# the stalest rows. New-operator certification outranks re-certification
+# of locally-green rows, so the rest of the r1/r2-stale queries (q40,
+# q42, q44-q46, x01-x16, x18-x33) rotate in round 6.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)

@@ -771,3 +771,458 @@ ORACLE["x95_vocab_oov"] = rf"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# --- entity resolution ------------------------------------------------------
+
+ER_LEV_MAX = 4
+
+
+def x96_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part catalog — the classic
+    block → match → cluster → survive pipeline composed from the
+    engine's own operators: blocking on (noun, type) keys (the x41
+    sorted-neighborhood idea with a natural key), an edit-distance
+    matcher (q28's scalar function as the pairwise rule), transitive
+    closure via the x21 min-label connected-components operator, and a
+    survivorship aggregate electing the min-key record per entity.
+    Part names are adjective+noun composites with exact duplicates and
+    near-variants, so clusters are non-trivial at every test SF.
+
+    Scale shape: candidate pairs exist ONLY within a (noun, p_type)
+    block — the self-join is an equi-join on the block key, never
+    all-pairs; a hot block bounds pair fan-out by its own size (salt or
+    sub-block on brand if a block explodes at 100 TB). Closure cost is
+    O(diameter) node-scale rounds (operators/graph.py). Survivorship is
+    one |clusters|-group aggregate.
+    """
+    from ..operators.graph import neardup_clusters
+
+    parts = load_table(spark, sf_dir, "part").withColumn(
+        "noun", F.element_at(F.split("p_name", " "), 2)
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("a"),
+        F.col("p_name").alias("name_a"),
+        F.col("noun").alias("noun_a"),
+        F.col("p_type").alias("type_a"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("b"),
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("p_type").alias("type_b"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("type_a") == F.col("type_b"))
+            & (F.col("a") < F.col("b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= ER_LEV_MAX)
+        .select("a", "b")
+    )
+    clustered = neardup_clusters(parts, edges, "p_partkey")
+    return (
+        clustered.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("p_name").cast("bigint").alias("n_names"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+            F.min_by("p_name", "p_partkey").alias("canonical_name"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+QUERIES["x96_entity_resolution"] = x96_entity_resolution
+
+ORACLE["x96_entity_resolution"] = f"""
+    WITH RECURSIVE p AS (
+        SELECT p_partkey, p_name, p_brand, p_type,
+               string_split(p_name, ' ')[2] AS noun
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS a, b.p_partkey AS b
+        FROM p a JOIN p b
+          ON a.noun = b.noun AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {ER_LEV_MAX}
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    clustered AS (
+        SELECT p.*, COALESCE(comp.component, p.p_partkey) AS entity_id
+        FROM p LEFT JOIN comp ON p.p_partkey = comp.node
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           arg_min(p_name, p_partkey) AS canonical_name
+    FROM clustered
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+# --- data-quality expectations ----------------------------------------------
+
+def x97_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation report over the order fact
+    tables — the pre-flight gate a pipeline runs before trusting an
+    ingest (the engine-level generalization of the reference's row-count
+    reconciliation, validation.py O4): referential integrity both
+    directions, cross-table temporal sanity (line items shipped before
+    their order date), domain ranges, null contracts, and primary-key
+    uniqueness, each reported as (violations, checked, rate). The
+    synthetic feed genuinely violates the temporal check and has
+    childless orders, so the report is non-vacuous by construction
+    (pinned in tests/test_mining.py).
+
+    Scale shape: per-table checks fold into ONE map-side aggregate per
+    table (sum(CASE) batteries — no per-check pass); the two
+    referential checks share ONE column-pruned join each. Output is a
+    fixed 8-row report.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    # lineitem-side joined checks: orphan FK + ship-before-order, one join
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    joined_checks = lo.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .alias("orphans"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNotNull()
+                & (F.col("l_shipdate") < F.col("o_orderdate")),
+                1,
+            ).otherwise(0)
+        ).alias("early_ship"),
+    ).selectExpr(
+        "stack(2, 'li_orphan_order_fk', orphans, n, "
+        "'li_ship_before_order', early_ship, n) AS (check_name, "
+        "n_violations, n_checked)"
+    )
+
+    childless = (
+        orders.select("o_orderkey")
+        .join(li.select("l_orderkey").distinct(),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            .alias("v"),
+        )
+        .selectExpr(
+            "stack(1, 'orders_childless', v, n) AS (check_name, "
+            "n_violations, n_checked)"
+        )
+    )
+
+    li_checks = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("qty"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .alias("price"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .alias("rflag"),
+    ).selectExpr(
+        "stack(3, 'li_quantity_out_of_range', qty, n, "
+        "'li_nonpositive_price', price, n, "
+        "'li_null_returnflag', rflag, n) AS (check_name, n_violations, "
+        "n_checked)"
+    )
+
+    o_checks = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .alias("pri"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup"),
+    ).selectExpr(
+        "stack(2, 'orders_null_priority', pri, n, "
+        "'orders_duplicate_pk', dup, n) AS (check_name, n_violations, "
+        "n_checked)"
+    )
+
+    report = joined_checks.unionByName(childless).unionByName(
+        li_checks
+    ).unionByName(o_checks)
+    return report.select(
+        "check_name",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    ).orderBy("check_name")
+
+
+QUERIES["x97_dq_expectations"] = x97_dq_expectations
+
+ORACLE["x97_dq_expectations"] = """
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_shipdate, o.o_orderkey, o.o_orderdate
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    checks AS (
+        SELECT 'li_orphan_order_fk' AS check_name,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS n_violations,
+               COUNT(*) AS n_checked
+        FROM lo
+        UNION ALL
+        SELECT 'li_ship_before_order',
+               SUM(CASE WHEN o_orderkey IS NOT NULL
+                         AND l_shipdate < o_orderdate THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM lo
+        UNION ALL
+        SELECT 'orders_childless',
+               SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+          ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT 'li_quantity_out_of_range',
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_nonpositive_price',
+               SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_null_returnflag',
+               SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_null_priority',
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_duplicate_pk',
+               COUNT(*) - COUNT(DISTINCT o_orderkey),
+               COUNT(*)
+        FROM orders
+    )
+    SELECT check_name,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           ROUND(n_violations * 1.0 / n_checked, 6) AS violation_rate
+    FROM checks
+    ORDER BY check_name
+"""
+
+
+# --- time-series decomposition ----------------------------------------------
+
+TREND_HALF_WIDTH = 3  # centered 7-day moving average
+
+
+def x98_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series:
+    observed = trend (centered 7-day moving average, partial windows at
+    the edges) + weekday effect (mean detrended value per ISO weekday,
+    re-centered so the 7 effects sum to zero) + residual — the STL-lite
+    a metrics pipeline runs so anomaly thresholds (x40) and changepoint
+    scans (x93) operate on residuals instead of raw counts, where weekly
+    periodicity (measured by x92's lag-7 ACF) would otherwise drown the
+    signal.
+
+    Scale shape: ONE event-scale pass collapses to |days| rows; the
+    moving-average window, the 7-row weekday-effect aggregate, and the
+    re-centering broadcast all run at day scale. Output is |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w_ma = W.orderBy("day").rowsBetween(-TREND_HALF_WIDTH, TREND_HALF_WIDTH)
+    with_trend = daily.withColumn("trend", F.avg("x").over(w_ma)).withColumn(
+        "isodow", (F.weekday("day") + F.lit(1)).cast("int")
+    )
+    dow_raw = with_trend.groupBy("isodow").agg(
+        F.avg(F.col("x") - F.col("trend")).alias("raw_effect")
+    )
+    center = dow_raw.agg(F.avg("raw_effect").alias("grand"))
+    dow = dow_raw.crossJoin(F.broadcast(center)).select(
+        "isodow", (F.col("raw_effect") - F.col("grand")).alias("seasonal_raw")
+    )
+    return (
+        with_trend.join(F.broadcast(dow), "isodow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").cast("bigint").alias("observed"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal_raw", 6).alias("seasonal"),
+            F.round(
+                F.col("x") - F.col("trend") - F.col("seasonal_raw"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["x98_seasonal_decomposition"] = x98_seasonal_decomposition
+
+ORACLE["x98_seasonal_decomposition"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    with_trend AS (
+        SELECT day, x,
+               AVG(x) OVER (ORDER BY day
+                   ROWS BETWEEN {TREND_HALF_WIDTH} PRECEDING
+                   AND {TREND_HALF_WIDTH} FOLLOWING) AS trend,
+               isodow(day) AS isodow
+        FROM daily
+    ),
+    dow_raw AS (
+        SELECT isodow, AVG(x - trend) AS raw_effect
+        FROM with_trend GROUP BY 1
+    ),
+    dow AS (
+        SELECT isodow,
+               raw_effect - (SELECT AVG(raw_effect) FROM dow_raw)
+                   AS seasonal_raw
+        FROM dow_raw
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           CAST(t.x AS BIGINT) AS observed,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(d.seasonal_raw, 6) AS seasonal,
+           ROUND(t.x - t.trend - d.seasonal_raw, 6) AS residual
+    FROM with_trend t JOIN dow d ON t.isodow = d.isodow
+    ORDER BY day
+"""
+
+
+# --- market-basket association ----------------------------------------------
+
+BASKET_MIN_PAIR = 2
+BASKET_TOP_K = 20
+
+
+def x99_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: for part
+    pairs co-occurring in ≥``BASKET_MIN_PAIR`` orders, support,
+    directional confidence, and lift — the co-purchase sibling of x75's
+    token-PMI (same counts-ratio algebra, basket-keyed instead of
+    adjacency-keyed). Top-``BASKET_TOP_K`` pairs by lift; tie-broken on
+    the part-key pair, and both engines order on the UNROUNDED lift
+    (identical integer-ratio doubles), so the cut is deterministic.
+
+    Scale shape: pair generation is a self-equi-join ON THE ORDER KEY —
+    fan-out bounded by per-basket size squared (≈ lines-per-order², a
+    data constant), never |parts|². Item frequencies attach via a
+    broadcast-sized aggregate; the head is a TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct().transform(
+        track_persist
+    )
+    # one-row broadcast, never a driver-side count (the x78 nn rule)
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_PAIR)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_orders")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("lift_raw", lift)
+        .orderBy(F.desc("lift_raw"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round("lift_raw", 6).alias("lift"),
+        )
+    )
+
+
+QUERIES["x99_market_basket"] = x99_market_basket
+
+ORACLE["x99_market_basket"] = f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    item AS (
+        SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           ROUND(p.n_ab * 1.0 / n.n_orders, 6) AS support,
+           ROUND(p.n_ab * 1.0 / ia.n_item, 6) AS confidence,
+           ROUND(p.n_ab * 1.0 * n.n_orders / (ia.n_item * ib.n_item), 6)
+               AS lift
+    FROM pairs p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey,
+    n
+    ORDER BY p.n_ab * 1.0 * n.n_orders / (ia.n_item * ib.n_item) DESC,
+             p.part_a, p.part_b
+    LIMIT {BASKET_TOP_K}
+"""

@@ -2281,3 +2281,104 @@ ORACLE.update({
         ORDER BY 1
     """,
 })
+
+
+def q69_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each line item opens a 7-day
+    shipping-activity window [ship_date, ship_date+7); per supplier,
+    overlapping windows merge into maximal islands, reported as island
+    count, total covered days, and longest island — the interval-union
+    operator behind SLA/coverage reporting (q19's sessionization is the
+    point-gap special case; this one merges DURATIONS, where an interval
+    can bridge two otherwise-disjoint neighbors).
+
+    Island rule: a window starts a new island iff its start strictly
+    exceeds the running max of all previous window ends (per supplier,
+    start-ordered). With fixed-width windows the island partition is
+    invariant to the tie order of equal starts, so both engines converge
+    on identical islands without a uniqueness precondition.
+
+    Scale shape: ONE shuffle keyed on l_suppkey; the running max and the
+    island-id cumulative sum share that single sorted pass; island and
+    supplier aggregates are map-side-combining group-bys. No self-join,
+    no range explosion.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.to_date("l_shipdate")
+    iv = li.select(
+        "l_suppkey", s.alias("s"), F.date_add(s, 7).alias("e")
+    )
+    w = W.partitionBy("l_suppkey").orderBy("s", "e")
+    prev_max_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return (
+        islands.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.datediff("i_end", "i_start")).cast("bigint").alias(
+                "covered_days"
+            ),
+            F.max(F.datediff("i_end", "i_start")).cast("bigint").alias(
+                "longest_island_days"
+            ),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+QUERIES.update({"q69_interval_merge": q69_interval_merge})
+
+ORACLE.update({
+    "q69_interval_merge": """
+        WITH iv AS (
+            SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+                   CAST(l_shipdate AS DATE) + 7 AS e
+            FROM lineitem
+        ),
+        flagged AS (
+            SELECT l_suppkey, s, e,
+                   CASE WHEN MAX(e) OVER (
+                            PARTITION BY l_suppkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > MAX(e) OVER (
+                            PARTITION BY l_suppkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING
+                        )
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        numbered AS (
+            SELECT l_suppkey, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY l_suppkey ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ),
+        islands AS (
+            SELECT l_suppkey, island, MIN(s) AS i_start, MAX(e) AS i_end
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(i_end - i_start) AS BIGINT) AS covered_days,
+               CAST(MAX(i_end - i_start) AS BIGINT) AS longest_island_days
+        FROM islands
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

@@ -79,6 +79,14 @@ HEADLINE = [
     # accountability. x86 covers the window-heavy ECDF/drift family.
     "x83_triangle_count",
     "x86_ks_drift",
+    # round-5 batch 2: x88 carries the map-side BM25 corpus pass, x95 the
+    # corpus explode + two-consumer persist, q65 the heaviest new
+    # multi-join (lineitem x orders x customer with role-played nations),
+    # q64 the bucket-pruned skyline sweep.
+    "x88_bm25_ranking",
+    "x95_vocab_oov",
+    "q65_volume_shipping",
+    "q64_pareto_frontier",
 ]
 
 

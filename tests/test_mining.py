@@ -302,3 +302,153 @@ def test_vocab_oov_rates_nontrivial_and_reconciled(spark):
     for r in rows:
         assert 0.0 <= r.oov_rate < 1.0
         assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-5
+
+
+# --- x96 entity resolution --------------------------------------------------
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+def test_er_clusters_are_nontrivial(spark, sf_dir):
+    """The part catalog must contain exact-duplicate names and blocked
+    near-variants, or the pipeline degenerates to all-singletons and
+    proves nothing (the q54 vacuity lesson)."""
+    rows = _Q["x96_entity_resolution"](spark, sf_dir).collect()
+    assert any(r.n_members > 1 for r in rows), "all singletons"
+    assert any(r.n_names > 1 for r in rows), "no near-variant merges"
+
+
+def test_er_pairs_are_block_bounded(spark):
+    """The matcher self-join must be an equi-join on the block key —
+    never a cartesian/all-pairs comparison."""
+    plan = _plan(_Q["x96_entity_resolution"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_er_partition_invariance(spark):
+    """Cluster assignment must not depend on input partitioning (the
+    min-label fixpoint is partition-independent)."""
+    from airflow_project_flight_price_analysis_spark.sources import (
+        load_table as lt,
+    )
+
+    base = {
+        (r.entity_id, r.n_members)
+        for r in _Q["x96_entity_resolution"](spark, SF_SMALL).collect()
+    }
+    assert len(base) > 0
+    # re-run (plans rebuild from scratch; catalyst may choose different
+    # partitioning under AQE) — the fixpoint must agree
+    again = {
+        (r.entity_id, r.n_members)
+        for r in _Q["x96_entity_resolution"](spark, SF_SMALL).collect()
+    }
+    assert base == again
+
+
+# --- x97 data-quality expectations ------------------------------------------
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+def test_dq_report_is_nonvacuous(spark, sf_dir):
+    """The synthetic feed must genuinely violate at least one check AND
+    pass at least one — a report that can't fail (or can't pass) proves
+    nothing."""
+    rows = {r.check_name: r for r in _Q["x97_dq_expectations"](spark, sf_dir).collect()}
+    assert len(rows) == 8
+    assert rows["li_ship_before_order"].n_violations > 0
+    assert rows["li_orphan_order_fk"].n_violations == 0
+    assert rows["orders_duplicate_pk"].n_violations == 0
+
+
+def test_dq_checks_fold_into_per_table_aggregates(spark):
+    """Per-table batteries must run as ONE aggregate each (sum(CASE)
+    stack), not one pass per check: the plan may scan lineitem at most
+    twice (joined checks + map-side battery) and orders at most thrice."""
+    plan = _plan(_Q["x97_dq_expectations"](spark, SF_SMALL))
+    li_scans = sum(
+        1 for seg in plan.split("FileScan")[1:] if "lineitem" in seg[:200]
+    )
+    o_scans = sum(
+        1 for seg in plan.split("FileScan")[1:] if "orders" in seg[:200]
+    )
+    assert li_scans <= 3, plan
+    assert o_scans <= 3, plan
+    assert "BatchEvalPython" not in plan
+
+
+# --- x98 seasonal decomposition ---------------------------------------------
+
+def test_seasonal_decomposition_reconstructs_and_centers(spark):
+    """trend + seasonal + residual must reconstruct the observed count
+    exactly (additive identity), and the 7 weekday effects must be
+    mean-centered."""
+    rows = _Q["x98_seasonal_decomposition"](spark, SF_SMALL).collect()
+    assert len(rows) >= 28
+    for r in rows:
+        assert abs((r.trend + r.seasonal + r.residual) - r.observed) < 1e-4, r
+    import collections
+
+    effects = collections.OrderedDict()
+    import datetime
+
+    for r in rows:
+        dow = datetime.date.fromisoformat(r.day).isoweekday()
+        effects.setdefault(dow, r.seasonal)
+    assert abs(sum(effects.values())) < 1e-4, effects
+
+
+def test_seasonal_decomposition_day_scale_windows(spark):
+    """The moving average must consume the day-scale aggregate: the
+    event-scale pass is one HashAggregate, and no Python stages."""
+    plan = _plan(_Q["x98_seasonal_decomposition"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+# --- x99 market basket ------------------------------------------------------
+
+def test_market_basket_invariants(spark):
+    """support ≤ confidence, counts consistent, pairs canonicalized."""
+    rows = _Q["x99_market_basket"](spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    from airflow_project_flight_price_analysis_spark.plans.mining import (
+        BASKET_MIN_PAIR,
+    )
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_ab >= BASKET_MIN_PAIR
+        assert 0 < r.support <= r.confidence <= 1.0 + 1e-9, r
+        assert r.lift > 0
+
+
+def test_market_basket_pairs_are_basket_keyed(spark):
+    """Pair generation must equi-join on the order key — never a
+    cartesian |parts|² expansion — and the head is a TakeOrdered."""
+    plan = _plan(_Q["x99_market_basket"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- q69 interval merge -----------------------------------------------------
+
+def test_interval_merge_invariants(spark):
+    """Per supplier: islands ≥ 1; every island spans ≥ the 7-day window;
+    covered days ≥ longest island; covered ≤ n_islands * longest."""
+    rows = _Q["q69_interval_merge"](spark, SF_SMALL).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert r.n_islands >= 1
+        assert r.longest_island_days >= 7
+        assert r.covered_days >= r.longest_island_days
+        assert r.covered_days <= r.n_islands * r.longest_island_days
+
+
+def test_interval_merge_single_shuffle_no_self_join(spark):
+    """Flag + island-id + island aggregate share ONE supplier-keyed
+    sort; there is no interval self-join (no range explosion)."""
+    plan = _plan(_Q["q69_interval_merge"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    # lineitem scanned exactly once
+    li_scans = sum(
+        1 for seg in plan.split("FileScan")[1:] if "lineitem" in seg[:200]
+    )
+    assert li_scans == 1, plan
