@@ -590,7 +590,7 @@ ORACLE["q63_pivot_revenue_matrix"] = f"""
 """
 
 
-PARETO_PRUNE_BUCKETS = 64
+from ..operators.frontier import PARETO_PRUNE_BUCKETS  # noqa: E402 (q64 doc)
 
 
 def q64_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,46 +616,19 @@ def q64_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the sweep over survivors is exact. At 100 TB the expensive global
     sort runs only on the pruned survivor set, whose size is bounded by
     the frontier's inherent output size plus per-bucket slack.
+
+    Core algorithm: ``operators/frontier.py::pareto_frontier_2d``
+    (property-tested against the naive dominance definition on
+    arbitrary generated point sets, tests/test_properties.py).
     """
+    from ..operators.frontier import pareto_frontier_2d
+
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    bounds = agg.agg(
-        F.min("spend").alias("lo"), F.max("spend").alias("hi")
-    )
-    bucketed = agg.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.least(
-            F.lit(PARETO_PRUNE_BUCKETS - 1),
-            F.floor(
-                (F.col("spend") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) + F.lit(1e-12))
-                * PARETO_PRUNE_BUCKETS
-            ),
-        ),
-    )
-    bucket_max = bucketed.groupBy("bucket").agg(
-        F.max("n_orders").alias("bmax")
-    )
-    w_above = W.orderBy(F.desc("bucket")).rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    thr = bucket_max.select(
-        "bucket", F.max("bmax").over(w_above).alias("thr")
-    )
-    survivors = bucketed.join(F.broadcast(thr), "bucket").filter(
-        F.col("thr").isNull() | (F.col("n_orders") > F.col("thr"))
-    )
-    w_sweep = W.orderBy(F.desc("spend")).rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    frontier = survivors.withColumn(
-        "prev_max", F.max("n_orders").over(w_sweep)
-    ).filter(
-        F.col("prev_max").isNull() | (F.col("n_orders") > F.col("prev_max"))
-    )
+    frontier = pareto_frontier_2d(agg, "spend", "n_orders")
     return frontier.select(
         F.col("o_custkey").alias("c_custkey"),
         F.round("spend", 2).alias("spend"),

@@ -2302,26 +2302,19 @@ def q69_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     island-id cumulative sum share that single sorted pass; island and
     supplier aggregates are map-side-combining group-bys. No self-join,
     no range explosion.
+
+    Core algorithm: ``operators/frontier.py::merge_intervals``
+    (property-tested against a brute-force Python merge on arbitrary
+    generated interval sets, tests/test_properties.py).
     """
+    from ..operators.frontier import merge_intervals
+
     li = load_table(spark, sf_dir, "lineitem")
     s = F.to_date("l_shipdate")
     iv = li.select(
         "l_suppkey", s.alias("s"), F.date_add(s, 7).alias("e")
     )
-    w = W.partitionBy("l_suppkey").orderBy("s", "e")
-    prev_max_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "new_island",
-        F.when(
-            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
-        ).otherwise(0),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    islands = flagged.groupBy("l_suppkey", "island").agg(
-        F.min("s").alias("i_start"), F.max("e").alias("i_end")
-    )
+    islands = merge_intervals(iv, "l_suppkey", "s", "e")
     return (
         islands.groupBy("l_suppkey")
         .agg(

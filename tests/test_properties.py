@@ -139,3 +139,85 @@ def test_pii_redaction_idempotent_and_clean(spark, values):
     for r in residue:
         assert r.text is not None
         assert r.n_email == 0 and r.n_phone == 0 and r.n_ip == 0, r
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_frontier_matches_naive_dominance(spark, points):
+    """The bucket-pruned sweep (operators/frontier.py) must equal the
+    brute-force dominance definition on ARBITRARY point sets — subject
+    only to its documented tie-free-x precondition, enforced here by
+    de-duplicating x values (keeping the max y per x, which preserves
+    the frontier)."""
+    from airflow_project_flight_price_analysis_spark.operators.frontier import (
+        pareto_frontier_2d,
+    )
+
+    best = {}
+    for x, y in points:
+        best[x] = max(best.get(x, -1), y)
+    pts = [(float(x), y) for x, y in best.items()]
+    naive = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y)) for x2, y2 in pts
+        )
+    }
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert got == naive
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # key
+            st.integers(min_value=0, max_value=100),    # start
+            st.integers(min_value=1, max_value=20),     # width
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_merge_intervals_matches_python_reference(spark, triples):
+    """Island decomposition (operators/frontier.py) must equal the
+    textbook sort-and-merge on ARBITRARY interval sets (overlap or
+    touch merges; strict gap splits)."""
+    from airflow_project_flight_price_analysis_spark.operators.frontier import (
+        merge_intervals,
+    )
+
+    rows = [(k, s, s + w) for k, s, w in triples]
+
+    def reference(ivs):
+        out = {}
+        bykey = {}
+        for k, s, e in ivs:
+            bykey.setdefault(k, []).append((s, e))
+        for k, lst in bykey.items():
+            merged = []
+            for s, e in sorted(lst):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            out[k] = set(merged)
+        return out
+
+    expected = reference(rows)
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = {}
+    for r in merge_intervals(df, "k", "s", "e").collect():
+        got.setdefault(r.k, set()).add((r.i_start, r.i_end))
+    assert got == expected
