@@ -261,3 +261,43 @@ def test_q68_anti_join_on_pruned_orders_projection(spark):
         "o_custkey" in seg[:400] and "o_totalprice" not in seg[:400]
         for seg in orders_scans
     ), plan
+
+
+def _q67_revenue_frame(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    return li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("raw_rev")
+    )
+
+
+def test_q67_precondition_argmax_gap_exceeds_float_noise(spark):
+    """q67 compares each engine's own MAX to its own sums (exact within
+    an engine), but cross-engine agreement needs the ARGMAX supplier to
+    be unambiguous: if the top two revenues differed only at float-noise
+    scale, DuckDB's and Spark's different summation orders could elect
+    different winners. Pin that the gap is many orders of magnitude
+    above double ulp at both driver SFs."""
+    from tests.conftest import SF_ORACLE, SF_SMALL
+
+    for sf_dir in (SF_SMALL, SF_ORACLE):
+        top2 = [
+            r.raw_rev
+            for r in _q67_revenue_frame(spark, sf_dir)
+            .orderBy("raw_rev", ascending=False)
+            .limit(2)
+            .collect()
+        ]
+        assert len(top2) == 2
+        rel_gap = (top2[0] - top2[1]) / abs(top2[0])
+        assert rel_gap > 1e-9, (
+            f"top-supplier revenue gap at {sf_dir} is {rel_gap:.2e} — "
+            "within cross-engine float noise; q67's argmax is ambiguous"
+        )
