@@ -251,12 +251,16 @@ def x91_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the custkey tie-break affects determinism only, not the value.
 
     Scale shape: orders pre-aggregate per customer (partial agg
-    map-side) before the customer join; the rank is a per-segment window
-    (|segments| ≈ 5 sort groups). At 100 TB replace the per-segment sort
-    with range-partitioned ranking (repartitionByRange on revenue +
-    per-partition offsets) or a binned Lorenz approximation; the exact
-    rank form is kept because it is oracle-checkable.
+    map-side) before the customer join; the rank comes from
+    ``operators/ranking.py::distributed_rank`` — range-partitioned
+    local ranks + broadcast partition offsets, so sort parallelism is
+    the number of RANGE partitions, never the |segments| ≈ 5 groups a
+    per-segment window would serialize on at 100 TB. The rank is
+    identical to the window form (property-tested), so the oracle stays
+    the plain ROW_NUMBER.
     """
+    from ..operators.ranking import distributed_rank
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -265,13 +269,12 @@ def x91_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("revenue")
     )
     seg = rev.join(customer, rev.o_custkey == customer.c_custkey).select(
-        "c_mktsegment", "revenue"
+        "c_mktsegment", "revenue", "c_custkey"
     )
-    w = W.partitionBy("c_mktsegment").orderBy("revenue")
-    ranked = seg.select(
-        "c_mktsegment",
-        "revenue",
-        F.row_number().over(w).cast("double").alias("i"),
+    ranked = distributed_rank(
+        seg, ["c_mktsegment"], ["revenue", "c_custkey"], rank_col="rk"
+    ).select(
+        "c_mktsegment", "revenue", F.col("rk").cast("double").alias("i")
     )
     return (
         ranked.groupBy("c_mktsegment")

@@ -1,5 +1,5 @@
 """Plan-shape and precondition tests for the round-5 insights queries
-(x78-x82, q57-q60). Correctness-vs-oracle runs in
+(x78-x87, q57-q62). Correctness-vs-oracle runs in
 test_queries_vs_oracle.py; these pin the physical plans and the data
 preconditions the oracles rely on."""
 

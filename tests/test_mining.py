@@ -1,5 +1,5 @@
 """Plan-shape, precondition, and property tests for the round-5 mining
-queries (x88-x95, q63-q64). Correctness-vs-oracle runs in
+queries (x88-x99, q63-q64, q69). Correctness-vs-oracle runs in
 test_queries_vs_oracle.py; these pin the physical plans, the data
 preconditions the oracles rely on, and engine-independent math
 properties."""

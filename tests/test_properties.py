@@ -221,3 +221,38 @@ def test_merge_intervals_matches_python_reference(spark, triples):
     for r in merge_intervals(df, "k", "s", "e").collect():
         got.setdefault(r.k, set()).add((r.i_start, r.i_end))
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # group
+            st.integers(min_value=-50, max_value=50),    # value
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_distributed_rank_equals_window_rank(spark, pairs):
+    """operators/ranking.py must reproduce the per-group window
+    row_number exactly on arbitrary data — for ANY sampled range
+    boundaries — given a total order (unique id tie-breaker)."""
+    from pyspark.sql.window import Window as W
+
+    from airflow_project_flight_price_analysis_spark.operators.ranking import (
+        distributed_rank,
+    )
+
+    rows = [(g, v, i) for i, (g, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    got = {
+        (r.g, r.id): r.rank
+        for r in distributed_rank(df, ["g"], ["v", "id"]).collect()
+    }
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = {
+        (r.g, r.id): r.rank
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == expected
