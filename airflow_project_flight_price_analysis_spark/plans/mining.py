@@ -145,10 +145,11 @@ def x89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one pass; per-stratum window rank (shuffle keyed on
     ``lang``). Exact k-of-n selection fundamentally needs a per-stratum
-    rank; at 100 TB with a skewed stratum, swap the rank for a hash
-    THRESHOLD computed from approx_quantile(hash, frac) per stratum —
-    same hash, same determinism, no sort — at the cost of ±epsilon on
-    the stratum size. The exact variant is kept registered because it is
+    rank; at 100 TB with a skewed stratum, swap in
+    ``operators/sampling.py::stratified_threshold_sample`` — the same
+    hash as a per-stratum approx-quantile THRESHOLD (no sort, nested
+    across fractions, property-tested) at the cost of ±epsilon on the
+    stratum size. The exact variant is kept registered because it is
     oracle-checkable to the row.
     """
     docs = load_table(spark, sf_dir, "documents")

@@ -256,3 +256,34 @@ def test_distributed_rank_equals_window_rank(spark, pairs):
         for r in df.withColumn("rank", F.row_number().over(w)).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),          # stratum
+            st.integers(min_value=0, max_value=100_000),    # key
+        ),
+        min_size=20,
+        max_size=80,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_threshold_sample_deterministic_and_nested(spark, rows):
+    """operators/sampling.py: the hash-threshold sample must be (a) a
+    deterministic pure function of content (same rows → same sample on
+    re-run), (b) NESTED across fractions (10% sample ⊆ 30% sample), and
+    (c) roughly proportional (within generous sketch/binomial slack)."""
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        stratified_threshold_sample,
+    )
+
+    df = spark.createDataFrame(rows, ["s", "k"])
+    s10a = {r.k for r in stratified_threshold_sample(df, "s", "k", 0.1).collect()}
+    s10b = {r.k for r in stratified_threshold_sample(df, "s", "k", 0.1).collect()}
+    s30 = {r.k for r in stratified_threshold_sample(df, "s", "k", 0.3).collect()}
+    assert s10a == s10b          # deterministic
+    assert s10a <= s30           # nested
+    n = len(rows)
+    assert 0 < len(s30) <= n     # non-degenerate, never oversamples all+
