@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   2. queries with NO green row in any recorded CORRECTNESS_r*.json
 #      (derived automatically, so a newly added query can never silently
 #      fall past the budget);
-#   3. everything else (green in a prior round, unchanged — may rotate out).
+#   3. everything else (green in a prior round, unchanged), ordered by the
+#      round of its LATEST green row ascending — freed budget slots
+#      automatically re-certify whatever the driver has not seen longest,
+#      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # round 5: queries whose SEMANTICS/PLAN change this round and so need
     # a fresh driver row despite being green in r4:
@@ -58,14 +61,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 _BUDGET_OVERFLOW_OK: tuple[str, ...] = ()
 
 
-def _green_in_recorded_correctness() -> set[str]:
-    """Names with a passing row in any driver CORRECTNESS_r*.json artifact."""
+def _latest_green_round() -> dict[str, int]:
+    """Per query name, the LATEST round whose driver CORRECTNESS_r*.json
+    records a passing row (absent = never driver-certified)."""
     import json
+    import re
     from pathlib import Path
 
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             recorded = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -77,8 +84,13 @@ def _green_in_recorded_correctness() -> set[str]:
                 row.get("hash_match") is not False
             )
             if ok and not row.get("err"):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _green_in_recorded_correctness() -> set[str]:
+    """Names with a passing row in any driver CORRECTNESS_r*.json artifact."""
+    return set(_latest_green_round())
 
 
 def _with_cache_rotation(fn: Callable) -> Callable:
@@ -99,12 +111,21 @@ def _with_cache_rotation(fn: Callable) -> Callable:
 
 
 def _prioritize(out: dict) -> dict:
-    green = _green_in_recorded_correctness()
+    latest = _latest_green_round()
     ordered: dict = {k: out[k] for k in _DRIVER_PRIORITY if k in out}
     ordered.update(
-        {k: v for k, v in out.items() if k not in ordered and k not in green}
+        {k: v for k, v in out.items() if k not in ordered and k not in latest}
     )
-    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    # tier 3: already-green queries, STALEST latest-green round first (ties
+    # in registration order) — the budget slots left after tiers 1-2
+    # automatically re-certify whatever the driver has not seen longest,
+    # replacing the hand-maintained per-round rotation lists.
+    reg_pos = {k: i for i, k in enumerate(out)}
+    stale_first = sorted(
+        (k for k in out if k not in ordered),
+        key=lambda k: (latest.get(k, 0), reg_pos[k]),
+    )
+    ordered.update({k: out[k] for k in stale_first})
     return {k: _with_cache_rotation(v) for k, v in ordered.items()}
 
 

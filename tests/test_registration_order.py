@@ -54,3 +54,21 @@ def test_queries_and_oracles_share_order():
     qnames = list(entrymod.queries())
     onames = list(entrymod.oracle_sql())
     assert onames == [n for n in qnames if n in set(onames)]
+
+
+def test_green_tier_orders_stalest_first():
+    """Tier 3 (already driver-certified queries) must order by the
+    round of their LATEST green row ascending — the freed budget slots
+    automatically re-certify whatever the driver has not seen longest,
+    with no hand-maintained rotation list."""
+    names = list(entrymod.queries())
+    latest = plans._latest_green_round()
+    tier3 = [
+        n for n in names
+        if n not in plans._DRIVER_PRIORITY and n in latest
+    ]
+    rounds = [latest[n] for n in tier3]
+    assert rounds == sorted(rounds), (
+        "green tier not stalest-first: "
+        f"{[(n, latest[n]) for n in tier3[:10]]} ..."
+    )
