@@ -1139,23 +1139,19 @@ def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: this is the manual fallback for skew that AQE's
     skew-join splitting can't reach (e.g. a skewed key feeding a
     follow-on aggregation); replication factor 8 multiplies the orders
-    scan, not the lineitem scan — at 100 TB you'd salt only the keys in
-    a pre-computed heavy-hitter sketch rather than all rows (documented
-    at fpa/operators/partitioning.py). Revenue sums round to exact
-    0.01-multiples (repo float policy: round sums, not avgs).
+    scan, not the lineitem scan — at 100 TB pass a pre-computed
+    heavy-hitter key set as ``hot_keys`` so replication cost scales
+    with the hot set, not the build table (implemented and
+    property-tested in ``operators/skew.py::salted_equi_join``).
+    Revenue sums round to exact 0.01-multiples (repo float policy:
+    round sums, not avgs).
     """
-    SALT = 8
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "__salt",
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)).cast("int"),
-    )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
-    )
-    joined = li.join(
-        orders,
-        (li["l_orderkey"] == orders["o_orderkey"])
-        & (li["__salt"] == orders["__salt"]),
+    from ..operators.skew import salted_equi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = salted_equi_join(
+        li, orders, "l_orderkey", "o_orderkey", buckets=8
     )
     return (
         joined.groupBy("o_orderpriority")

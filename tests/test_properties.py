@@ -287,3 +287,57 @@ def test_threshold_sample_deterministic_and_nested(spark, rows):
     assert s10a <= s30           # nested
     n = len(rows)
     assert 0 < len(s30) <= n     # non-degenerate, never oversamples all+
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(                                   # probe rows: (key, payload)
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(                                   # build rows: (key, attr)
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_salted_join_identical_to_plain_join(spark, probe_rows, build_rows):
+    """operators/skew.py must be result-identical to the unsalted join
+    on arbitrary (skewed) data — inner and left, with and without a
+    hot-key set. The tiny key domain makes every generated dataset
+    heavily skewed by construction."""
+    import collections
+
+    from airflow_project_flight_price_analysis_spark.operators.skew import (
+        salted_equi_join,
+    )
+
+    probe = spark.createDataFrame(probe_rows, ["pk", "pv"])
+    build = spark.createDataFrame(
+        build_rows, ["bk", "bv"]
+    ) if build_rows else spark.createDataFrame([], "bk int, bv int")
+    hot = spark.createDataFrame([(k,) for k in {0, 1}], ["k"])
+
+    for how in ("inner", "left"):
+        plain = collections.Counter(
+            (r.pk, r.pv, r.bk, r.bv)
+            for r in probe.join(
+                build, probe.pk == build.bk, how
+            ).collect()
+        )
+        for hk in (None, hot):
+            salted = collections.Counter(
+                (r.pk, r.pv, r.bk, r.bv)
+                for r in salted_equi_join(
+                    probe, build, "pk", "bk", buckets=4, how=how,
+                    hot_keys=hk,
+                ).collect()
+            )
+            assert salted == plain, (how, hk is not None)
