@@ -341,3 +341,22 @@ def test_salted_join_identical_to_plain_join(spark, probe_rows, build_rows):
                 ).collect()
             )
             assert salted == plain, (how, hk is not None)
+
+
+def test_sampled_heavy_hitters_finds_the_hot_key(spark):
+    """operators/skew.py: on a fixed 90/10 skewed dataset the detector
+    must flag the dominant key, omit the uniform tail, and be
+    deterministic across invocations (hash sampling, no rand())."""
+    from airflow_project_flight_price_analysis_spark.operators.skew import (
+        sampled_heavy_hitters,
+    )
+
+    rows = [(0, i) for i in range(9000)] + [
+        (1 + (i % 200), 9000 + i) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "payload"])
+    hot_a = sorted(r.k for r in
+                   sampled_heavy_hitters(df, "k", min_share=0.2).collect())
+    hot_b = sorted(r.k for r in
+                   sampled_heavy_hitters(df, "k", min_share=0.2).collect())
+    assert hot_a == hot_b == [0]
