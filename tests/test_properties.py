@@ -416,3 +416,72 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(min_value=-30, max_value=10),
+    st.integers(min_value=0, max_value=40),
+)
+def test_banded_range_join_matches_bruteforce(
+    spark, left_rows, right_rows, lower, span
+):
+    """operators/asof.py banded_range_join must equal the brute-force
+    inequality join (inclusive bounds) on arbitrary generated events,
+    for arbitrary look-back/look-ahead bands — inner and left."""
+    import collections
+
+    from airflow_project_flight_price_analysis_spark.operators.asof import (
+        banded_range_join,
+    )
+
+    upper = lower + span
+    lrows = [(k, t, i) for i, (k, t) in enumerate(left_rows)]
+    rrows = [(k, t, v, i) for i, (k, t, v) in enumerate(right_rows)]
+    left = spark.createDataFrame(lrows, ["k", "lts", "lid"])
+    right = (
+        spark.createDataFrame(rrows, ["k", "rts", "val", "rid"])
+        if rrows
+        else spark.createDataFrame([], "k int, rts int, val int, rid int")
+    )
+    out = banded_range_join(
+        left, right, ["k"], "lts", "rts",
+        lower_seconds=lower, upper_seconds=upper, how="inner",
+    )
+    got = collections.Counter((r.lid, r.rid) for r in out.collect())
+    expected = collections.Counter(
+        (lid, rid)
+        for lk, lt, lid in lrows
+        for rk, rt, v, rid in rrows
+        if lk == rk and lower <= rt - lt <= upper
+    )
+    assert got == expected
+    out_left = banded_range_join(
+        left, right, ["k"], "lts", "rts",
+        lower_seconds=lower, upper_seconds=upper, how="left",
+    )
+    got_left = collections.Counter(
+        (r.lid, r.rid) for r in out_left.collect()
+    )
+    matched_lids = {lid for lid, _ in expected}
+    expected_left = expected + collections.Counter(
+        (lid, None) for _, _, lid in lrows if lid not in matched_lids
+    )
+    assert got_left == expected_left
