@@ -116,6 +116,11 @@ def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (error, click) pair meets in exactly one bucket — no post-dedup. The
     shuffle key is (user_id, bucket): pair-space bounded by per-bucket
     population, never O(n²) — the same blocking idea as LSH banding.
+
+    The general form (arbitrary band, either explode side, left joins)
+    is ``operators/asof.py::banded_range_join``, property-tested against
+    the brute-force inequality join; this registered query keeps its
+    fused single-source form.
     """
     ev = load_table(spark, sf_dir, "events")
     bucket = F.floor(F.unix_timestamp("ts") / 600)
