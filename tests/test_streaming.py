@@ -231,3 +231,73 @@ def test_stream_interval_join_boundaries(spark, tmp_path):
     q.awaitTermination()
     got = {(r.l, r.r) for r in spark.table(name).collect()}
     assert got == {(100, 201), (100, 202)}, got
+
+
+def test_quality_quarantine_splits_and_annotates(spark, tmp_path):
+    """streaming/quality.py: a streamed feed with known-bad rows must
+    land clean rows in the good path, bad rows in quarantine annotated
+    with exactly the failed check names, and conserve row counts. NULL
+    check results count as failures (unknown != pass)."""
+    from airflow_project_flight_price_analysis_spark.streaming.quality import (
+        start_quality_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, 10.0, "A"),       # clean
+        (2, -5.0, "B"),       # nonneg fails
+        (3, 10.0, None),      # category_known fails (NULL -> fail)
+        (4, -1.0, "Z"),       # both fail
+    ]
+    spark.createDataFrame(rows, ["id", "amount", "cat"]).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    checks = {
+        "nonneg_amount": F.col("amount") >= 0,
+        "category_known": F.col("cat").isin("A", "B"),
+    }
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    q = start_quality_stream(
+        stream, checks, good, quar, str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    good_rows = {r.id for r in spark.read.parquet(good).collect()}
+    bad = {r.id: sorted(r.violations)
+           for r in spark.read.parquet(quar).collect()}
+    assert good_rows == {1}
+    assert bad == {
+        2: ["nonneg_amount"],
+        3: ["category_known"],
+        4: ["category_known", "nonneg_amount"],
+    }
+    assert len(good_rows) + len(bad) == len(rows)
+
+
+def test_quality_quarantine_batch_twin_matches_x97_semantics(spark):
+    """The with_violations annotator is the same predicate algebra the
+    batch x97 battery uses — run it as a plain batch expression over
+    lineitem and reconcile against the registered DQ report's
+    quantity-range check."""
+    from airflow_project_flight_price_analysis_spark.plans import all_queries
+    from airflow_project_flight_price_analysis_spark.sources import load_table
+    from airflow_project_flight_price_analysis_spark.streaming.quality import (
+        with_violations,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    annotated = with_violations(
+        li,
+        {"li_quantity_out_of_range":
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)},
+    )
+    n_bad = annotated.filter(F.size("violations") > 0).count()
+    report = {
+        r.check_name: r.n_violations
+        for r in all_queries()["x97_dq_expectations"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert n_bad == report["li_quantity_out_of_range"]
