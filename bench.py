@@ -87,6 +87,11 @@ HEADLINE = [
     "x95_vocab_oov",
     "q65_volume_shipping",
     "q64_pareto_frontier",
+    # round-5 batch 3/4: the ER closure (iterative), the double-join DQ
+    # battery, and the lineitem-scale island window
+    "x96_entity_resolution",
+    "x97_dq_expectations",
+    "q69_interval_merge",
 ]
 
 
