@@ -61,3 +61,25 @@ def distributed_rank(
         .withColumn(rank_col, (F.col("__lrank") + F.col("__off")).cast("long"))
         .drop("__pid", "__lrank", "__off")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group under (order_cols) — the row_number ≤ k
+    form Spark's planner prunes with ``WindowGroupLimit``: each task
+    keeps a k-row heap per group BEFORE the window sort, so the shuffle
+    carries at most k rows per (group, partition) instead of the whole
+    group (the q56 LATERAL-decorrelation plan, as a library call).
+    Pass ``F.desc(...)`` columns in ``order_cols`` for largest-first;
+    include a unique tie-breaker for determinism.
+    """
+    w = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

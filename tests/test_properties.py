@@ -485,3 +485,41 @@ def test_banded_range_join_matches_bruteforce(
         (lid, None) for _, _, lid in lrows if lid not in matched_lids
     )
     assert got_left == expected_left
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_topk_per_group_matches_reference_and_prunes(spark, rows, k):
+    """operators/ranking.py topk_per_group must (a) equal the Python
+    per-group sort-and-slice on arbitrary data and (b) carry the
+    WindowGroupLimit pre-prune in its physical plan."""
+    from airflow_project_flight_price_analysis_spark.operators.ranking import (
+        topk_per_group,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["g", "v", "id"])
+    out = topk_per_group(df, ["g"], [F.desc("v"), "id"], k)
+    got = {(r.g, r.id, r.rank) for r in out.collect()}
+    import collections
+    by_g = collections.defaultdict(list)
+    for g, v, i in data:
+        by_g[g].append((-v, i))
+    expected = {
+        (g, i, rk + 1)
+        for g, lst in by_g.items()
+        for rk, (_, i) in enumerate(sorted(lst)[:k])
+    }
+    assert got == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
