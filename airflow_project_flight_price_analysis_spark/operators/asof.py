@@ -40,7 +40,15 @@ def asof_join(
 
     ``tolerance_seconds`` additionally voids matches older than the
     given horizon (like pandas ``merge_asof(tolerance=...)``).
+
+    The matched right row is carried as ONE struct (one
+    ``last(ignorenulls)`` over the whole row, not one per value column),
+    so every ``asof_*`` output — including genuine NULLs inside the
+    matched row — comes from the same right row, and the tolerance gate
+    keys on that row's own timestamp.
     """
+    if "__rts" in value_cols:
+        raise ValueError("value column name '__rts' is reserved")
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
     )
@@ -48,8 +56,10 @@ def asof_join(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(v) for v in value_cols],
+        ).alias("__r"),
         *(
             [F.col(right_tiebreak).alias("__tb")]
             if right_tiebreak
@@ -63,27 +73,27 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # left rows union in with __r = NULL (allowMissingColumns), so
+    # last(ignorenulls) skips them but keeps a matched struct whose
+    # FIELDS are null — NULLs in the matched row survive intact.
     carried = unioned.withColumn(
-        "__last_rts", F.last("__rts", ignorenulls=True).over(w)
+        "__last", F.last("__r", ignorenulls=True).over(w)
     )
-    for v in value_cols:
-        carried = carried.withColumn(
-            f"asof_{v}", F.last(f"__v_{v}", ignorenulls=True).over(w)
-        )
     out = carried.filter(F.col("__side") == 1)
+    match_ok = F.col("__last").isNotNull()
     if tolerance_seconds is not None:
-        horizon = (
-            F.col("__ts").cast("double")
-            - F.col("__last_rts").cast("double")
-        ) <= tolerance_seconds
-        for v in value_cols:
-            out = out.withColumn(
-                f"asof_{v}",
-                F.when(horizon, F.col(f"asof_{v}")),
+        match_ok = match_ok & (
+            (
+                F.col("__ts").cast("double")
+                - F.col("__last").getField("__rts").cast("double")
             )
-    drop = ["__ts", "__side", "__rts", "__last_rts"] + [
-        f"__v_{v}" for v in value_cols
-    ]
+            <= tolerance_seconds
+        )
+    for v in value_cols:
+        out = out.withColumn(
+            f"asof_{v}", F.when(match_ok, F.col("__last").getField(v))
+        )
+    drop = ["__ts", "__side", "__r", "__last"]
     if right_tiebreak:
         drop.append("__tb")
     return out.drop(*drop)
@@ -119,6 +129,19 @@ def banded_range_join(
         raise ValueError("upper_seconds must be >= lower_seconds")
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    # key_cols may (and usually do) exist on both sides — right keys are
+    # renamed to reserved __rk_* names below. Any OTHER shared name
+    # (including right_ts == left_ts) would make the delta expression and
+    # the output columns ambiguous, so fail fast instead of silently
+    # mis-resolving.
+    collide = sorted(
+        (set(right.columns) - set(key_cols)) & set(left.columns)
+    )
+    if collide:
+        raise ValueError(
+            "banded_range_join: left/right share non-key column names "
+            f"{collide!r}; rename the right side before joining"
+        )
     width = max(upper_seconds - lower_seconds, 1e-9)
     n_buckets = 2  # span == width -> a right row lands in bucket(l+lower)
     #               or the one above (inclusive upper edge)
@@ -150,9 +173,20 @@ def banded_range_join(
     )
     if how == "inner":
         return matched
-    # left join = matched pairs + null-extended never-matched left rows
-    # (anti join preserves duplicate-left multiplicity exactly)
-    unmatched = left.join(
-        matched.select(*left.columns).distinct(), left.columns, "left_anti"
-    )
+    # left join = matched pairs + null-extended never-matched left rows.
+    # The anti join must be NULL-SAFE: with plain column-name equality a
+    # matched left row holding any NULL never equals its own copy and is
+    # re-emitted as a spurious null-extended row. Matched keys ride under
+    # fresh __m_* aliases (no attribute-ID overlap with `left`, so no
+    # ambiguous-self-join resolution) and the condition is eqNullSafe per
+    # column; anti join preserves duplicate-left multiplicity, and
+    # duplicate rows are value-identical so they share one match status.
+    m_keys = matched.select(
+        *[F.col(c).alias(f"__m_{i}") for i, c in enumerate(left.columns)]
+    ).distinct()
+    anti_cond = None
+    for i, c in enumerate(left.columns):
+        e = left[c].eqNullSafe(F.col(f"__m_{i}"))
+        anti_cond = e if anti_cond is None else anti_cond & e
+    unmatched = left.join(m_keys, anti_cond, "left_anti")
     return matched.unionByName(unmatched, allowMissingColumns=True)

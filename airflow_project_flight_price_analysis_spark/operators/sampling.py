@@ -4,9 +4,14 @@ The scale-path companion to x89's exact stratified sample
 (plans/mining.py): exact k-of-n selection needs a per-stratum rank
 (sort); the threshold variant here needs only a per-stratum
 approx-quantile of the hash — no sort, no rank window — at the cost of
-±epsilon on the stratum size. Same md5 hash, same determinism: the
-sample is a pure function of row content, independent of partitioning,
-cluster size, and engine.
+±epsilon on the stratum size. Same md5 hash: a row's HASH is a pure
+function of row content, independent of partitioning, cluster size,
+and engine. The THRESHOLD, however, comes from merging per-partition
+``percentile_approx`` sketches, and sketch merge is partition-order
+sensitive — so the sample is deterministic for a fixed partitioning,
+but rows within ±epsilon of the quantile boundary may flip in or out
+under a different cluster layout. (x89's exact rank form in
+plans/mining.py has no such boundary sensitivity.)
 """
 
 from __future__ import annotations
@@ -16,7 +21,8 @@ from pyspark.sql import functions as F
 
 
 def content_hash64(key: Column) -> Column:
-    """Uniform-ish 63-bit non-negative hash of a key column via md5 —
+    """Uniform-ish 60-bit non-negative hash of a key column via md5
+    (15 hex chars = 60 bits; skew.py scales against 2^60 accordingly) —
     reproducible across engines and runs (unlike ``rand(seed)``, whose
     row assignment depends on partition layout)."""
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(

@@ -24,37 +24,25 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 5: queries whose SEMANTICS/PLAN change this round and so need
-    # a fresh driver row despite being green in r4:
-    "q54_not_in_null_aware",     # ADVICE r4: was vacuously green (0 rows);
-    #                              predicate tightened so a NULL key flows
-    #                              through the null-aware anti-join.
-    "x53_tfidf_cosine_pairs",    # posting-list length bound added (r4
-    #                              brief item 4) — same oracle, new plan.
-    # round 5 rotation: re-certify the stalest driver rows (latest green
-    # row r1/r2, i.e. BEFORE the round-4 testdata regeneration). The local
-    # oracle replica passes all of them on current data; these driver rows
-    # make that the hard signal. Oldest first.
-    "q22_profile",
-    "q23_standardize_text",
-    "q25_distinct_aggs",
-    "q26_set_ops",
-    "q27_percentiles",
-    "q28_levenshtein_pairs",
-    "q29_date_arithmetic",
-    "q36_window_suite",
-    "q37_pricing_summary",
-    "q38_shipping_priority",
-    "q39_forecast_revenue",
-    "q41_local_supplier_volume",
+    # round 6: queries whose SEMANTICS/PLAN change this round and so need
+    # a fresh driver row despite being green in r5:
+    "x67_containment_pairs",     # r5 verdict item 3: now strategy-adaptive
+    #                              (direct at test scales, prefix at
+    #                              corpus scale) — same oracle.
+    "q32_asof_join",             # ADVICE r6 hardened the asof/banded
+    #                              operator family (struct row-carry,
+    #                              null-safe anti-join); q32/q35 are the
+    #                              registered faces of that family.
+    "q35_range_join",
 )
-# Slots 14..49 are left to the automatic no-green-row tier: x77 (the
-# declared r4 overflow, never driver-sampled) sorts there first, followed
-# by every query added this round (q57-q69, x78-x99: 35 of them) — so new
-# work cannot fall past the budget while the rotation above re-certifies
-# the stalest rows. New-operator certification outranks re-certification
-# of locally-green rows, so the rest of the r1/r2-stale queries (q40,
-# q42, q44-q46, x01-x16, x18-x33) rotate in round 6.
+# Tier 2 (automatic, no green row): q66_market_share (r5's only red row,
+# fixed this round via DECIMAL(38,6) aggregation — must land first) and
+# x67b_containment_prefix (new: the forced-prefix containment plan whose
+# driver row IS the losslessness certification). Tier 3 then re-certifies
+# the remaining r1/r2-stale rows (q40, q42, q44-q46, x01-x16, x18-x33 —
+# ~40 queries predating the round-4 testdata regeneration): 3 + 2 + 40
+# fits the 50-slot budget, closing the certification-latency gap the r5
+# verdict called out.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)

@@ -484,11 +484,21 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    from ..cache import track_persist  # noqa: PLC0415
+
     a, b = ps.alias("a"), ps.alias("b")
+    # pairs is consumed twice — the threshold aggregate AND the edge
+    # filter — and it sits downstream of the query's heaviest work (the
+    # lineitem distinct + part self-join + pair group-by), so persist it:
+    # without this the whole co-supply construction runs twice (r6: the
+    # r5 verdict's x83 trim item). MEMORY_AND_DISK, so at 100 TB this is
+    # a spill-backed materialization of |co-supply pairs| rows, strictly
+    # cheaper than a second full pass over lineitem.
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .agg(F.count(F.lit(1)).alias("shared"))
+        .transform(track_persist)
     )
     st = pairs.agg(
         (F.avg("shared") + 0.5 * F.stddev_pop("shared")).alias("thr")
@@ -498,8 +508,6 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= F.col("thr"))
         .select("s1", "s2")
     )
-    from ..cache import track_persist  # noqa: PLC0415
-
     e = e.transform(track_persist)
     deg = (
         e.select(F.col("s1").alias("v"))

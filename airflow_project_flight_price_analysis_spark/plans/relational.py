@@ -2111,7 +2111,16 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Decimal-cast BEFORE the SUM so the aggregate is exact and
+    # order-independent: double summation order differs between Spark's
+    # partial aggregates and DuckDB's single-threaded fold, and with only
+    # a handful of output rows one value landing near a rounding boundary
+    # flips the cross-engine hash (the r5 red row). DECIMAL(38,6) sums are
+    # bit-stable on both engines; the final cast to double is then a
+    # deterministic function of identical inputs.
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
@@ -2122,12 +2131,14 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == target, rev).otherwise(0.0)
-                )
-                / F.sum(rev),
+                    F.when(F.col("supp_nation") == target, rev).otherwise(
+                        F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -2138,12 +2149,15 @@ QUERIES.update({"q66_market_share": q66_market_share})
 ORACLE.update({
     "q66_market_share": """
         SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-               ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0.0 END)
-                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+               ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                        AS DECIMAL(38,6))
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(38,6))) AS DOUBLE), 6)
                    AS mkt_share,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))) AS DOUBLE), 2)
                    AS total_revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2367,6 +2381,80 @@ ORACLE.update({
                CAST(SUM(i_end - i_start) AS BIGINT) AS covered_days,
                CAST(MAX(i_end - i_start) AS BIGINT) AS longest_island_days
         FROM islands
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})
+
+
+def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip — the registered face of the S7/S8/P15
+    sink surface (reference `dags/tasks/ingestion.py:62,117-119`,
+    `transformation.py:39,116-137`: `to_sql(if_exists='replace'/'append')`
+    plus `load_timestamp` audit columns), which was pytest-only through
+    round 5. The query aggregates orders per priority, writes the low
+    priorities with ``mode("overwrite")`` (S8 — and unlike the
+    reference's pandas replace, the explicit parquet schema survives),
+    APPENDS the rest (S7), stamping a ``loaded_at = current_timestamp()``
+    audit column at write time (P15), then READS THE SINK BACK and
+    returns the read-back aggregate with an audit-presence flag. The
+    DuckDB oracle computes the same aggregate directly from the source
+    table — so a sink that dropped rows, mangled decimals/schema on
+    overwrite, or double-wrote on append shows up as a value/row
+    mismatch in the driver gate.
+
+    Scale shape: the written table is |priorities|-sized (an aggregate,
+    not a fact copy); at 100 TB the same two-mode write path is the
+    bronze/silver persistence step, partitioned by the write key. The
+    sink lives under the repo's scratch dir, keyed by sf so gate and
+    bench runs never collide.
+    """
+    import os
+    import re
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+    )
+    sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".sink_roundtrip", f"orders_by_priority_{sf_tag}",
+    )
+    stamped = base.withColumn("loaded_at", F.current_timestamp())
+    low = stamped.filter(F.col("o_orderpriority") < "3")
+    rest = stamped.filter(~(F.col("o_orderpriority") < "3"))
+    low.write.mode("overwrite").parquet(path)      # S8: replace, schema kept
+    rest.write.mode("append").parquet(path)        # S7: append
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "o_orderpriority", "n_orders", "total_price",
+            F.col("loaded_at").isNotNull().alias("audit_present"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES.update({"q70_sink_roundtrip": q70_sink_roundtrip})
+
+ORACLE.update({
+    "q70_sink_roundtrip": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                          AS DOUBLE), 2) AS total_price,
+               TRUE AS audit_present
+        FROM orders
         GROUP BY 1
         ORDER BY 1
     """,

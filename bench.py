@@ -70,6 +70,9 @@ HEADLINE = [
     # carry perf accountability, not just correctness
     "x60_prefix_filtered_jaccard",
     "x67_containment_pairs",
+    # round-6: the forced-prefix containment plan (the 100 TB path)
+    # carries its own perf accountability next to the direct plan
+    "x67b_containment_prefix",
     "x73_dau_wau_stickiness",
     "x76_chisq_independence",
     "x77_burst_detection",

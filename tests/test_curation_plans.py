@@ -447,3 +447,54 @@ def test_x77_stats_broadcast_bucket_frame_reused(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_x67_direct_and_prefix_agree_on_real_data(spark):
+    """Losslessness of the prefix filter on driver testdata: the forced
+    prefix plan (x67b) must produce exactly the direct plan's rows."""
+    direct = sorted(map(tuple, _Q["x67_containment_pairs"](spark, SF_SMALL).collect()))
+    prefix = sorted(map(tuple, _Q["x67b_containment_prefix"](spark, SF_SMALL).collect()))
+    assert direct == prefix and len(direct) > 0
+
+
+def test_x67_prefix_bound_boundary_hot_shingles(spark, tmp_path):
+    """Pin the probe-side prefix bound ``n − ⌈t·n⌉ + 1`` at its exact
+    boundary, in the worst case for the rare-first order: every doc is
+    8 unique words + the same 4-word hot suffix, so each doc has n = 10
+    distinct shingles of which exactly 2 (the corpus-hottest, sorting
+    LAST under rare-first) are shared — max-containment = 2/10 = t
+    exactly. The lemma places exactly ONE shared shingle at prefix
+    position n − ⌈t·n⌉ + 1 = 9; a prefix one element shorter would
+    return ZERO pairs instead of all C(k,2)."""
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        _containment_pairs,
+    )
+
+    k = 6
+    rows = [
+        (i, "en", " ".join(f"u{i}w{j}" for j in range(8)) + " hot1 hot2 hot3 hot4")
+        for i in range(k)
+    ]
+    # noise docs without the suffix (df=1 shingles only)
+    rows += [(100 + i, "en", " ".join(f"z{i}n{j}" for j in range(12)))
+             for i in range(3)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    expected_pairs = {(a, b) for a in range(k) for b in range(k) if a < b}
+    for strategy in ("direct", "prefix"):
+        got = _containment_pairs(spark, sf_dir, strategy).collect()
+        assert {(r.a, r.b) for r in got} == expected_pairs, strategy
+        assert all(r.shared == 2 and abs(r.c_a_in_b - 0.2) < 1e-9 for r in got)
+
+
+def test_x67b_prefix_plan_shape(spark):
+    """The forced-prefix plan must rank postings (row_number window),
+    never cartesian-product, and stay JVM-side."""
+    plan = _plan(_Q["x67b_containment_prefix"](spark, SF_SMALL))
+    assert "row_number" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

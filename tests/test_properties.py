@@ -372,11 +372,11 @@ def test_sampled_heavy_hitters_finds_the_hot_key(spark):
         min_size=1,
         max_size=40,
     ),
-    st.lists(                                     # right: (key, ts, value)
+    st.lists(                                     # right: (key, ts, value?)
         st.tuples(
             st.integers(min_value=0, max_value=3),
             st.integers(min_value=0, max_value=100),
-            st.integers(min_value=0, max_value=999),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=999)),
         ),
         min_size=0,
         max_size=40,
@@ -386,7 +386,9 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
     """operators/asof.py must match the per-row definition — latest
     right row with the same key at-or-before the left timestamp,
     highest tiebreak id winning exact-timestamp ties — on arbitrary
-    generated event sets."""
+    generated event sets. Right values may be NULL: a matched row whose
+    value is NULL must yield NULL (not an older row's non-null value —
+    the r5 ADVICE per-column-carry bug)."""
     from airflow_project_flight_price_analysis_spark.operators.asof import (
         asof_join,
     )
@@ -394,10 +396,8 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
     lrows = [(k, t, i) for i, (k, t) in enumerate(left_rows)]
     rrows = [(k, t, v, i) for i, (k, t, v) in enumerate(right_rows)]
     left = spark.createDataFrame(lrows, ["k", "ts", "lid"])
-    right = (
-        spark.createDataFrame(rrows, ["k", "ts", "val", "rid"])
-        if rrows
-        else spark.createDataFrame([], "k int, ts int, val int, rid int")
+    right = spark.createDataFrame(
+        rrows, "k int, ts int, val int, rid int"
     )
 
     def brute(k, t):
@@ -424,6 +424,7 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
         st.tuples(
             st.integers(min_value=0, max_value=2),
             st.integers(min_value=0, max_value=200),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
         ),
         min_size=1,
         max_size=30,
@@ -445,7 +446,10 @@ def test_banded_range_join_matches_bruteforce(
 ):
     """operators/asof.py banded_range_join must equal the brute-force
     inequality join (inclusive bounds) on arbitrary generated events,
-    for arbitrary look-back/look-ahead bands — inner and left."""
+    for arbitrary look-back/look-ahead bands — inner and left. Left rows
+    carry a nullable payload: a MATCHED left row holding a NULL must not
+    be re-emitted as a spurious null-extended row (the r5 ADVICE
+    null-unsafe anti-join bug)."""
     import collections
 
     from airflow_project_flight_price_analysis_spark.operators.asof import (
@@ -453,13 +457,11 @@ def test_banded_range_join_matches_bruteforce(
     )
 
     upper = lower + span
-    lrows = [(k, t, i) for i, (k, t) in enumerate(left_rows)]
+    lrows = [(k, t, p, i) for i, (k, t, p) in enumerate(left_rows)]
     rrows = [(k, t, v, i) for i, (k, t, v) in enumerate(right_rows)]
-    left = spark.createDataFrame(lrows, ["k", "lts", "lid"])
-    right = (
-        spark.createDataFrame(rrows, ["k", "rts", "val", "rid"])
-        if rrows
-        else spark.createDataFrame([], "k int, rts int, val int, rid int")
+    left = spark.createDataFrame(lrows, "k int, lts int, pay int, lid int")
+    right = spark.createDataFrame(
+        rrows, "k int, rts int, val int, rid int"
     )
     out = banded_range_join(
         left, right, ["k"], "lts", "rts",
@@ -468,7 +470,7 @@ def test_banded_range_join_matches_bruteforce(
     got = collections.Counter((r.lid, r.rid) for r in out.collect())
     expected = collections.Counter(
         (lid, rid)
-        for lk, lt, lid in lrows
+        for lk, lt, _p, lid in lrows
         for rk, rt, v, rid in rrows
         if lk == rk and lower <= rt - lt <= upper
     )
@@ -482,7 +484,7 @@ def test_banded_range_join_matches_bruteforce(
     )
     matched_lids = {lid for lid, _ in expected}
     expected_left = expected + collections.Counter(
-        (lid, None) for _, _, lid in lrows if lid not in matched_lids
+        (lid, None) for _, _, _, lid in lrows if lid not in matched_lids
     )
     assert got_left == expected_left
 
