@@ -498,3 +498,30 @@ def test_x67b_prefix_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_x67_auto_switches_to_prefix_above_threshold(spark, tmp_path, monkeypatch):
+    """The auto strategy must route big corpora to the prefix plan (and
+    memoize the per-dataset decision): with the direct-path ceiling
+    monkeypatched to 1 doc, auto on a 3-doc corpus must equal the
+    forced-prefix result and record the 'prefix' decision."""
+    from airflow_project_flight_price_analysis_spark.plans import curation
+
+    rows = [
+        (1, "en", "alpha beta gamma delta epsilon"),
+        (2, "en", "alpha beta gamma delta zeta"),
+        (3, "en", "totally different words here now"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    monkeypatch.setattr(curation, "CONTAINMENT_DIRECT_MAX_DOCS", 1)
+    monkeypatch.setattr(curation, "_CONTAINMENT_STRATEGY", {})
+    auto = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "auto").collect()))
+    assert curation._CONTAINMENT_STRATEGY[sf_dir] == "prefix"
+    forced = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "prefix").collect()))
+    direct = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "direct").collect()))
+    assert auto == forced == direct
+    assert len(auto) == 1  # docs 1 and 2 share 2 of 3 shingles
