@@ -37,7 +37,19 @@ def scd2_upsert(current: DataFrame, updates: DataFrame, key: str,
     ``current`` schema: key, attrs..., valid_from, valid_to (OPEN_END for
     live rows). ``updates`` schema: key, attrs... — one row per key.
     Returns the new full dimension state.
+
+    Business keys must be NON-NULL: the change-detection full join and
+    the semi/anti routing all use null-unsafe key equality, so a NULL
+    key would silently re-insert forever instead of versioning (the
+    ADVICE r5 anti-join bug class). Fails fast — a dimension with NULL
+    business keys is a data-quality error upstream (route it through
+    the DQ quarantine, streaming/quality.py), not an upsert input. The
+    probe is ``limit(1)`` so it short-circuits on the first offender.
     """
+    if updates.filter(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"scd2_upsert: updates contain NULL business key {key!r}"
+        )
     live = current.filter(F.col("valid_to") == OPEN_END).alias("cur")
     history = current.filter(F.col("valid_to") != OPEN_END)
     upd = updates.alias("upd")

@@ -129,7 +129,14 @@ class SnapshotTable:
 
 def _insert_if_new(current: DataFrame | None, updates: DataFrame, key: str) -> DataFrame:
     """Insert-if-new with deterministic in-batch dedup: one row per new
-    key (the field-wise smallest, via min over a struct — order-free)."""
+    key (the field-wise smallest, via min over a struct — order-free).
+
+    The existence check is NULL-SAFE: with plain key equality a NULL-key
+    row never matches its own stored copy, so every upsert batch would
+    re-insert it and the table would accumulate one NULL-key duplicate
+    per commit (the r6 sweep for the ADVICE r5 anti-join bug class).
+    ``groupBy`` already treats NULL as one group, so insert-once is the
+    consistent semantics."""
     cols = updates.columns
     deduped = (
         updates.groupBy(key)
@@ -139,4 +146,8 @@ def _insert_if_new(current: DataFrame | None, updates: DataFrame, key: str) -> D
     )
     if current is None:
         return deduped
-    return current.unionByName(deduped.join(current, key, "left_anti"))
+    cur_keys = current.select(F.col(key).alias("__cur_key")).distinct()
+    fresh = deduped.join(
+        cur_keys, F.col(key).eqNullSafe(F.col("__cur_key")), "left_anti"
+    )
+    return current.unionByName(fresh)

@@ -34,6 +34,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #                              null-safe anti-join); q32/q35 are the
     #                              registered faces of that family.
     "q35_range_join",
+    "x44_cluster_survivors",     # connected_components rewritten to the
+    #                              hybrid propagation→star-contraction
+    "x96_entity_resolution",     # form (r6); x44/x96/x21 consume it —
+    #                              x21 already sorts into the stale tier.
 )
 # Tier 2 (automatic, no green row): q66_market_share (r5's only red row,
 # fixed this round via DECIMAL(38,6) aggregation — must land first) and

@@ -47,3 +47,60 @@ def test_neardup_clusters_and_transitive_dedup(spark):
     pb = pa.join(c.withColumnRenamed("doc_id", "b"), "b") \
            .withColumnRenamed("cluster_id", "cb")
     assert pb.filter(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """A 60-node path (the boilerplate-chain shape) must converge well
+    inside the round budget: plain min-label propagation needs
+    O(diameter) ≈ 60 rounds and would raise; the large-star/small-star
+    contraction needs O(log²n). Ids are laid out so the component min
+    sits at one END of the path (the worst case for propagation
+    distance)."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["a", "b"]
+    )
+    comp = {r.node: r.component
+            for r in connected_components(edges, max_iter=12).collect()}
+    assert comp == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """The star contraction must equal a union-find reference on a batch
+    of adversarial shapes: two long paths glued at one end (the shape
+    that defeats pointer-jumped label propagation — a freshly-merged
+    region re-propagates the new minimum one edge per round), a star, a
+    cycle, and scattered pairs — one Spark job for all."""
+    edge_list = (
+        [(i, i + 1) for i in range(100, 130)]          # path A
+        + [(i, i + 1) for i in range(200, 230)]        # path B
+        + [(130, 230)]                                 # glue A+B ends
+        + [(300, i) for i in range(301, 311)]          # star
+        + [(i, i + 1) for i in range(400, 410)] + [(410, 400)]  # cycle
+        + [(500, 501), (502, 503)]                     # pairs
+    )
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for a, b in edge_list:
+        union(a, b)
+    # canonicalize to min-of-component
+    expected = {x: find(x) for x in parent}
+    mins: dict[int, int] = {}
+    for x, r in expected.items():
+        mins[r] = min(mins.get(r, x), x)
+    expected = {x: mins[find(x)] for x in parent}
+
+    edges = spark.createDataFrame(edge_list, ["a", "b"])
+    comp = {r.node: r.component
+            for r in connected_components(edges, max_iter=12).collect()}
+    assert comp == expected

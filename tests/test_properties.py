@@ -291,17 +291,17 @@ def test_threshold_sample_deterministic_and_nested(spark, rows):
 
 @settings(max_examples=6, deadline=None)
 @given(
-    st.lists(                                   # probe rows: (key, payload)
+    st.lists(                                   # probe rows: (key?, payload)
         st.tuples(
-            st.integers(min_value=0, max_value=4),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
             st.integers(min_value=0, max_value=1000),
         ),
         min_size=1,
         max_size=60,
     ),
-    st.lists(                                   # build rows: (key, attr)
+    st.lists(                                   # build rows: (key?, attr)
         st.tuples(
-            st.integers(min_value=0, max_value=6),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
             st.integers(min_value=0, max_value=1000),
         ),
         min_size=0,
@@ -319,10 +319,11 @@ def test_salted_join_identical_to_plain_join(spark, probe_rows, build_rows):
         salted_equi_join,
     )
 
-    probe = spark.createDataFrame(probe_rows, ["pk", "pv"])
-    build = spark.createDataFrame(
-        build_rows, ["bk", "bv"]
-    ) if build_rows else spark.createDataFrame([], "bk int, bv int")
+    # NULL keys ride along: the contract is parity with the PLAIN join
+    # (where NULL matches nothing), so the salt/hot-flag machinery must
+    # not accidentally give NULL keys different routing (ADVICE r5 class)
+    probe = spark.createDataFrame(probe_rows, "pk int, pv int")
+    build = spark.createDataFrame(build_rows, "bk int, bv int")
     hot = spark.createDataFrame([(k,) for k in {0, 1}], ["k"])
 
     for how in ("inner", "left"):

@@ -126,3 +126,20 @@ def test_ivf_kmeans_centroids_contract(spark):
     assert assigned.select("id").distinct().count() == emb.count()
     n_buckets = assigned.select("centroid_id").distinct().count()
     assert 1 < n_buckets <= 8
+
+
+def test_scd2_rejects_null_business_key(spark):
+    """NULL business keys would silently re-insert forever through the
+    null-unsafe routing joins — the upsert must fail fast instead."""
+    import pytest
+    from airflow_project_flight_price_analysis_spark.operators.scd import (
+        scd2_upsert,
+    )
+
+    current = spark.createDataFrame(
+        [(1, "a", "2024-01-01", "9999-12-31")],
+        "k int, attr string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame([(None, "b")], "k int, attr string")
+    with pytest.raises(ValueError, match="NULL business key"):
+        scd2_upsert(current, updates, "k", ["attr"], "2024-02-01")

@@ -161,3 +161,23 @@ def test_streaming_dim_upsert_end_to_end(spark, tmp_path):
     state = SnapshotTable(str(tmp_path / "dim")).read(spark)
     assert state.count() == 2
     assert state.select("airline_id").distinct().count() == 2
+
+
+def test_upsert_null_key_inserts_once(spark, tmp_path):
+    """A NULL-key row must behave like any other key: inserted once,
+    then recognized as existing by the null-safe check — not re-inserted
+    on every subsequent upsert (the r5 ADVICE anti-join bug class)."""
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    upd = spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string")
+    t.upsert(spark, upd, key="k")
+    t.upsert(spark, upd, key="k")
+    rows = t.read(spark).collect()
+    assert len(rows) == 2
+    got = sorted(
+        [(r.k, r.v) for r in rows], key=lambda p: (p[0] is None, p)
+    )
+    assert got == [(1, "a"), (None, "x")]
