@@ -2044,3 +2044,63 @@ ORACLE.update({
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 })
+
+
+# --- X2/X4 extension: bloom-filter decontamination (runtime filter) ---------
+
+def x100_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated decontamination: flag corpus documents whose
+    leading-4-token fingerprint appears in the held-out eval set
+    (``doc_id % 13 == 0`` plays the eval split) — the contamination
+    check every training-data pipeline runs before a release, here as
+    the EXPLICIT runtime-filter pattern: build a one-row broadcast
+    bloom bitset over the eval fingerprints, prune the corpus MAP-SIDE,
+    and exact-verify only the survivors (operators/bloom.py). The
+    result is bitwise the plain semi-join (the oracle computes exactly
+    that), but the semi-join's shuffle carries only bloom survivors —
+    at 100 TB the corpus never shuffles to discover that 99.9% of it
+    is clean. Complements x33 (5-gram inverted-index decontamination):
+    x33 finds span-level overlap, this screens whole-doc fingerprints
+    at a fraction of the cost. Reference analog: none — extension
+    surface (SURVEY.md §2.9 sketch category).
+
+    The eval-set count that sizes the filter is one tiny aggregate
+    (|eval| rows); fpp=1% only adds verify rows, never errors.
+    """
+    from ..functions.text import tokens_expr
+    from ..operators.bloom import bloom_semi_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(tokens_expr(F.lower(F.col("text"))), 1, 4))
+    )
+    keyed = docs.withColumn("fp", fp)
+    eval_set = keyed.filter(F.col("doc_id") % 13 == 0).select("fp")
+    corpus = keyed.filter(F.col("doc_id") % 13 != 0)
+    n_eval = max(eval_set.count(), 1)
+    flagged = bloom_semi_join(
+        corpus, eval_set, "fp", "fp", expected_items=n_eval, fpp=0.01
+    )
+    return flagged.select("doc_id", "source").orderBy("doc_id")
+
+
+QUERIES.update({"x100_bloom_decontaminate": x100_bloom_decontaminate})
+
+ORACLE.update({
+    "x100_bloom_decontaminate": r"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       list_slice(string_split_regex(lower(trim(text)),
+                                                     '\s+'), 1, 4),
+                       ' ')) AS fp
+            FROM documents
+        )
+        SELECT c.doc_id, c.source
+        FROM d c
+        WHERE c.doc_id % 13 <> 0
+          AND EXISTS (SELECT 1 FROM d e
+                      WHERE e.doc_id % 13 = 0 AND e.fp = c.fp)
+        ORDER BY c.doc_id
+    """,
+})
