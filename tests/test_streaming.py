@@ -301,3 +301,38 @@ def test_quality_quarantine_batch_twin_matches_x97_semantics(spark):
         ).collect()
     }
     assert n_bad == report["li_quantity_out_of_range"]
+
+
+def test_streaming_decontaminate_splits_exactly(spark, tmp_path):
+    """streaming/decontam.py: the (clean, flagged) split must be exact
+    against the ledger — flagged = keys present in the blocklist,
+    clean = everything else (bloom false positives rejected by the
+    exact join; NULL keys land in clean), and counts conserved."""
+    from airflow_project_flight_price_analysis_spark.streaming.decontam import (
+        streaming_decontaminate,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"fp{i}" if i % 3 else None) for i in range(30)]
+    spark.createDataFrame(rows, "id int, fp string").write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    block = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(0, 30, 5)], "bk string"
+    )
+    clean, flagged = streaming_decontaminate(stream, block, "fp", "bk")
+
+    qc = (clean.writeStream.format("memory").queryName("dc_clean")
+          .trigger(availableNow=True).start())
+    qf = (flagged.writeStream.format("memory").queryName("dc_flagged")
+          .trigger(availableNow=True).start())
+    qc.awaitTermination(120); qf.awaitTermination(120)
+
+    got_clean = {r.id for r in spark.sql("select * from dc_clean").collect()}
+    got_flagged = {r.id for r in spark.sql("select * from dc_flagged").collect()}
+    # ledger holds fp0..fp25 step 5; fp of id i is f"fp{i}" unless i%3==0 (NULL)
+    want_flagged = {i for i in range(30) if i % 3 and i % 5 == 0}
+    assert got_flagged == want_flagged
+    assert got_clean == set(range(30)) - want_flagged
+    assert len(got_clean) + len(got_flagged) == 30
