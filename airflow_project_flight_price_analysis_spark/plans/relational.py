@@ -2459,3 +2459,195 @@ ORACLE.update({
         ORDER BY 1
     """,
 })
+
+
+def q71_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join customers to their non-urgent orders, count per customer
+    (zeros preserved!), then histogram the counts — the double
+    aggregation whose first level keys on a PK (map-side combinable)
+    and whose second level is |distinct counts| rows. The filter lives
+    in the JOIN CONDITION, not a WHERE clause — moving it to WHERE
+    would silently drop zero-order customers, the classic outer-join
+    rewrite bug this query exists to pin.
+
+    Scale shape: one shuffle of orders on o_custkey against the
+    customer PK; the histogram aggregate is tiny. Reference analog:
+    none (beyond-reference relational surface).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+QUERIES.update({"q71_order_count_histogram": q71_order_count_histogram})
+
+ORACLE.update({
+    "q71_order_count_histogram": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        )
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+})
+
+
+def q72_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts carrying outsized revenue (TPC-H Q11 shape, adapted to the
+    lineitem fact — this testdata has no partsupp): per-part revenue
+    above 1.5× the mean per-part revenue, i.e. the group-vs-GLOBAL-
+    SCALAR threshold pattern (Q11's HAVING SUM > SELECT-fraction).
+
+    Cross-engine determinism (the q66 lesson): all sums aggregate as
+    DECIMAL(38,6) — exact, order-independent — and the threshold
+    comparison is done on doubles derived from those exact decimals
+    (2·n·rev > 3·total avoids a decimal AVG, whose result type differs
+    between engines). Scale shape: one shuffle of lineitem on partkey;
+    the (total, n) scalar rides back as a broadcast one-row cross join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    totals = per_part.agg(
+        F.sum("revenue").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            2 * F.col("n_parts") * F.col("revenue") > 3 * F.col("total_rev")
+        )
+        .select("l_partkey", F.round("revenue", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_partkey")
+    )
+
+
+QUERIES.update({"q72_important_parts": q72_important_parts})
+
+ORACLE.update({
+    "q72_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT SUM(revenue) AS total_rev, COUNT(*) AS n_parts
+              FROM per_part)
+        SELECT p.l_partkey, ROUND(p.revenue, 2) AS revenue
+        FROM per_part p, t
+        WHERE 2 * t.n_parts * p.revenue > 3 * t.total_rev
+        ORDER BY revenue DESC, l_partkey
+    """,
+})
+
+
+def q73_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who alone held up multi-supplier orders (TPC-H Q21
+    shape, adapted: "late" = shipped more than 90 days after the order
+    date, over finished orders). Q21's textbook form is the hardest
+    correlation pattern — EXISTS (another supplier in the order) AND
+    NOT EXISTS (another LATE supplier) — which decorrelates into ONE
+    per-order aggregate: n_suppliers > 1 AND n_late_suppliers == 1,
+    then credit the single late supplier. The oracle states the same
+    aggregate; both engines avoid the O(lineitem²) correlated rescan.
+
+    Scale shape: lineitem⋈orders on the orderkey (the fact's natural
+    key — bucketable), one per-order aggregate, a semi-join back to
+    late lineitems of qualifying orders, a |suppliers|-scale count, and
+    a TakeOrdered top-10.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.date_add("o_orderdate", 90)
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("l_orderkey")
+    credited = (
+        lo.filter(F.col("late"))
+        .join(qualifying, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        credited.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+QUERIES.update({"q73_waiting_suppliers": q73_waiting_suppliers})
+
+ORACLE.update({
+    "q73_waiting_suppliers": """
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+            FROM lo GROUP BY 1
+        ),
+        credited AS (
+            SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+            FROM lo
+            JOIN per_order p ON lo.l_orderkey = p.l_orderkey
+            WHERE lo.late AND p.n_supp > 1 AND p.n_late = 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM credited c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 10
+    """,
+})
