@@ -1686,6 +1686,11 @@ def x60_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk", F.row_number().over(W.partitionBy("id").orderBy("gf", "g"))
         )
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        # df≥2 prune AFTER ranking, lossless: the colliding witness the
+        # prefix lemma guarantees is shared by two docs, so df ≥ 2 —
+        # unique shingles can never produce a candidate (at web scale
+        # the vocabulary long tail is mostly df = 1; x67b's prune twin)
+        .filter(F.col("gf") >= 2)
         .select("id", "lang", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -2276,16 +2281,29 @@ def _containment_pairs(
     )
     gfreq = postings.groupBy("g").agg(F.count("*").alias("gf"))
     # probe-side prefix: first n − ⌈t·n⌉ + 1 shingles, rarest first
-    # (gf asc, shingle as the deterministic tiebreak)
-    prefix = (
+    # (gf asc, shingle as the deterministic tiebreak). NOTE the rank is
+    # computed over ALL of the doc's shingles (the bound is defined on
+    # the full set) — the df≥2 prune below happens AFTER ranking.
+    prefix_ranked = (
         postings.join(F.broadcast(gfreq), "g")
         .withColumn(
             "rk", F.row_number().over(W.partitionBy("id").orderBy("gf", "g"))
         )
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("id", "lang", "n", "g")
     )
-    p, f = prefix.alias("p"), postings.alias("f")
+    # df≥2 prune, LOSSLESS: a shingle only one document contains cannot
+    # collide across documents, and any pair meeting the threshold
+    # shares a shingle with df ≥ 2 inside the probe prefix (the lemma's
+    # witness is shared, hence df ≥ 2). At web scale the vocabulary
+    # long tail is mostly df = 1, so this drops most join input; both
+    # sides prune so neither ships unique-shingle postings.
+    prefix = prefix_ranked.filter(F.col("gf") >= 2).select(
+        "id", "lang", "n", "g"
+    )
+    idx = postings.join(F.broadcast(gfreq), "g").filter(
+        F.col("gf") >= 2
+    ).select("id", "lang", "n", "g")
+    p, f = prefix.alias("p"), idx.alias("f")
     # probe must be the smaller side (the lemma's overlap bound is
     # ⌈t·n_probe⌉ with n_probe = min); equal sizes meet in both
     # directions and dedup via the canonical (least, greatest) key

@@ -95,6 +95,12 @@ HEADLINE = [
     "x96_entity_resolution",
     "x97_dq_expectations",
     "q69_interval_merge",
+    # round-6 additions: the bloom runtime-filter pattern, the Q21
+    # decorrelation (countDistinct-heavy per-order aggregate), and the
+    # Q13 outer-join histogram
+    "x100_bloom_decontaminate",
+    "q73_waiting_suppliers",
+    "q71_order_count_histogram",
 ]
 
 
