@@ -2212,8 +2212,9 @@ def _containment_pairs(
       verification shape). Losslessness is certified empirically by the
       driver gate (x67b vs the exhaustive oracle) and pinned on
       constructed hot-shingle corpora in tests/test_curation_plans.py.
-      More stages, so it loses at small scale (sf0.1: ~2.5 s vs 1.0 s)
-      and wins unboundedly at skew.
+      More stages, so it loses at small scale (sf0.1 bench: ~3.6 s vs
+      ~1.2 s, after the df≥2 posting prune) and wins unboundedly at
+      skew.
     - ``auto`` — direct while the corpus is small
       (``CONTAINMENT_DIRECT_MAX_DOCS``), prefix beyond.
 

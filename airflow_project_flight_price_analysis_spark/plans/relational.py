@@ -2651,3 +2651,77 @@ ORACLE.update({
         LIMIT 10
     """,
 })
+
+
+def q74_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/DDL round-trip — the registered face of the S9 surface
+    (reference `scripts/init_mysql.sql:1-30`, `init_postgres.sql:1-42`,
+    `dags/tasks/ingestion.py:50`: CREATE-IF-NOT-EXISTS bootstrap +
+    warehouse tables), pytest-only through round 6. The query writes a
+    BUCKETED managed table via the same `saveAsTable` path the
+    bucketing kit uses (`operators/partitioning.py` — DDL lives in the
+    catalog, schema owned by the engine, the reference's
+    pandas-replace type-loss bug structurally impossible), reads it
+    back THROUGH THE CATALOG (`spark.table`), and returns the read
+    aggregate; the oracle computes the same numbers straight from the
+    source parquet, so a catalog write that mangled schema, dropped
+    rows, or double-bucketed shows up as a driver-gate mismatch.
+
+    Scale shape: the managed table is |suppliers-per-nation| rows;
+    bucketing by the join key is the 100 TB posture (Exchange-free
+    SMJ on re-read, pinned in test_partitioning.py).
+    """
+    import os
+    import re
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+                .cast("double"),
+                2,
+            ).alias("total_acctbal"),
+        )
+    )
+    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_",
+                    sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    table = f"fpa_catalog_suppliers_by_nation_{sf_tag}"
+    # CREATE-IF-NOT-EXISTS discipline across SESSIONS: the default
+    # in-memory catalog forgets tables when the session ends but the
+    # managed LOCATION under spark-warehouse survives, so a fresh
+    # session's overwrite dies with LOCATION_ALREADY_EXISTS unless the
+    # orphan directory is dropped with the (possibly absent) table —
+    # the round-6 gate caught exactly this. A Hive/production metastore
+    # keeps the registration, making the rmtree a no-op there.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    (
+        agg.write.mode("overwrite")
+        .bucketBy(4, "n_name").sortBy("n_name")
+        .saveAsTable(table)
+    )
+    return spark.table(table).orderBy("n_name")
+
+
+QUERIES.update({"q74_catalog_roundtrip": q74_catalog_roundtrip})
+
+ORACLE.update({
+    "q74_catalog_roundtrip": """
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6)))
+                          AS DOUBLE), 2) AS total_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

@@ -525,3 +525,37 @@ def test_x67_auto_switches_to_prefix_above_threshold(spark, tmp_path, monkeypatc
     direct = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "direct").collect()))
     assert auto == forced == direct
     assert len(auto) == 1  # docs 1 and 2 share 2 of 3 shingles
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_x67_prefix_equals_direct_on_random_corpora(spark, tmp_path_factory,
+                                                    word_lists):
+    """Losslessness property: on ARBITRARY tiny corpora (single-letter
+    words → heavy shingle collisions by construction) the prefix-
+    filtered plan must return exactly the direct plan's pairs."""
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        _containment_pairs,
+    )
+
+    rows = [
+        (i, "en", " ".join(words)) for i, words in enumerate(word_lists)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("x67prop"))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    direct = sorted(map(tuple,
+                        _containment_pairs(spark, sf_dir, "direct").collect()))
+    prefix = sorted(map(tuple,
+                        _containment_pairs(spark, sf_dir, "prefix").collect()))
+    assert direct == prefix
