@@ -2725,3 +2725,208 @@ ORACLE.update({
         ORDER BY 1
     """,
 })
+
+
+
+def q75_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-table predicate (TPC-H Q19 shape): revenue from
+    three OR'd (brand, size-range, quantity-range) branches, where each
+    branch constrains BOTH part and lineitem columns. The classic Q19
+    trap: Catalyst cannot split a mixed-table OR into per-table
+    filters, so the naive plan joins the FULL lineitem against the full
+    part table and evaluates the disjunction afterwards. The scale plan
+    derives the per-table weakenings by hand — part is pre-filtered
+    with (brand1 ∧ size1) ∨ (brand2 ∧ size2) ∨ (brand3 ∧ size3) (a
+    valid weakening of the full predicate, pushed to the parquet scan)
+    and lineitem with the union of the quantity ranges — then the exact
+    mixed predicate runs on the join output. The shrunken part side
+    broadcasts; lineitem never shuffles.
+
+    Reference analog: none (beyond-reference relational surface); the
+    shape exists to pin the derived-pushdown discipline at 100 TB,
+    where the un-pushed plan scans every part row per branch.
+    """
+    branches = [
+        ("Brand#12", (1, 10), (1.0, 11.0)),
+        ("Brand#23", (1, 15), (10.0, 20.0)),
+        ("Brand#34", (1, 25), (20.0, 30.0)),
+    ]
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    # Per-table weakenings, derived from the disjunction by dropping the
+    # other table's conjuncts branch-wise — these reach the scans.
+    p_weak = None
+    l_weak = None
+    full = None
+    for brand, (slo, shi), (qlo, qhi) in branches:
+        p_b = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
+        l_b = F.col("l_quantity").between(qlo, qhi)
+        p_weak = p_b if p_weak is None else (p_weak | p_b)
+        l_weak = l_b if l_weak is None else (l_weak | l_b)
+        both = p_b & l_b
+        full = both if full is None else (full | both)
+    joined = (
+        li.filter(l_weak)
+        .join(F.broadcast(part.filter(p_weak)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+    )
+    return joined.agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(38,6)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+def q76_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio (TPC-H Q14 shape): the share of 1996
+    shipped revenue coming from PROMO-type parts — one pass over the
+    date-pruned lineitem⋈part join computing both the conditional and
+    the unconditional sum (no second scan, no self-join), then the
+    scalar division. Both sums follow the q66 decimal discipline
+    (DECIMAL(38,6) accumulate → cast double → round) so the ratio is
+    order-independent and bit-stable across engines.
+
+    Scale shape: the shipdate filter prunes at the scan; part
+    broadcasts; a single partial-aggregable projection produces one
+    row. Reference analog: none (beyond-reference relational surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("decimal(38,6)")))
+            .alias("__promo"),
+            F.sum(rev).alias("__total"),
+        )
+    )
+    return agg.select(
+        F.round(F.col("__promo").cast("double"), 2).alias("promo_revenue"),
+        F.round(F.col("__total").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            (F.lit(100.0) * F.col("__promo").cast("double")
+             / F.col("__total").cast("double")),
+            4,
+        ).alias("promo_share_pct"),
+    )
+
+
+def q77_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-join chain with a correlated aggregate threshold
+    (TPC-H Q20 shape, adapted to the reduced schema — no partsupp):
+    suppliers who, for some red-named part with meaningful volume
+    (>= 50 units all-time), shipped more than half of that volume in
+    1996 — a supply-concentration screen. The analyst's
+    form is IN-inside-IN with a correlated SUM; the scale plan
+    decorrelates the whole chain into ONE conditional aggregate over
+    (l_suppkey, l_partkey) — qty_1996 and qty_total computed in the
+    same map-side-combinable pass — a ratio filter, a distinct on the
+    surviving suppkeys, and a semi-join back to supplier. lineitem is
+    touched exactly once, pre-pruned by a broadcast semi-join on the
+    green part ids; no correlated rescan exists anywhere in the plan.
+
+    Reference analog: none (beyond-reference relational surface).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    in_96 = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    per_pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in_96, F.col("l_quantity")).otherwise(0.0))
+        .alias("qty_1996"),
+        F.sum("l_quantity").alias("qty_total"),
+    )
+    qualified = (
+        per_pair.filter(
+            (F.col("qty_1996") > 0.5 * F.col("qty_total"))
+            & (F.col("qty_total") >= 50)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(qualified, sup.s_suppkey == qualified.l_suppkey, "semi")
+        .orderBy("s_name")
+    )
+
+
+QUERIES.update({
+    "q75_disjunctive_pushdown": q75_disjunctive_pushdown,
+    "q76_promo_revenue_share": q76_promo_revenue_share,
+    "q77_qualified_suppliers": q77_qualified_suppliers,
+})
+
+ORACLE.update({
+    "q75_disjunctive_pushdown": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,6))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q76_promo_revenue_share": """
+        WITH j AS (
+            SELECT CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(38,6)) AS rev,
+                   p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+        )
+        SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(38,6)) END)
+                          AS DOUBLE), 2) AS promo_revenue,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue,
+               ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                           ELSE CAST(0 AS DECIMAL(38,6)) END)
+                                  AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 4) AS promo_share_pct
+        FROM j
+    """,
+    "q77_qualified_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'red %')
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01'
+                            THEN l_quantity ELSE 0 END)
+                   > 0.5 * SUM(l_quantity)
+               AND SUM(l_quantity) >= 50
+        )
+        ORDER BY s_name
+    """,
+})

@@ -101,6 +101,10 @@ HEADLINE = [
     "x100_bloom_decontaminate",
     "q73_waiting_suppliers",
     "q71_order_count_histogram",
+    # round-6 batch 2: the Q19 derived-pushdown disjunction and the Q20
+    # nested-semi-join chain (one-pass conditional aggregate)
+    "q75_disjunctive_pushdown",
+    "q77_qualified_suppliers",
 ]
 
 

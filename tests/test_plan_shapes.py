@@ -301,3 +301,35 @@ def test_q67_precondition_argmax_gap_exceeds_float_noise(spark):
             f"top-supplier revenue gap at {sf_dir} is {rel_gap:.2e} — "
             "within cross-engine float noise; q67's argmax is ambiguous"
         )
+
+
+def test_q75_weakenings_reach_both_scans(spark):
+    """Q19 discipline: the mixed-table OR cannot be pushed by Catalyst,
+    so the plan must carry hand-derived per-table weakenings — the
+    quantity-range disjunction on the lineitem scan and the brand/size
+    disjunction on the part scan — and broadcast the shrunken part
+    side. No shuffle may touch lineitem before the scalar aggregate."""
+    plan = _plan(_Q["q75_disjunctive_pushdown"](spark, SF_ORACLE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    li_pushed = [ln for ln in pushed if "l_quantity" in ln]
+    p_pushed = [ln for ln in pushed if "p_brand" in ln]
+    assert li_pushed and "Or(" in li_pushed[0], f"lineitem OR not pushed\n{plan}"
+    assert p_pushed and "Or(" in p_pushed[0], f"part OR not pushed\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # only the scalar-aggregate SinglePartition exchange remains
+    assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_q77_single_pass_conditional_aggregate(spark):
+    """Q20 discipline: the nested IN + correlated SUM decorrelates to
+    ONE pass over lineitem — a single (suppkey, partkey) aggregate
+    computing both conditional and total sums with map-side combine,
+    behind a broadcast part-prune pushed to the part scan."""
+    plan = _plan(_Q["q77_qualified_suppliers"](spark, SF_ORACLE))
+    assert "StringStartsWith(p_name,red " in plan, plan
+    assert plan.count("partial_sum") == 2, plan
+    # lineitem is scanned exactly once
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
