@@ -2104,3 +2104,73 @@ ORACLE.update({
         ORDER BY c.doc_id
     """,
 })
+
+
+# --- layout extension: z-order clustering profile ---------------------------
+
+def _z_oracle_sql() -> str:
+    """DuckDB twin of interleave_bits([user_id, t16], 16) — generated
+    from the same (i, j) → i*ndims+j bit layout so the two engines
+    cannot drift."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(((u >> {i}) & 1) << {i * 2})")
+        terms.append(f"(((t >> {i}) & 1) << {i * 2 + 1})")
+    z = " | ".join(terms)
+    return f"""
+        WITH coords AS (
+            SELECT GREATEST(0, LEAST(user_id, 65535)) AS u,
+                   GREATEST(0, LEAST(
+                       (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) >> 6,
+                       65535)) AS t
+            FROM events
+        ),
+        zvals AS (SELECT {z} AS z FROM coords)
+        SELECT z >> 22 AS z_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(z) AS z_min, MAX(z) AS z_max
+        FROM zvals
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+def x101_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve profile of the events table — the certification
+    face of ``operators/layout.py``: compute the Morton z-value of
+    (user_id, 64-second time cell since 2024-01-01 UTC) for every
+    event, then the per-z-bucket histogram (count + z-range). The
+    oracle rebuilds the identical interleave arithmetically in DuckDB,
+    so a single mis-shifted bit anywhere in the curve flips a bucket
+    hash — the whole-stage-codegen'd bit chain is value-certified, not
+    just smoke-tested. ``tests/test_layout.py`` separately proves the
+    LAYOUT payoff: a 2-D box query intersects strictly fewer z-ordered
+    files than time-sorted files of the same count, via the same
+    footer min/max stats a 100 TB scan planner prunes with.
+
+    Scale shape: one projection (the bit chain) + one map-side
+    combinable aggregate on a 1024-ary bucket key; no joins, no UDFs.
+    Reference analog: none (extension surface, SURVEY.md §2.9; the
+    reference's warehouse writes are single-key ORDER BY inserts).
+    """
+    from ..operators.layout import interleave_bits, quantize_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    z = interleave_bits(
+        [F.col("user_id"), quantize_ts(F.col("ts"), 1704067200, 6)],
+        bits=16,
+    )
+    return (
+        ev.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 22).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+QUERIES.update({"x101_zorder_profile": x101_zorder_profile})
+ORACLE.update({"x101_zorder_profile": _z_oracle_sql()})

@@ -105,6 +105,8 @@ HEADLINE = [
     # nested-semi-join chain (one-pass conditional aggregate)
     "q75_disjunctive_pushdown",
     "q77_qualified_suppliers",
+    # round-6 batch 3: z-order curve certification (layout operator)
+    "x101_zorder_profile",
 ]
 
 
