@@ -1,0 +1,240 @@
+"""Streaming near-duplicate ingest — incremental MinHash/LSH dedup of a
+document stream against the already-ingested corpus.
+
+The batch near-dup operators (operators/dedup.py) answer "which pairs
+inside THIS table are near-duplicates". An ingest pipeline needs the
+incremental question: "which NEW documents are near-duplicates of
+anything the corpus already holds (or of each other), and how do the
+corpus sketches grow as clean documents land" — without ever
+re-sketching the 100 TB corpus per batch. Reference analog:
+``dags/tasks/ingestion.py:88-127`` keeps an md5 ledger for EXACT
+replay dedup (our streaming/ingest.py twin); this module is the
+extension-surface near-dup version of the same ledger discipline
+(SURVEY.md §2.9), with the signature table playing the ledger.
+
+Mechanics per micro-batch (foreachBatch, like ingest.py — the join
+topology here: explode-to-bands + two joins + groupBy is beyond what
+an append-mode streaming plan may contain, and the ledger must be
+re-READ each epoch, which a stream-static join would freeze at query
+start):
+
+- sketch ONLY the batch: ``minhash_signatures`` over the new docs
+  (|batch| × num_hashes longs);
+- LSH against the ledger: band the batch signatures and the ledger
+  signatures, equi-join on (band, bucket) — per-bucket joins, the
+  |batch| × |corpus| pair space never materializes — then verify
+  candidates on estimated Jaccard ≥ threshold;
+- in-batch screen: the same banding self-joined (a < b), so two
+  near-identical documents arriving in one epoch cannot both pass
+  (keep-lowest-id survives, matching ``minhash_dedup``);
+- split: flagged rows carry (matched_id, est_jaccard, reason); clean
+  rows append to the corpus sink and their SIGNATURES append to the
+  ledger — the corpus is never re-sketched.
+
+Exactly-once: all three writes key on ``epoch_id`` with dynamic
+partition overwrite (the ingest.py replay discipline), and the screen
+reads the ledger restricted to ``epoch_id < current`` — so an epoch
+replay sees exactly the pre-epoch corpus (not its own first-attempt
+signatures, which would flag every replayed doc as a dup of itself),
+recomputes the identical split, and overwrites identical partitions
+instead of appending duplicates.
+
+Scale notes: the per-epoch cost is |batch|·num_hashes sketching plus a
+bucket join whose ledger side is partition-pruned only by bucket — at
+very large corpora, bucket the ledger table on (band, bucket) so the
+join co-locates (operators/partitioning.py), and raise ``num_bands``
+cautiously (recall ↑, candidate volume ↑). The est-Jaccard verify
+bounds false flags exactly as in the batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import _banded, minhash_signatures
+
+SIG_SCHEMA = "id bigint, sig array<bigint>, epoch_id bigint"
+
+
+def read_sig_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """The corpus signature table; empty-but-typed when nothing has
+    been ingested yet (first epoch, or a wiped warehouse)."""
+    try:
+        return spark.read.schema(SIG_SCHEMA).parquet(ledger_path)
+    except Exception:
+        return spark.createDataFrame([], SIG_SCHEMA)
+
+
+def _est_jaccard(num_hashes: int):
+    return (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0), lambda acc, v: acc + v,
+        ) / F.lit(num_hashes)
+    )
+
+
+def screen_against_ledger(new_sigs: DataFrame, ledger_sigs: DataFrame,
+                          *, threshold: float = 0.7,
+                          num_hashes: int = 32,
+                          num_bands: int = 8) -> DataFrame:
+    """(id, matched_id, est_jaccard) for every new document whose
+    estimated Jaccard against SOME ledger document clears the
+    threshold. One row per flagged new id (best match: max estimate,
+    min matched_id as the deterministic tie-break)."""
+    n = _banded(new_sigs, num_bands).alias("n")
+    led = _banded(ledger_sigs.select("id", "sig"), num_bands).alias("l")
+    cands = (
+        n.join(led, (F.col("n.band") == F.col("l.band"))
+               & (F.col("n.bucket") == F.col("l.bucket")))
+        .select(F.col("n.id").alias("id"), F.col("l.id").alias("cand_id"),
+                F.col("n.sig").alias("sig_a"), F.col("l.sig").alias("sig_b"))
+        .distinct()
+        .withColumn("est_jaccard", _est_jaccard(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    best = F.struct(
+        F.col("est_jaccard"), (-F.col("cand_id")).alias("neg_id")
+    )
+    return (
+        cands.groupBy("id")
+        .agg(F.max(best).alias("b"))
+        .select(
+            "id",
+            (-F.col("b.neg_id")).cast("bigint").alias("matched_id"),
+            F.round("b.est_jaccard", 6).alias("est_jaccard"),
+        )
+    )
+
+
+def screen_within_batch(new_sigs: DataFrame, *, threshold: float = 0.7,
+                        num_hashes: int = 32,
+                        num_bands: int = 8) -> DataFrame:
+    """(id, matched_id, est_jaccard) for the HIGHER id of every
+    verified in-batch near-dup pair — keep-lowest-id, matching
+    ``minhash_dedup``'s survivor rule."""
+    banded = _banded(new_sigs, num_bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("b.id").alias("id"), F.col("a.id").alias("cand_id"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+        .withColumn("est_jaccard", _est_jaccard(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    best = F.struct(
+        F.col("est_jaccard"), (-F.col("cand_id")).alias("neg_id")
+    )
+    return (
+        pairs.groupBy("id")
+        .agg(F.max(best).alias("b"))
+        .select(
+            "id",
+            (-F.col("b.neg_id")).cast("bigint").alias("matched_id"),
+            F.round("b.est_jaccard", 6).alias("est_jaccard"),
+        )
+    )
+
+
+def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
+                      *, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.7, num_hashes: int = 32,
+                      num_bands: int = 8, shingle_n: int = 3):
+    """foreachBatch sink (exposed so tests can replay an epoch directly,
+    same contract as ingest.py's sink)."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        # replay discipline: screen against the PRE-epoch ledger state.
+        # An at-least-once replay of epoch N finds N's own signatures
+        # already in the ledger (they land partitioned by epoch_id), and
+        # screening against them would flag every replayed doc as a
+        # near-dup of itself — the epoch filter restores the exact
+        # ledger the first attempt saw, so the replay recomputes the
+        # identical split and overwrites identical partitions.
+        ledger = read_sig_ledger(sess, ledger_path).filter(
+            F.col("epoch_id") < int(epoch_id)
+        )
+        # minhash_signatures already normalizes the id column to "id"
+        sigs = minhash_signatures(
+            batch, text_col, id_col, num_hashes, shingle_n
+        )
+        sigs.persist()
+        try:
+            vs_corpus = screen_against_ledger(
+                sigs, ledger, threshold=threshold,
+                num_hashes=num_hashes, num_bands=num_bands,
+            ).withColumn("reason", F.lit("corpus_neardup"))
+            in_batch = screen_within_batch(
+                sigs, threshold=threshold,
+                num_hashes=num_hashes, num_bands=num_bands,
+            ).withColumn("reason", F.lit("batch_neardup"))
+            # corpus match wins the reason; one row per flagged id
+            best = F.struct(
+                (F.col("reason") == "corpus_neardup").cast("int").alias("pri"),
+                F.col("est_jaccard"),
+                (-F.col("matched_id")).alias("neg_id"),
+                F.col("reason"),
+            )
+            flagged_ids = (
+                vs_corpus.unionByName(in_batch)
+                .groupBy("id")
+                .agg(F.max(best).alias("b"))
+                .select(
+                    "id",
+                    (-F.col("b.neg_id")).cast("bigint").alias("matched_id"),
+                    F.col("b.est_jaccard").alias("est_jaccard"),
+                    F.col("b.reason").alias("reason"),
+                )
+            )
+            key = F.col(id_col)
+            flagged = (
+                batch.join(flagged_ids, key == flagged_ids.id)
+                .drop("id") if id_col != "id"
+                else batch.join(flagged_ids, "id")
+            )
+            clean = batch.join(
+                flagged_ids.select(flagged_ids.id.alias(id_col)),
+                id_col, "left_anti",
+            )
+            ep = F.lit(int(epoch_id))
+            for df, path in (
+                (clean.withColumn("epoch_id", ep), clean_path),
+                (flagged.withColumn("epoch_id", ep), flagged_path),
+            ):
+                (df.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch_id")
+                 .parquet(path))
+            clean_ids = clean.select(F.col(id_col).alias("id"))
+            (sigs.join(clean_ids, "id")
+             .withColumn("epoch_id", ep)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch_id")
+             .parquet(ledger_path))
+        finally:
+            sigs.unpersist()
+
+    return sink
+
+
+def start_neardup_stream(docs_stream: DataFrame, clean_path: str,
+                         flagged_path: str, ledger_path: str,
+                         checkpoint: str, **kw) -> StreamingQuery:
+    """Wire the sink to a document stream with availableNow semantics
+    (drain-what-exists; production runs the same query continuously)."""
+    return (
+        docs_stream.writeStream
+        .foreachBatch(
+            make_neardup_sink(clean_path, flagged_path, ledger_path, **kw)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -336,3 +336,139 @@ def test_streaming_decontaminate_splits_exactly(spark, tmp_path):
     assert got_flagged == want_flagged
     assert got_clean == set(range(30)) - want_flagged
     assert len(got_clean) + len(got_flagged) == 30
+
+
+# --------------------------------------------------------------------------
+# streaming near-dup ingest (streaming/neardup.py)
+# --------------------------------------------------------------------------
+
+def _doc(i, text):
+    return (i, text, "en", "web")
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+_T1 = ("the quick brown fox jumps over the lazy dog and then runs far "
+       "away into the deep green forest before sunset tonight")
+_T2 = ("completely different content about database engines and "
+       "distributed query planning with cost based optimizers at scale")
+_T3 = ("a third unrelated passage describing mountain weather patterns "
+       "and the formation of orographic clouds above high ridges")
+
+
+def test_neardup_stream_flags_corpus_and_batch_dups(spark, tmp_path):
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        read_sig_ledger,
+        start_neardup_stream,
+    )
+
+    e1 = str(tmp_path / "in1")
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("clean", "flagged", "ledger"))
+    # epoch 1: two distinct docs
+    spark.createDataFrame([_doc(1, _T1), _doc(2, _T2)], _DOC_SCHEMA) \
+        .write.parquet(e1)
+    stream = spark.readStream.schema(_DOC_SCHEMA).parquet(e1)
+    q = start_neardup_stream(stream, clean_p, flagged_p, ledger_p,
+                             str(tmp_path / "ck1"), threshold=0.5)
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(clean_p).collect()) == [1, 2]
+    led = read_sig_ledger(spark, ledger_p)
+    assert sorted(r.id for r in led.collect()) == [1, 2]
+
+    # epoch 2 (same checkpoint, new file): a near-dup of doc 1 (one word
+    # changed), a fresh doc, and an in-batch identical pair (5, 6)
+    t1_near = _T1.replace("lazy", "sleepy")
+    spark.createDataFrame(
+        [_doc(3, t1_near), _doc(4, _T3), _doc(5, _T2 + " extra"),
+         _doc(6, _T2 + " extra")],
+        _DOC_SCHEMA,
+    ).write.mode("append").parquet(e1)
+    stream = spark.readStream.schema(_DOC_SCHEMA).parquet(e1)
+    q = start_neardup_stream(stream, clean_p, flagged_p, ledger_p,
+                             str(tmp_path / "ck1"), threshold=0.5)
+    q.awaitTermination(120)
+
+    clean = {r.doc_id for r in spark.read.parquet(clean_p).collect()}
+    flagged = {r.doc_id: (r.matched_id, r.reason)
+               for r in spark.read.parquet(flagged_p).collect()}
+    # doc 3 ≈ corpus doc 1; doc 6 ≈ in-batch doc 5 (lowest id survives).
+    # doc 5 ≈ corpus doc 2? no — "_T2 + ' extra'" shares most shingles
+    # with _T2, so 5 may flag against the corpus instead; accept either
+    # reason but the SURVIVOR SET is what matters.
+    assert 1 in clean and 2 in clean and 4 in clean
+    assert 3 in flagged and flagged[3][0] == 1
+    assert 6 in flagged
+    assert flagged[3][1] == "corpus_neardup"
+    # ledger grew by exactly the epoch-2 clean docs
+    led_ids = sorted(r.id for r in
+                     read_sig_ledger(spark, ledger_p).collect())
+    assert led_ids == sorted(clean)
+
+
+def test_neardup_sink_epoch_replay_is_exactly_once(spark, tmp_path):
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        make_neardup_sink,
+        read_sig_ledger,
+    )
+
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("clean", "flagged", "ledger"))
+    sink = make_neardup_sink(clean_p, flagged_p, ledger_p, threshold=0.5)
+    b1 = spark.createDataFrame([_doc(1, _T1), _doc(2, _T2)], _DOC_SCHEMA)
+    sink(b1, 0)
+    b2 = spark.createDataFrame(
+        [_doc(3, _T1.replace("dog", "cat")), _doc(4, _T3)], _DOC_SCHEMA)
+    sink(b2, 1)
+    before_clean = sorted(r.doc_id for r in
+                          spark.read.parquet(clean_p).collect())
+    before_led = sorted(r.id for r in
+                        read_sig_ledger(spark, ledger_p).collect())
+    # replay epoch 1 (at-least-once delivery): identical outcome, no dupes
+    sink(b2, 1)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(clean_p).collect()) == before_clean
+    assert sorted(r.id for r in
+                  read_sig_ledger(spark, ledger_p).collect()) == before_led
+    # and the replay's split was computed against the PRE-epoch ledger:
+    # doc 3 is still flagged exactly once
+    flagged = [r.doc_id for r in spark.read.parquet(flagged_p).collect()]
+    assert flagged == [3]
+
+
+def test_neardup_incremental_matches_batch_on_chain_free_corpus(spark,
+                                                                tmp_path):
+    """On a corpus with no near-dup CHAINS (every dup links straight to
+    a surviving doc), sequential epoch ingestion must keep exactly the
+    docs batch minhash_dedup keeps on the union — arrival order = id
+    order makes both greedy keep-first rules coincide. (On chains the
+    two legitimately differ: the incremental ledger never contains
+    dropped docs, so a dup-of-a-dropped-doc survives — documented in
+    the module docstring.)"""
+    from airflow_project_flight_price_analysis_spark.operators.dedup import (
+        minhash_dedup,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        make_neardup_sink,
+    )
+
+    docs = [
+        _doc(1, _T1), _doc(2, _T2),
+        _doc(3, _T3), _doc(4, _T1.replace("quick", "rapid")),
+        _doc(5, _T2.replace("database", "storage")),
+    ]
+    union = spark.createDataFrame(docs, _DOC_SCHEMA)
+    kept_batch = sorted(
+        r.doc_id for r in
+        minhash_dedup(union, "text", "doc_id", threshold=0.5).collect()
+    )
+
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("c2", "f2", "l2"))
+    sink = make_neardup_sink(clean_p, flagged_p, ledger_p, threshold=0.5)
+    sink(spark.createDataFrame(docs[:2], _DOC_SCHEMA), 0)
+    sink(spark.createDataFrame(docs[2:], _DOC_SCHEMA), 1)
+    kept_inc = sorted(r.doc_id for r in
+                      spark.read.parquet(clean_p).collect())
+    assert kept_inc == kept_batch
