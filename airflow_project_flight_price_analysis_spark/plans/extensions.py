@@ -2174,3 +2174,139 @@ def x101_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"x101_zorder_profile": x101_zorder_profile})
 ORACLE.update({"x101_zorder_profile": _z_oracle_sql()})
+
+
+# --- incremental near-dup certification (streaming/neardup.py twin) ---------
+
+def x102_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (epoch-vs-corpus) MinHash screening with in-engine
+    accuracy certification — the batch twin of
+    ``streaming/neardup.py``, driver-value-checked like x08.
+
+    The documents table plays two epochs: even doc_ids are the
+    already-ingested corpus (the signature ledger), odd doc_ids the
+    arriving batch. ``screen_against_ledger`` — the exact code the
+    streaming sink runs per micro-batch — flags batch docs whose
+    banded-LSH + est-Jaccard match clears 0.5. Certification against
+    the exact cross-epoch truth: UNBLOCKED 3-gram Jaccard ≥ 0.5,
+    independently computable by DuckDB. Unblocked matters — the screen
+    itself has no language blocking (a Chinese-labeled copy of an
+    English document IS a near-dup), and the synthetic corpus contains
+    exactly such cross-lang twins, so a lang-blocked truth would
+    undercount and break the precision floor (it did, in the first cut
+    of this query):
+
+    - ``n_true_cross_pairs`` — REAL value check vs DuckDB's exact
+      count (lang plays no role on either side);
+    - ``recall_certified = least(recall, 0.9)`` — 0.9 iff the screen
+      found ≥ 90% of true cross pairs (measured 1.0 at both test sfs;
+      the pairs sit at J ≥ 0.89 where the 8×4 banding miss
+      probability is ~3e-4);
+    - ``precision_floor = least(min exact J over flagged pairs,
+      0.25)`` — 0.25 iff no flagged (batch, corpus) pair has true
+      Jaccard below 0.25 (est ≥ 0.5 with 32 perms ⇒ true ≳ 0.5−2σ ≈
+      0.32): a banding or estimator bug that starts flagging unrelated
+      docs drives the floor toward 0 and breaks the hash.
+
+    Both sides consume one shared persisted grams table; the corpus is
+    sketched here only because the certification needs its signatures —
+    the streaming path reads them from the ledger (never re-sketched).
+    """
+    from ..cache import track_persist
+    from ..operators.dedup import minhash_signatures, ngram_jaccard_pairs
+    from ..streaming.neardup import screen_against_ledger
+
+    docs = load_table(spark, sf_dir, "documents")
+    # constant block = unblocked truth (the certification harness is
+    # exhaustive-by-collision; the product path is the banded screen)
+    grams = document_grams(docs.withColumn("__blk", F.lit(1)),
+                           "text", "doc_id", keep_cols=("__blk",)) \
+        .transform(track_persist)
+    even = F.col("id") % 2 == 0
+    sig_corpus = minhash_signatures(docs, "text", "doc_id",
+                                    grams=grams.filter(even))
+    sig_batch = minhash_signatures(docs, "text", "doc_id",
+                                   grams=grams.filter(~even))
+    flagged = screen_against_ledger(sig_batch, sig_corpus, threshold=0.5) \
+        .transform(track_persist)
+
+    all_pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                    block_col="__blk", threshold=0.25,
+                                    grams=grams)
+    cross = all_pairs.filter((F.col("a") % 2) + (F.col("b") % 2) == 1)
+    true_pairs = cross.filter(F.col("jaccard") >= 0.5).select(
+        F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b"))
+        .alias("batch_id")
+    ).distinct()
+    recall = (
+        true_pairs.join(flagged, true_pairs.batch_id == flagged.id, "left")
+        .agg(
+            F.count("*").alias("n_true"),
+            (F.sum(F.col("id").isNotNull().cast("int")) / F.count("*"))
+            .alias("recall"),
+        )
+    )
+    # exact J of every flagged (batch, corpus) pair; a flagged pair so
+    # dissimilar it fell below the 0.25 postings threshold scores 0.0
+    cross_j = cross.select(
+        F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b"))
+        .alias("bid"),
+        F.when(F.col("a") % 2 == 0, F.col("a")).otherwise(F.col("b"))
+        .alias("cid"),
+        "jaccard",
+    )
+    prec = (
+        flagged.join(
+            cross_j,
+            (flagged.id == cross_j.bid) & (flagged.matched_id == cross_j.cid),
+            "left",
+        )
+        .agg(F.min(F.coalesce(F.col("jaccard"), F.lit(0.0)))
+             .alias("min_true_j"))
+    )
+    n_true_cross = cross.filter(F.col("jaccard") >= 0.5) \
+        .agg(F.count("*").alias("n_true_cross_pairs"))
+    return (
+        n_true_cross.crossJoin(F.broadcast(recall.select("recall")))
+        .crossJoin(F.broadcast(prec))
+        .select(
+            "n_true_cross_pairs",
+            F.least(F.col("recall"), F.lit(0.9)).alias("recall_certified"),
+            F.least(F.col("min_true_j"), F.lit(0.25)).alias("precision_floor"),
+        )
+    )
+
+
+QUERIES.update({"x102_incremental_neardup": x102_incremental_neardup})
+
+ORACLE.update({
+    "x102_incremental_neardup": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                       i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(lower(trim(text)), '\s+')[i+2]
+                   )) AS grams
+            FROM documents
+            WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+        ),
+        posts AS (
+            SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM d
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb,
+                   COUNT(*) AS c
+            FROM posts a JOIN posts b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            WHERE (a.doc_id % 2) + (b.doc_id % 2) = 1
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_cross_pairs,
+               0.9 AS recall_certified,
+               0.25 AS precision_floor
+        FROM pairs
+        WHERE c * 1.0 / (na + nb - c) >= 0.5
+    """,
+})
