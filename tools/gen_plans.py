@@ -95,6 +95,21 @@ SECTIONS = [
      "bloom semi-join: one-row map<int,bigint> bitset broadcast "
      "(BroadcastNestedLoopJoin of a single row), membership evaluated "
      "map-side on the probe, exact left_semi verify on survivors only"),
+    ("q75_disjunctive_pushdown",
+     "Q19 discipline: hand-derived per-table weakenings of the "
+     "mixed-table OR reach BOTH scans as PushedFilters; shrunken part "
+     "broadcasts; zero hash exchanges before the scalar aggregate"),
+    ("q77_qualified_suppliers",
+     "Q20 chain decorrelated: broadcast part-prune pushed to scan, ONE "
+     "(suppkey,partkey) conditional aggregate with map-side combine, "
+     "ratio filter, distinct, LeftSemi back to supplier"),
+    ("x101_zorder_profile",
+     "Morton z-value as a whole-stage-codegen'd shift/AND/OR chain in "
+     "one Project; 1024-ary bucket aggregate map-side combines"),
+    ("x102_incremental_neardup",
+     "incremental screen certification: banded batch-vs-ledger "
+     "equi-join + est-Jaccard verify on one side, exact postings "
+     "truth on the other, joined into one certification row"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
