@@ -2930,3 +2930,62 @@ ORACLE.update({
         ORDER BY s_name
     """,
 })
+
+
+def q78_preshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS with an inequality correlate (TPC-H Q4's plan family,
+    pointed at a data-quality anomaly the synthetic data actually
+    contains): orders with at least one lineitem where EVERY lineitem
+    shipped strictly BEFORE the order date, counted per priority. The
+    analyst form is NOT EXISTS(ship ≥ orderdate) ∧ EXISTS(any line).
+
+    Scale plan: the textbook rewrite is an anti join carrying the
+    inequality as a residual plus a semi join for non-emptiness — two
+    full lineitem shuffles (measured: column pruning gives the two
+    joins different children, so the exchange is NOT reused). This
+    plan instead collapses the whole correlate into one MAX reduction:
+    ``NOT EXISTS(l_shipdate ≥ o_orderdate) ⟺ max(l_shipdate) <
+    o_orderdate`` and the EXISTS is the inner join itself — lineitem
+    is scanned once and its single shuffle carries ONE (orderkey,
+    max_ship) row per order (partial_max map-side combine), after
+    which the inequality is a free post-join filter. Pinned in
+    test_plan_shapes.py: one lineitem scan, partial_max, no anti join.
+    Non-vacuous: ~20% of orders qualify at both test SFs (synthetic
+    ship dates are uncorrelated with order dates — exactly the anomaly
+    a DQ screen must surface). Reference analog: none
+    (beyond-reference relational surface).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    return (
+        orders.join(last_ship,
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("max_ship") < F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_preshipped_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES.update({"q78_preshipped_orders": q78_preshipped_orders})
+
+ORACLE.update({
+    "q78_preshipped_orders": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_preshipped_orders
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >= o.o_orderdate)
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

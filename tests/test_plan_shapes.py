@@ -333,3 +333,14 @@ def test_q77_single_pass_conditional_aggregate(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_q78_correlate_collapses_to_max_reduction(spark):
+    """Q4 discipline: NOT EXISTS(inequality correlate) must run as one
+    MAX reduction over lineitem — single scan, map-side partial_max,
+    no anti join, and the post-reduction shuffle carries one row per
+    order."""
+    plan = _plan(_Q["q78_preshipped_orders"](spark, SF_ORACLE))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "LeftAnti" not in plan, plan
