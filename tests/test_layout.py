@@ -122,3 +122,26 @@ def test_zorder_files_also_prune_on_time(spark, tmp_path):
     hi = datetime.datetime(2024, 1, 8)
     hit = sum(1 for s in stats if s["min_ts"] <= hi and s["max_ts"] >= lo)
     assert hit < 8, stats
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+    min_size=1, max_size=24, unique=True,
+))
+def test_interleave_is_bijective_and_matches_reference(spark, coords):
+    """Hypothesis: on arbitrary 16-bit coordinate pairs the engine
+    z-value equals the python reference (bit-exact) and is injective —
+    distinct cells never collide on the curve."""
+    df = spark.createDataFrame(coords, "a long, b long")
+    rows = df.select(
+        "a", "b",
+        interleave_bits([F.col("a"), F.col("b")], bits=16).alias("z"),
+    ).collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(coords)
+    for r in rows:
+        assert r.z == _py_z(r.a, r.b, bits=16)

@@ -472,3 +472,24 @@ def test_neardup_incremental_matches_batch_on_chain_free_corpus(spark,
     kept_inc = sorted(r.doc_id for r in
                       spark.read.parquet(clean_p).collect())
     assert kept_inc == kept_batch
+
+
+def test_neardup_screens_have_fixed_points(spark):
+    """Two algebraic anchors of the screens: against an EMPTY ledger
+    nothing flags; against a ledger equal to the batch every doc flags
+    itself at estimated Jaccard exactly 1.0."""
+    from airflow_project_flight_price_analysis_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        screen_against_ledger,
+    )
+
+    docs = spark.createDataFrame(
+        [_doc(1, _T1), _doc(2, _T2), _doc(3, _T3)], _DOC_SCHEMA)
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    empty = spark.createDataFrame([], "id bigint, sig array<bigint>")
+    assert screen_against_ledger(sigs, empty, threshold=0.1).count() == 0
+    self_hits = screen_against_ledger(sigs, sigs, threshold=0.99).collect()
+    assert sorted((r.id, r.matched_id, r.est_jaccard) for r in self_hits) \
+        == [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 1.0)]
