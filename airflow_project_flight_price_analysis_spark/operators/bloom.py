@@ -90,7 +90,15 @@ def bloom_build(keys: DataFrame, key_col: str, *, num_bits: int,
 
 def bloom_might_contain(bloom_words: Column, key: Column, *, num_bits: int,
                         num_hashes: int) -> Column:
-    """Membership predicate: all ``num_hashes`` bits set (map-side)."""
+    """Membership predicate: all ``num_hashes`` bits set (map-side).
+
+    NULL keys are explicitly FALSE — matching equi-join semantics.
+    Without the guard, ``xxhash64(NULL, seed)`` ignores the null child
+    and returns the seed-only hash, so every NULL key would share ONE
+    fixed position set and all NULL rows would flip to "might contain"
+    the moment those bits happen to be set (guaranteed once any real
+    key collides with them) — a caller using this as a standalone
+    prefilter would pass every NULL row."""
     cond = F.lit(True)
     for p in _positions(key, num_bits, num_hashes):
         widx = (p / 64).cast("int")
@@ -102,7 +110,7 @@ def bloom_might_contain(bloom_words: Column, key: Column, *, num_bits: int,
             F.element_at(bloom_words, widx), F.lit(0).cast("bigint")
         )
         cond = cond & (word.bitwiseAND(mask) == mask)
-    return cond
+    return F.when(key.isNull(), F.lit(False)).otherwise(cond)
 
 
 def bloom_prune(probe: DataFrame, build_keys: DataFrame, probe_col: str,

@@ -2067,6 +2067,7 @@ def x100_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval-set count that sizes the filter is one tiny aggregate
     (|eval| rows); fpp=1% only adds verify rows, never errors.
     """
+    from ..cache import track_persist
     from ..functions.text import tokens_expr
     from ..operators.bloom import bloom_semi_join
 
@@ -2074,7 +2075,10 @@ def x100_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(
         F.concat_ws(" ", F.slice(tokens_expr(F.lower(F.col("text"))), 1, 4))
     )
-    keyed = docs.withColumn("fp", fp)
+    # persisted: the tokenize+md5 projection feeds the eval count, the
+    # bloom build, the exact-verify keys AND the probe — four consumers
+    # that would otherwise each re-run the CPU-dominant pass
+    keyed = docs.withColumn("fp", fp).transform(track_persist)
     eval_set = keyed.filter(F.col("doc_id") % 13 == 0).select("fp")
     corpus = keyed.filter(F.col("doc_id") % 13 != 0)
     n_eval = max(eval_set.count(), 1)

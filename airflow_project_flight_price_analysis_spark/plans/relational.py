@@ -2431,8 +2431,12 @@ def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".sink_roundtrip", f"orders_by_priority_{sf_tag}",
     )
     stamped = base.withColumn("loaded_at", F.current_timestamp())
-    low = stamped.filter(F.col("o_orderpriority") < "3")
-    rest = stamped.filter(~(F.col("o_orderpriority") < "3"))
+    # null-SAFE complement: a NULL priority must land in exactly one
+    # side (the ADVICE-r5 null-unsafe-complement class — ~(NULL < "3")
+    # is NULL, which both filters drop, silently losing the group)
+    is_low = F.col("o_orderpriority") < "3"
+    low = stamped.filter(F.coalesce(is_low, F.lit(False)))
+    rest = stamped.filter(~F.coalesce(is_low, F.lit(False)))
     low.write.mode("overwrite").parquet(path)      # S8: replace, schema kept
     rest.write.mode("append").parquet(path)        # S7: append
     back = spark.read.parquet(path)
@@ -2592,7 +2596,12 @@ def q73_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
-        "late", F.col("l_shipdate") > F.date_add("o_orderdate", 90)
+        # INTERVAL (not date_add): date_add truncates the timestamp to a
+        # DATE, the oracle adds INTERVAL 90 DAY preserving time-of-day —
+        # bit-identical only because testdata timestamps are midnight;
+        # the interval form is identical by construction (q66 rule)
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

@@ -45,8 +45,10 @@ def literal_bloom_predicate(blocklist: DataFrame, block_col: str,
                             key: Column, *, fpp: float = 0.01) -> Column:
     """A pure-expression membership predicate for ``key`` against the
     (batch) blocklist: builds the bloom bitset now, embeds it as a
-    literal ``map<int,bigint>``. NULL keys evaluate to false/null and
-    are filtered out — matching equi-join semantics."""
+    literal ``map<int,bigint>``. NULL keys evaluate to FALSE (the
+    guard lives in ``bloom_might_contain`` — without it every NULL key
+    hashes to one seed-only position set and can pass) — matching
+    equi-join semantics."""
     n = max(blocklist.select(block_col).count(), 1)
     m, k = bloom_parameters(n, fpp)
     row = bloom_build(

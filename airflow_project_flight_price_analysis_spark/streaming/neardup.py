@@ -59,12 +59,20 @@ SIG_SCHEMA = "id bigint, sig array<bigint>, epoch_id bigint"
 
 
 def read_sig_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
-    """The corpus signature table; empty-but-typed when nothing has
-    been ingested yet (first epoch, or a wiped warehouse)."""
+    """The corpus signature table; empty-but-typed only when the path
+    is GENUINELY absent (first epoch / wiped warehouse). Any other
+    failure — corrupt parquet, permissions — must surface (the
+    operators/star.py ``read_ledger`` discipline): swallowing it would
+    silently disable screening for the epoch and pollute the corpus
+    with near-duplicates."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(SIG_SCHEMA).parquet(ledger_path)
-    except Exception:
-        return spark.createDataFrame([], SIG_SCHEMA)
+    except AnalysisException as e:
+        if e.getCondition() == "PATH_NOT_FOUND":
+            return spark.createDataFrame([], SIG_SCHEMA)
+        raise
 
 
 def _est_jaccard(num_hashes: int):
@@ -76,25 +84,22 @@ def _est_jaccard(num_hashes: int):
     )
 
 
-def screen_against_ledger(new_sigs: DataFrame, ledger_sigs: DataFrame,
-                          *, threshold: float = 0.7,
-                          num_hashes: int = 32,
-                          num_bands: int = 8) -> DataFrame:
-    """(id, matched_id, est_jaccard) for every new document whose
-    estimated Jaccard against SOME ledger document clears the
-    threshold. One row per flagged new id (best match: max estimate,
-    min matched_id as the deterministic tie-break)."""
-    n = _banded(new_sigs, num_bands).alias("n")
-    led = _banded(ledger_sigs.select("id", "sig"), num_bands).alias("l")
-    cands = (
-        n.join(led, (F.col("n.band") == F.col("l.band"))
-               & (F.col("n.bucket") == F.col("l.bucket")))
-        .select(F.col("n.id").alias("id"), F.col("l.id").alias("cand_id"),
-                F.col("n.sig").alias("sig_a"), F.col("l.sig").alias("sig_b"))
-        .distinct()
-        .withColumn("est_jaccard", _est_jaccard(num_hashes))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+def _require_band_geometry(num_hashes: int, num_bands: int) -> None:
+    """``_banded`` slices the signature into ``num_bands`` bands of
+    exactly 4 elements; any other (num_hashes, num_bands) pairing
+    silently bands NULL slots (empty-string buckets that cross-join
+    everything) or ignores hash slots (silent recall loss). Fail
+    loudly instead."""
+    if num_hashes != 4 * num_bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must equal 4*num_bands "
+            f"({num_bands}): _banded uses 4 signature elements per band"
+        )
+
+
+def _best_match_per_id(cands: DataFrame) -> DataFrame:
+    """Collapse (id, cand_id, est_jaccard) candidates to one row per
+    id: max estimate, min cand_id as the deterministic tie-break."""
     best = F.struct(
         F.col("est_jaccard"), (-F.col("cand_id")).alias("neg_id")
     )
@@ -109,35 +114,58 @@ def screen_against_ledger(new_sigs: DataFrame, ledger_sigs: DataFrame,
     )
 
 
+def _screen(probe_banded: DataFrame, index_banded: DataFrame,
+            pair_cond, probe_id, index_id, *,
+            threshold: float, num_hashes: int) -> DataFrame:
+    """Shared core of both screens: band-bucket equi-join under
+    ``pair_cond``, est-Jaccard verify, best match per probe id."""
+    cands = (
+        probe_banded.join(index_banded, pair_cond)
+        .select(probe_id.alias("id"), index_id.alias("cand_id"),
+                F.col("p.sig").alias("sig_a"), F.col("x.sig").alias("sig_b"))
+        .distinct()
+        .withColumn("est_jaccard", _est_jaccard(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return _best_match_per_id(cands)
+
+
+def screen_against_ledger(new_sigs: DataFrame, ledger_sigs: DataFrame,
+                          *, threshold: float = 0.7,
+                          num_hashes: int = 32,
+                          num_bands: int = 8) -> DataFrame:
+    """(id, matched_id, est_jaccard) for every new document whose
+    estimated Jaccard against SOME ledger document clears the
+    threshold. One row per flagged new id (best match: max estimate,
+    min matched_id as the deterministic tie-break)."""
+    _require_band_geometry(num_hashes, num_bands)
+    p = _banded(new_sigs, num_bands).alias("p")
+    x = _banded(ledger_sigs.select("id", "sig"), num_bands).alias("x")
+    return _screen(
+        p, x,
+        (F.col("p.band") == F.col("x.band"))
+        & (F.col("p.bucket") == F.col("x.bucket")),
+        F.col("p.id"), F.col("x.id"),
+        threshold=threshold, num_hashes=num_hashes,
+    )
+
+
 def screen_within_batch(new_sigs: DataFrame, *, threshold: float = 0.7,
                         num_hashes: int = 32,
                         num_bands: int = 8) -> DataFrame:
     """(id, matched_id, est_jaccard) for the HIGHER id of every
     verified in-batch near-dup pair — keep-lowest-id, matching
     ``minhash_dedup``'s survivor rule."""
+    _require_band_geometry(num_hashes, num_bands)
     banded = _banded(new_sigs, num_bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("b.id").alias("id"), F.col("a.id").alias("cand_id"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .distinct()
-        .withColumn("est_jaccard", _est_jaccard(num_hashes))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
-    best = F.struct(
-        F.col("est_jaccard"), (-F.col("cand_id")).alias("neg_id")
-    )
-    return (
-        pairs.groupBy("id")
-        .agg(F.max(best).alias("b"))
-        .select(
-            "id",
-            (-F.col("b.neg_id")).cast("bigint").alias("matched_id"),
-            F.round("b.est_jaccard", 6).alias("est_jaccard"),
-        )
+    p, x = banded.alias("p"), banded.alias("x")
+    return _screen(
+        p, x,
+        (F.col("p.band") == F.col("x.band"))
+        & (F.col("p.bucket") == F.col("x.bucket"))
+        & (F.col("x.id") < F.col("p.id")),
+        F.col("p.id"), F.col("x.id"),
+        threshold=threshold, num_hashes=num_hashes,
     )
 
 

@@ -89,3 +89,41 @@ def test_bloom_probe_side_is_mapside(spark):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # one-row filter broadcast
     assert "EvalPython" not in plan
+
+
+def test_might_contain_is_false_for_null_keys(spark):
+    """NULL keys must be FALSE (equi-join semantics). xxhash64 ignores
+    a NULL child and hashes the seed alone, so without the explicit
+    guard every NULL key shares one fixed position set — this pins the
+    guard with a blocklist chosen to SET those seed-only bits (the
+    blocklist key equals the seed-only fingerprint's own hash chain
+    start: an empty-ish bitset can't mask the bug, so we assert on a
+    saturated one instead)."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    # tiny m -> the handful of blocklist keys saturates most words, so
+    # the seed-only position set is almost surely fully lit
+    m, k = 64, 4
+    build = spark.range(0, 40).select(F.col("id").cast("string").alias("k"))
+    words_df = bloom_build(build, "k", num_bits=m, num_hashes=k)
+    words = words_df.collect()[0]["words"]
+    lit_map = F.map_from_arrays(
+        F.array(*[F.lit(int(i)) for i in words]),
+        F.array(*[F.lit(int(w)).cast("bigint") for w in words.values()]),
+    )
+    probe = spark.createDataFrame(
+        [("0",), (None,), ("7",)], "k string")
+    got = probe.select(
+        "k",
+        bloom_might_contain(lit_map, F.col("k"),
+                            num_bits=m, num_hashes=k).alias("hit"),
+    ).collect()
+    by_key = {r.k: r.hit for r in got}
+    assert by_key["0"] is True and by_key["7"] is True
+    assert by_key[None] is False
