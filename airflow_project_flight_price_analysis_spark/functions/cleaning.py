@@ -18,14 +18,22 @@ def row_hash_expr(cols: list[Column | str], algo: str = "md5") -> Column:
     """Deterministic content hash of a row (reference: MD5 over the
     stringified value tuple, row-at-a-time — ``dags/tasks/ingestion.py:69``).
 
-    Vectorized: ``md5(concat_ws('|', coalesce(cast(c as string), ␀)...))``.
-    ``sha2-256`` recommended at 100 TB scale (X1) where md5-collision odds
-    over ~10^12 rows start to matter for exact-dedup counts.
+    Vectorized: ``md5(concat_ws('|', len:value...))``. Each part is
+    LENGTH-PREFIXED before joining — plain ``concat_ws('|')`` is
+    separator-injectable (('x|y','z') and ('x','y|z') both concatenate
+    to 'x|y|z' and would silently collide, deleting distinct rows in
+    every dedup consumer); with the ``len:`` prefix the encoding is
+    injective. ``sha2-256`` recommended at 100 TB scale (X1) where
+    md5-collision odds over ~10^12 rows start to matter for
+    exact-dedup counts.
     """
-    parts = [
+    raw = [
         F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),
                    F.lit(NULL_SENTINEL))
         for c in cols
+    ]
+    parts = [
+        F.concat(F.length(p).cast("string"), F.lit(":"), p) for p in raw
     ]
     joined = F.concat_ws("|", *parts)
     if algo == "md5":

@@ -142,7 +142,13 @@ def banded_range_join(
             "banded_range_join: left/right share non-key column names "
             f"{collide!r}; rename the right side before joining"
         )
-    width = max(upper_seconds - lower_seconds, 1e-9)
+    # width floor 1.0 SECOND, not an epsilon: with width=1e-9 the
+    # bucket ids reach epoch/1e-9 ~ 1.7e18, far beyond double's 2^53
+    # integer precision, so equal offsets could land in different
+    # rounding-artifact buckets and exact matches would silently drop.
+    # The 2-bucket cover proof only needs width >= span, which a 1 s
+    # floor preserves for any lower==upper (exact-offset) join.
+    width = max(upper_seconds - lower_seconds, 1.0)
     n_buckets = 2  # span == width -> a right row lands in bucket(l+lower)
     #               or the one above (inclusive upper edge)
     lb = F.floor(

@@ -113,11 +113,29 @@ def bloom_might_contain(bloom_words: Column, key: Column, *, num_bits: int,
     return F.when(key.isNull(), F.lit(False)).otherwise(cond)
 
 
+def _require_same_key_type(probe: DataFrame, probe_col: str,
+                           build: DataFrame, build_col: str) -> None:
+    """The bloom positions hash ``key.cast('string')`` while the exact
+    verify join compares natively — an int 5 probe against a double
+    5.0 build would equi-join after numeric widening but hash as '5'
+    vs '5.0' to different bits: a bloom FALSE NEGATIVE, breaking the
+    never-a-false-negative contract. Same-type keys make string-cast
+    equality coincide with join equality; enforce rather than hope."""
+    pt = probe.schema[probe_col].dataType
+    bt = build.schema[build_col].dataType
+    if pt != bt:
+        raise TypeError(
+            f"bloom key type mismatch: probe[{probe_col}]: {pt} vs "
+            f"build[{build_col}]: {bt} — cast one side first"
+        )
+
+
 def bloom_prune(probe: DataFrame, build_keys: DataFrame, probe_col: str,
                 build_col: str, *, expected_items: int,
                 fpp: float = 0.01) -> DataFrame:
     """Probe rows that MIGHT match the build keys (true matches + ~fpp
     false positives; never a false negative). Map-side on the probe."""
+    _require_same_key_type(probe, probe_col, build_keys, build_col)
     m, k = bloom_parameters(expected_items, fpp)
     bloom = bloom_build(build_keys.select(F.col(build_col).alias("__bk")),
                         "__bk", num_bits=m, num_hashes=k)

@@ -39,10 +39,12 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
     row with the smallest value (deterministic — ``dropDuplicates`` keeps
     an arbitrary one); otherwise uses ``dropDuplicates`` (cheaper: partial
     aggregation, no window)."""
+    # row_hash_expr's injective length-prefix encoding — plain
+    # concat_ws is separator-injectable and would delete distinct rows
+    from ..functions.cleaning import row_hash_expr
+
     hashed = df.withColumn(
-        "__content_hash",
-        F.sha2(F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀"))
-                                  for c in content_cols]), 256),
+        "__content_hash", row_hash_expr(list(content_cols), algo="sha256")
     )
     if keep_order_col is None:
         return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
@@ -143,6 +145,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def require_band_geometry(num_hashes: int, num_bands: int) -> None:
+    """``_banded`` slices signatures into ``num_bands`` bands of
+    exactly 4 elements. Any other (num_hashes, num_bands) pairing is
+    silently wrong: missing slots band as NULL → concat_ws('') →
+    every doc shares one bucket per broken band (an O(n²) near-cross
+    join; ARRAY_INDEX_OUT_OF_BOUNDS under ANSI), while extra slots are
+    ignored (silent recall loss). Every banding entry point validates."""
+    if num_hashes != 4 * num_bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must equal 4*num_bands "
+            f"({num_bands}): _banded uses 4 signature elements per band"
+        )
+
+
 def _banded(sigs: DataFrame, num_bands: int) -> DataFrame:
     """Explode a signature DataFrame into (id, sig, band, bucket) rows —
     bucket = hash of the band's signature slice."""
@@ -163,7 +179,11 @@ def _banded(sigs: DataFrame, num_bands: int) -> DataFrame:
 def minhash_candidate_pairs(sigs: DataFrame, num_bands: int = 8) -> DataFrame:
     """LSH banding: split the signature into bands, bucket-join on
     (band_index, band hash). Returns candidate (a, b) pairs with a < b.
-    The O(n²) pair space never materializes — only per-bucket joins."""
+    The O(n²) pair space never materializes — only per-bucket joins.
+
+    ``sigs`` must carry ``4*num_bands`` hashes (validated when built
+    through :func:`minhash_neardup_pairs`; direct callers own the
+    contract — see :func:`require_band_geometry`)."""
     banded = _banded(sigs, num_bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -193,6 +213,7 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     distinct."""
     from ..cache import track_persist  # noqa: PLC0415
 
+    require_band_geometry(num_hashes, num_bands)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                               grams=grams) \
         .transform(track_persist)

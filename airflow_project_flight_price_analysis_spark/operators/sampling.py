@@ -57,9 +57,13 @@ def stratified_threshold_sample(
     hashed = df.withColumn("__h", h)
     thr = hashed.groupBy(strata_col).agg(
         F.percentile_approx("__h", fraction, accuracy).alias("__thr")
-    )
+    ).select(F.col(strata_col).alias("__strat"), "__thr")
+    # null-SAFE stratum match: the groupBy keeps a NULL stratum, but a
+    # name-based equi-join would null-reject every row of it — the
+    # NULL stratum would silently sample at 0% instead of ~fraction
     return (
-        hashed.join(F.broadcast(thr), strata_col)
+        hashed.join(F.broadcast(thr),
+                    F.col(strata_col).eqNullSafe(F.col("__strat")))
         .filter(F.col("__h") <= F.col("__thr"))
-        .drop("__h", "__thr")
+        .drop("__h", "__thr", "__strat")
     )

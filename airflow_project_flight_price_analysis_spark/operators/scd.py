@@ -7,8 +7,13 @@ MERGE INTO needs Delta/Iceberg (jars absent in v1 — guide 'CDC/SCD2');
 this emulates it with pure DataFrame ops:
 
     changed   = updates ⋈ current  WHERE any tracked attr differs
-    closed    = current rows for changed/absent keys, end-dated
+    closed    = current rows for CHANGED keys, end-dated
     new_rows  = updates (new keys + new versions), open-ended
+
+Keys absent from the batch are left untouched (absence is not a
+delete — incremental batches carry only what changed upstream); a
+delete feed would arrive as explicit tombstone rows and close via its
+own pass, out of scope here.
 
 One shuffle on the business key; output = closed ∪ untouched ∪ new.
 At 100 TB the dimension is partitioned by key-hash bucket and only
@@ -54,11 +59,12 @@ def scd2_upsert(current: DataFrame, updates: DataFrame, key: str,
     history = current.filter(F.col("valid_to") != OPEN_END)
     upd = updates.alias("upd")
 
-    joined = live.join(upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full")
+    # inner join: change detection only needs keys present on BOTH
+    # sides (new keys and absent keys route through the anti/semi
+    # passes below — a full join would null-extend rows nothing reads)
+    joined = live.join(upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"))
     changed_keys = (
-        joined.filter(F.col(f"upd.{key}").isNotNull()
-                      & F.col(f"cur.{key}").isNotNull()
-                      & _attrs_differ(attrs))
+        joined.filter(_attrs_differ(attrs))
         .select(F.col(f"cur.{key}").alias(key))
     )
 

@@ -54,17 +54,22 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     The query side is broadcast: at scale queries ≪ corpus, so the plan
     is a broadcast nested-loop with no corpus shuffle; per-partition
     top-k candidates then combine in the window stage.
+
+    Zero-norm vectors (padding rows, failed encodes) are DROPPED on
+    both sides: they have no direction, their cosine is 0/0 = NaN, and
+    Spark sorts NaN ABOVE every real double — one all-zero corpus row
+    would otherwise become the rank-1 "neighbor" of every query.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm_expr(vec_col).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_expr(vec_col).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     sim = F.round(
         dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
     )
@@ -149,12 +154,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # zero-norm guard: same rationale as cosine_topk (NaN sorts first)
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("c_vec"),
-                       norm_expr(vec_col).alias("c_norm"))
+                       norm_expr(vec_col).alias("c_norm")) \
+        .filter(F.col("c_norm") > 0)
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("q_vec"),
-                        norm_expr(vec_col).alias("q_norm"))
+                        norm_expr(vec_col).alias("q_norm")) \
+        .filter(F.col("q_norm") > 0)
     sim = F.round(
         dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
     )
@@ -188,7 +196,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm_expr(vec_col).alias("vnorm"),
-    )
+    ).filter(F.col("vnorm") > 0)  # zero-norm guard (NaN sorts first)
     sim = dot_expr("vec", "cent_vec") / (F.col("vnorm") * F.col("cent_norm"))
     w = W.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (
@@ -206,12 +214,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """IVF ANN: bucket the corpus by nearest centroid; each query probes
     its ``n_probe`` nearest centroid buckets and re-ranks exactly inside.
 
-    Centroid 'training' is deterministic for reproducibility: the first
-    ``n_centroids`` corpus vectors act as seeds (a k-means|| pass would
-    slot in here unchanged). The probe join's key is centroid_id — the
-    pair space is corpus/K per probe, not the full corpus.
+    Centroid 'training' is deterministic for reproducibility: the
+    ``n_centroids`` smallest-id corpus vectors act as seeds (a
+    k-means|| pass would slot in here unchanged). Seed selection is
+    ``orderBy(id).limit(n)`` — NOT ``filter(id < n)``, which assumes
+    dense 0-based ids and silently yields zero centroids (and an empty
+    result) for 1-based or hash-surrogate ids. The probe join's key is
+    centroid_id — the pair space is corpus/K per probe, not the full
+    corpus.
     """
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     cq = centroids.select(
@@ -223,7 +235,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_expr(vec_col).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)  # zero-norm guard (NaN sorts first)
     qsim = dot_expr("q_vec", "cent_vec") / (F.col("q_norm") * F.col("cent_norm"))
     wq = W.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("centroid_id"))
     probes = (

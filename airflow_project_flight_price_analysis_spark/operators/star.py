@@ -60,9 +60,20 @@ def with_row_hash(df: DataFrame) -> DataFrame:
 
 def dedup_against_ledger(incoming: DataFrame, ledger: DataFrame | None) -> DataFrame:
     """D1 — drop rows whose hash is already in the ledger, then drop
-    in-batch duplicates (keep one row per hash, ingestion.py:82-83)."""
+    in-batch duplicates (keep one row per hash, ingestion.py:82-83).
+
+    A ledger that EXISTS but lacks ``row_hash`` is schema drift, not
+    first-run — silently skipping the anti-join would re-ingest the
+    entire source (the exact failure read_ledger's fail-loud rule
+    exists to prevent). ``None`` (genuinely absent path) means first
+    run."""
     hashed = with_row_hash(incoming)
-    if ledger is not None and "row_hash" in ledger.columns:
+    if ledger is not None:
+        if "row_hash" not in ledger.columns:
+            raise ValueError(
+                "dedup_against_ledger: ledger exists but has no "
+                f"'row_hash' column (schema drift? columns={ledger.columns})"
+            )
         hashed = hashed.join(ledger.select("row_hash"), "row_hash", "left_anti")
     return hashed.dropDuplicates(["row_hash"])
 

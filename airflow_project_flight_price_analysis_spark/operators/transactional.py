@@ -79,14 +79,24 @@ class SnapshotTable:
         snap_dir = os.path.join(self.root, "data", snap_id)
         df.write.mode("errorifexists").parquet(snap_dir)
         marker = os.path.join(self.root, "commits", f"v{version:08d}")
-        try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflict(f"version {version} already committed") from None
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
+        # claim-with-content must be ATOMIC: create-empty-then-write
+        # (O_CREAT|O_EXCL + write) exposes a window where a concurrent
+        # reader sees the marker but reads "" and resolves the snapshot
+        # to the data/ root. Write the content to a private temp file
+        # first, then os.link it into place — link() both claims the
+        # version (fails with FileExistsError if claimed) and publishes
+        # the fully-written content in one filesystem operation.
+        tmp = os.path.join(self.root, "commits", f".tmp-{snap_id}")
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(snap_id)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            raise CommitConflict(f"version {version} already committed") from None
+        finally:
+            os.unlink(tmp)
 
     def upsert(
         self,

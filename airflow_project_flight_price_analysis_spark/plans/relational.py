@@ -64,12 +64,20 @@ def q07_parse_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- P4 + D1/X1: row hash + dedup ledger anti-join -------------------------
 
-_HASH_COLS_SQL = (
-    "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
-    "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), "
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), "
-    "l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))"
-)
+def _lp(expr: str) -> str:
+    """DuckDB twin of row_hash_expr's injective length-prefix encoding."""
+    return f"concat(CAST(length({expr}) AS VARCHAR), ':', {expr})"
+
+
+_HASH_COLS_SQL = "concat_ws('|', " + ", ".join(_lp(e) for e in (
+    "CAST(l_orderkey AS VARCHAR)",
+    "CAST(l_linenumber AS VARCHAR)",
+    "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)",
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)",
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)",
+)) + ")"
 
 
 def _row_hash_cols():

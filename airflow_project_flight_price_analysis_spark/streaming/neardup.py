@@ -53,7 +53,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import _banded, minhash_signatures
+from ..operators.dedup import (
+    _banded,
+    minhash_signatures,
+    require_band_geometry,
+)
 
 SIG_SCHEMA = "id bigint, sig array<bigint>, epoch_id bigint"
 
@@ -82,19 +86,6 @@ def _est_jaccard(num_hashes: int):
             F.lit(0), lambda acc, v: acc + v,
         ) / F.lit(num_hashes)
     )
-
-
-def _require_band_geometry(num_hashes: int, num_bands: int) -> None:
-    """``_banded`` slices the signature into ``num_bands`` bands of
-    exactly 4 elements; any other (num_hashes, num_bands) pairing
-    silently bands NULL slots (empty-string buckets that cross-join
-    everything) or ignores hash slots (silent recall loss). Fail
-    loudly instead."""
-    if num_hashes != 4 * num_bands:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must equal 4*num_bands "
-            f"({num_bands}): _banded uses 4 signature elements per band"
-        )
 
 
 def _best_match_per_id(cands: DataFrame) -> DataFrame:
@@ -138,7 +129,7 @@ def screen_against_ledger(new_sigs: DataFrame, ledger_sigs: DataFrame,
     estimated Jaccard against SOME ledger document clears the
     threshold. One row per flagged new id (best match: max estimate,
     min matched_id as the deterministic tie-break)."""
-    _require_band_geometry(num_hashes, num_bands)
+    require_band_geometry(num_hashes, num_bands)
     p = _banded(new_sigs, num_bands).alias("p")
     x = _banded(ledger_sigs.select("id", "sig"), num_bands).alias("x")
     return _screen(
@@ -156,7 +147,7 @@ def screen_within_batch(new_sigs: DataFrame, *, threshold: float = 0.7,
     """(id, matched_id, est_jaccard) for the HIGHER id of every
     verified in-batch near-dup pair — keep-lowest-id, matching
     ``minhash_dedup``'s survivor rule."""
-    _require_band_geometry(num_hashes, num_bands)
+    require_band_geometry(num_hashes, num_bands)
     banded = _banded(new_sigs, num_bands)
     p, x = banded.alias("p"), banded.alias("x")
     return _screen(

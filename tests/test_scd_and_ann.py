@@ -143,3 +143,126 @@ def test_scd2_rejects_null_business_key(spark):
     updates = spark.createDataFrame([(None, "b")], "k int, attr string")
     with pytest.raises(ValueError, match="NULL business key"):
         scd2_upsert(current, updates, "k", ["attr"], "2024-02-01")
+
+
+def test_zero_norm_vectors_never_pollute_topk(spark):
+    """A padding/failed-encode all-zero vector has cosine 0/0 = NaN,
+    and Spark sorts NaN ABOVE every real double — before the guard it
+    became the rank-1 neighbor of every query."""
+    from airflow_project_flight_price_analysis_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [0.0, 0.0]),  # degenerate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r.neighbor_id, r.rank) for r in out.collect()]
+    assert (3, 1) not in got and all(n != 3 for n, _ in got)
+    assert got[0] == (1, 1)  # the real nearest neighbor holds rank 1
+
+
+def test_ivf_seed_selection_survives_non_zero_based_ids(spark):
+    """Seed selection is orderBy(id).limit(n); the old filter(id < n)
+    yielded ZERO centroids (hence zero results) for 1000-based ids."""
+    from airflow_project_flight_price_analysis_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rows = [(1000 + i, [float(i % 7), float((i * 3) % 5), 1.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, df.limit(3), k=2, n_centroids=4, n_probe=4)
+    assert out.count() > 0
+
+
+def test_band_geometry_is_validated(spark):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        require_band_geometry,
+    )
+
+    with pytest.raises(ValueError, match="4\\*num_bands"):
+        require_band_geometry(16, 8)
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="4\\*num_bands"):
+        minhash_neardup_pairs(df, "text", "doc_id",
+                              num_hashes=16, num_bands=8)
+
+
+def test_exact_dedup_is_not_separator_injectable(spark):
+    """('x|y','z') and ('x','y|z') concatenate identically under plain
+    concat_ws — the length-prefixed encoding must keep them distinct."""
+    from airflow_project_flight_price_analysis_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x|y", "z"), (2, "x", "y|z")], "id long, a string, b string")
+    assert exact_dedup(df, ["a", "b"]).count() == 2
+
+
+def test_stratified_sample_keeps_null_stratum(spark):
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        stratified_threshold_sample,
+    )
+
+    rows = [(i, "s" if i % 2 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = stratified_threshold_sample(df, fraction=0.5, key_col="k",
+                                      strata_col="src")
+    null_kept = out.filter(F.col("src").isNull()).count()
+    # ~fraction of the 200 NULL-stratum rows; 0 was the bug
+    assert 60 <= null_kept <= 140
+
+
+def test_banded_range_join_exact_offset_band(spark):
+    """lower == upper (exact-offset join): the old 1e-9 width clamp
+    pushed bucket ids past double's 2^53 integer range; the 1 s floor
+    must keep exact matches joinable."""
+    import datetime
+
+    from airflow_project_flight_price_analysis_spark.operators.asof import (
+        banded_range_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base)], "lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [(2, base + datetime.timedelta(seconds=60))],
+        "rid long, rts timestamp")
+    out = banded_range_join(left, right, key_cols=[], left_ts="lts",
+                            right_ts="rts", lower_seconds=60,
+                            upper_seconds=60)
+    assert out.count() == 1
+
+
+def test_bloom_rejects_mixed_key_types(spark):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    probe = spark.createDataFrame([(5,)], "k int")
+    build = spark.createDataFrame([(5.0,)], "k double")
+    with pytest.raises(TypeError, match="type mismatch"):
+        bloom_semi_join(probe, build, "k", "k", expected_items=4)
+
+
+def test_ledger_schema_drift_fails_loud(spark):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.star import (
+        dedup_against_ledger,
+    )
+
+    incoming = spark.createDataFrame([(1, "a")], "id long, v string")
+    drifted = spark.createDataFrame([("h",)], "hash string")  # renamed col
+    with pytest.raises(ValueError, match="schema drift"):
+        dedup_against_ledger(incoming, drifted)
