@@ -102,7 +102,10 @@ def title_parity_expr(col: Column | str) -> Column:
 def parse_stopovers_expr(col: Column | str) -> Column:
     """Stopovers parser (``dags/tasks/transformation.py:14-24``):
     'Direct'/'non-stop' → 0; any string with digits → first digit run;
-    garbage/empty/null → 0. Pure Catalyst: when/rlike/regexp_extract.
+    garbage/empty/null → 0 — including an int-OVERFLOWING digit run
+    (try_cast returns NULL there; coalescing keeps the documented
+    garbage→0 contract instead of leaking a NULL into the fact table).
+    Pure Catalyst: when/rlike/regexp_extract.
     """
     c = F.col(col) if isinstance(col, str) else col
     lc = F.lower(F.trim(c))
@@ -110,7 +113,7 @@ def parse_stopovers_expr(col: Column | str) -> Column:
     return (
         F.when(lc.isNull(), F.lit(0))
         .when(lc.rlike(r"^(direct|non[- ]?stop)$"), F.lit(0))
-        .when(digits != "", digits.try_cast("int"))
+        .when(digits != "", F.coalesce(digits.try_cast("int"), F.lit(0)))
         .otherwise(F.lit(0))
         .alias("stopovers")
     )

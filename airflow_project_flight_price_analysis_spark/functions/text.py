@@ -167,8 +167,11 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
 
 # PII patterns (public, RE2/Java-compatible subset: no backrefs or
 # lookarounds, so the same pattern string runs under Spark's Java regex
-# and DuckDB's RE2 oracle identically).
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# and DuckDB's RE2 oracle identically). The email pattern is
+# (?i)-case-insensitive: real emails arrive as John.Doe@Corp.COM, and a
+# lowercase-only pattern would let them through the redaction into the
+# training corpus (phone/IP are digit-only, case-irrelevant).
+PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 

@@ -63,12 +63,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str, *,
     ).collect()[0][0] or 0
     redacted = gated.withColumn("text", pii_redact_expr("text"))
 
-    # 2. exact dedup on the normalized-content fingerprint (min id wins)
+    # 2. exact dedup on the normalized-content fingerprint (min id wins).
+    # survivors is persisted: its lineage (regex redaction + the
+    # fingerprint groupBy-join) feeds FIVE actions — the count below,
+    # the near-dup gram/signature build, the transitive-cluster join,
+    # the post-dedup count, and the curated write; unpersisted, the
+    # regex-heavy redaction re-executes for each (the dedup.py
+    # never-recompute-a-sketch rule, measured 4.4s→1.2s there).
     with_fp = redacted.withColumn("fingerprint", fingerprint_expr("text"))
     survivors = (
         with_fp.groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(with_fp, ["fingerprint", "doc_id"])
+        .persist()
     )
     n_exact = survivors.count()
 
@@ -76,7 +83,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str, *,
     pairs = minhash_neardup_pairs(
         survivors, "text", "doc_id", threshold=neardup_threshold
     ).select("a", "b")
-    deduped = dedup_transitive(survivors, pairs, "doc_id")
+    deduped = dedup_transitive(survivors, pairs, "doc_id").persist()
     n_neardup = deduped.count()
 
     # 4. deterministic split on the *content* fingerprint (already
@@ -87,6 +94,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str, *,
         "split", F.when(digit < F.lit("c"), F.lit("train")).otherwise(F.lit("test"))
     )
     curated.write.mode("overwrite").parquet(f"{out_dir}/curated")
+    survivors.unpersist()
+    deduped.unpersist()
 
     out = spark.read.parquet(f"{out_dir}/curated")
 

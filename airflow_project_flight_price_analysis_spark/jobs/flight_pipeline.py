@@ -52,11 +52,17 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse: str) -> dict:
         df.write.mode("overwrite").parquet(f"{warehouse}/{name}")
 
     # --- validate (validation.py:17-49, post-dedup semantics) ---
+    # staged_rows is a fresh READ-BACK of the bronze table counted
+    # AFTER the star build — passing the earlier deduped_rows variable
+    # here would make staging_ok compare a value to itself (vacuously
+    # true, validating nothing); the re-count catches a bronze
+    # partition lost or doubled between ingest and validation.
+    staged_rows = spark.read.parquet(bronze_path).count()
     fact_rows = spark.read.parquet(f"{warehouse}/fact_flights").count()
     report = reconcile(
         source_rows=source_rows,
         deduped_rows=deduped_rows,
-        staged_rows=deduped_rows,
+        staged_rows=staged_rows,
         fact_rows=fact_rows,
     )
     return {

@@ -1347,7 +1347,7 @@ ORACLE.update({
         scored AS (
             SELECT lang,
                    len(regexp_extract_all(text,
-                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+                       '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
                    len(regexp_extract_all(text,
                        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS n_phone,
                    len(regexp_extract_all(text,
@@ -1357,7 +1357,7 @@ ORACLE.update({
                      regexp_replace(
                        regexp_replace(
                          regexp_replace(text,
-                           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                           '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                          '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '<PHONE>', 'g'),
                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
                    ) AS redacted_len

@@ -411,7 +411,8 @@ ORACLE = {
                  WHEN lower(trim(o_orderpriority)) IS NULL THEN 0
                  WHEN regexp_matches(lower(trim(o_orderpriority)), '^(direct|non[- ]?stop)$') THEN 0
                  WHEN regexp_extract(lower(trim(o_orderpriority)), '(\d+)', 1) <> ''
-                   THEN CAST(regexp_extract(lower(trim(o_orderpriority)), '(\d+)', 1) AS INTEGER)
+                   THEN COALESCE(TRY_CAST(regexp_extract(lower(trim(
+                        o_orderpriority)), '(\d+)', 1) AS INTEGER), 0)
                  ELSE 0
                END AS urgency,
                COUNT(*) AS n

@@ -52,6 +52,14 @@ BRONZE_SCHEMA = T.StructType(
 
 
 def read_flights_csv(spark: SparkSession, path: str) -> DataFrame:
-    """Read raw flight CSV → bronze DataFrame with canonical column names."""
-    df = spark.read.csv(path, header=True, schema=BRONZE_SCHEMA)
+    """Read raw flight CSV → bronze DataFrame with canonical column names.
+
+    ``enforceSchema=false`` makes Spark VALIDATE the file header against
+    the schema's field names (which are exactly the vendor header
+    names). The default (true) binds columns positionally and ignores
+    the header — a vendor reordering two columns would silently swap
+    their data through bronze, the star schema, and the fact table;
+    with validation on, the mismatch fails the read loudly instead."""
+    df = spark.read.csv(path, header=True, schema=BRONZE_SCHEMA,
+                        enforceSchema=False)
     return df.withColumnsRenamed(RENAME_MAP)

@@ -115,6 +115,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically, and a testdata regeneration changes ONE function's
     behavior, not three subsystems (the round-3 lesson).
     """
+    import os
+
     kind = _events_ts_kind(sf_dir)
     if kind in ("nanos", "long"):
         ts_type = "long"
@@ -124,14 +126,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_type = "timestamp_ntz"
     else:
         ts_type = "timestamp"
-    stream = (
-        spark.readStream.schema(
-            f"event_id long, ts {ts_type}, user_id long, "
-            "event_type string, value double, props string"
+    schema = (f"event_id long, ts {ts_type}, user_id long, "
+              "event_type string, value double, props string")
+    events_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(events_path):
+        # directory-of-part-files layout (a Spark write): point the
+        # stream AT the directory. pathGlobFilter matches LEAF file
+        # names, so filtering sf_dir for "events.parquet" would match
+        # zero part-* leaves and start a silently EMPTY stream.
+        stream = spark.readStream.schema(schema).parquet(events_path)
+    else:
+        # single-file layout: glob so sibling tables in sf_dir are
+        # not swept into the stream
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     return _normalize_events_ts(stream, kind)
 
 

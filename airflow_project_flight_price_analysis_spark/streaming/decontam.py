@@ -79,6 +79,12 @@ def streaming_decontaminate(
     """Split a stream into (clean, flagged) against a batch blocklist.
     Exact: ``flagged`` is precisely the stream-static semi-join; the
     bloom literal only routes definite-clean rows around the join."""
+    from ..operators.bloom import _require_same_key_type
+
+    # same guard as bloom_prune: the literal hashes key.cast('string')
+    # but the exact join compares natively — mixed types would give
+    # bloom false negatives and route contaminated rows into `clean`
+    _require_same_key_type(stream, stream_col, blocklist, block_col)
     might = literal_bloom_predicate(
         blocklist, block_col, F.col(stream_col), fpp=fpp
     )

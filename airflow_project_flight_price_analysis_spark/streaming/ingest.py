@@ -34,7 +34,12 @@ def read_flights_stream(spark: SparkSession, input_dir: str,
     reader = spark.readStream.schema(BRONZE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.option("header", "true").csv(input_dir)
+    # enforceSchema=false: validate each file's header against the
+    # schema names instead of binding columns positionally (see
+    # read_flights_csv — a reordered vendor header must fail loudly,
+    # not silently swap columns into bronze)
+    df = (reader.option("header", "true")
+          .option("enforceSchema", "false").csv(input_dir))
     return df.withColumnsRenamed(RENAME_MAP)
 
 

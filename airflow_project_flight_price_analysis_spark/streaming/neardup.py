@@ -211,12 +211,16 @@ def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
                     F.col("b.reason").alias("reason"),
                 )
             )
-            key = F.col(id_col)
-            flagged = (
-                batch.join(flagged_ids, key == flagged_ids.id)
-                .drop("id") if id_col != "id"
-                else batch.join(flagged_ids, "id")
-            )
+            if id_col == "id":
+                flagged = batch.join(flagged_ids, "id")
+            else:
+                # drop ONLY the join helper column, not any legitimate
+                # batch column that happens to be named "id" —
+                # drop("id") by name would take both
+                fi = flagged_ids.withColumnRenamed("id", "__flag_id")
+                flagged = batch.join(
+                    fi, F.col(id_col) == F.col("__flag_id")
+                ).drop("__flag_id")
             clean = batch.join(
                 flagged_ids.select(flagged_ids.id.alias(id_col)),
                 id_col, "left_anti",

@@ -114,3 +114,32 @@ def test_title_parity_stays_jvm_side(spark):
         .select(title_parity_expr("s").alias("t"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stopovers_int_overflow_is_zero_not_null(spark):
+    """Documented contract: garbage → 0. A digit run that overflows int
+    used to come back NULL through try_cast."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.functions.cleaning import (
+        parse_stopovers_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("99999999999 stops",), ("2 stops",), ("Direct",)], "s string")
+    got = [r[0] for r in
+           df.select(parse_stopovers_expr(F.col("s"))).collect()]
+    assert got == [0, 2, 0]
+
+
+def test_pii_email_redaction_is_case_insensitive(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.functions.text import (
+        pii_redact_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("Contact John.Doe@Corp.COM today",)], "text string")
+    out = df.select(pii_redact_expr("text").alias("t")).collect()[0].t
+    assert "Corp.COM" not in out and "<EMAIL>" in out

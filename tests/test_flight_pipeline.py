@@ -178,3 +178,24 @@ def test_jdbc_wrappers_contract(spark):
             num_partitions=4,
         )
     assert "driver" in str(ei.value).lower() or "connect" in str(ei.value).lower()
+
+
+def test_reordered_csv_header_fails_loudly(spark, tmp_path):
+    """enforceSchema=false: a vendor reordering columns must fail the
+    read, not silently swap source/destination through the pipeline."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.sources.flights_csv import (
+        RENAME_MAP,
+        read_flights_csv,
+    )
+
+    cols = list(RENAME_MAP)
+    swapped = cols.copy()
+    i, j = cols.index("Source"), cols.index("Destination")
+    swapped[i], swapped[j] = swapped[j], swapped[i]
+    p = tmp_path / "swapped.csv"
+    p.write_text(",".join(f'"{c}"' for c in swapped) + "\n"
+                 + ",".join(["x"] * len(cols)) + "\n")
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        read_flights_csv(spark, str(p)).collect()

@@ -493,3 +493,36 @@ def test_neardup_screens_have_fixed_points(spark):
     self_hits = screen_against_ledger(sigs, sigs, threshold=0.99).collect()
     assert sorted((r.id, r.matched_id, r.est_jaccard) for r in self_hits) \
         == [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 1.0)]
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """A Spark-written events.parquet DIRECTORY must stream its rows —
+    the old pathGlobFilter matched zero part-files and started a
+    silently empty stream."""
+    from airflow_project_flight_price_analysis_spark.sources.testdata import (
+        events_stream,
+    )
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sf = str(tmp_path / "sf")
+    batch.limit(50).write.parquet(f"{sf}/events.parquet")  # directory layout
+    q = (events_stream(spark, sf)
+         .writeStream.format("memory").queryName("evdir")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table("evdir").count() == 50
+
+
+def test_decontaminate_rejects_mixed_key_types(spark, tmp_path):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.streaming.decontam import (
+        streaming_decontaminate,
+    )
+
+    src = str(tmp_path / "s")
+    spark.createDataFrame([(1,)], "k int").write.parquet(src)
+    stream = spark.readStream.schema("k int").parquet(src)
+    block = spark.createDataFrame([(1.0,)], "k double")
+    with pytest.raises(TypeError, match="type mismatch"):
+        streaming_decontaminate(stream, block, "k", "k")
