@@ -411,3 +411,51 @@ def minhash_ml_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# shared prefix-filter machinery (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+
+def prefix_filter_postings(grams: DataFrame, prefix_len,
+                           block_col: str = "lang"):
+    """The losslessness-critical core shared by the prefix-filtered
+    set-similarity joins (x60 Jaccard, x67b containment): explode a
+    ``document_grams`` table into postings, rank each document's
+    shingles RARE-FIRST under one global order (document frequency
+    ascending, shingle hash as the deterministic tie-break), cut each
+    document to its prefix, and prune df=1 postings.
+
+    ``prefix_len`` maps the doc-size Column ``n`` to the prefix bound
+    Column — ``n − ⌈t·n⌉ + 1`` for Jaccard ≥ t (both sides) and for
+    max-containment ≥ t (probe side; the lemma's overlap bound is
+    ⌈t·min(na,nb)⌉, witnessed inside the SMALLER doc's prefix).
+
+    Returns ``(prefix, full_df2)`` — prefix postings and the
+    df≥2-pruned FULL postings (the containment join's index side) —
+    both with columns ``(id, block_col, n, g)``. The df≥2 prune is
+    lossless on BOTH: the colliding witness the prefix lemma
+    guarantees is shared by two documents, so its df is ≥ 2; a
+    unique shingle can never produce a candidate. Factored here
+    because the two consumers' blocks had to receive the round-6
+    prune separately — a future bound/tie-break fix must not be able
+    to desynchronize the certified and product paths.
+    """
+    postings = grams.select(
+        "id", block_col, F.size("grams").alias("n"),
+        F.explode("grams").alias("g"),
+    )
+    gfreq = postings.groupBy("g").agg(F.count("*").alias("gf"))
+    with_freq = postings.join(F.broadcast(gfreq), "g")
+    prefix = (
+        with_freq
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("id").orderBy("gf", "g"))
+        )
+        .filter(F.col("rk") <= prefix_len(F.col("n")))
+        .filter(F.col("gf") >= 2)
+        .select("id", block_col, "n", "g")
+    )
+    full_df2 = with_freq.filter(F.col("gf") >= 2) \
+        .select("id", block_col, "n", "g")
+    return prefix, full_df2

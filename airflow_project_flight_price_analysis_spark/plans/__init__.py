@@ -39,14 +39,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x96_entity_resolution",     # form (r6); x44/x96/x21 consume it —
     #                              x21 already sorts into the stale tier.
 )
-# Tier 2 (automatic, no green row): q66_market_share (r5's only red row,
-# fixed this round via DECIMAL(38,6) aggregation — must land first) and
-# x67b_containment_prefix (new: the forced-prefix containment plan whose
-# driver row IS the losslessness certification). Tier 3 then re-certifies
-# the remaining r1/r2-stale rows (q40, q42, q44-q46, x01-x16, x18-x33 —
-# ~40 queries predating the round-4 testdata regeneration): 3 + 2 + 40
-# fits the 50-slot budget, closing the certification-latency gap the r5
-# verdict called out.
+# Tier 2 (automatic, no green row) as of round-6 close: q66 (r5's only
+# red row, fixed via DECIMAL(38,6) aggregation) plus the 13 round-6
+# additions (q70-q78, x67b, x100-x102) — 14 names. With tier 1 at 5,
+# ~31 tier-3 slots remain of the 50-slot budget for the 29 r1/r2-stale
+# rows (q40/q42/q44-q46, x01-x16, x18-x33 minus those already rotated
+# in r5) — the stalest land this round; any residue (later x2x
+# entries) sorts first next round by construction.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -102,26 +101,7 @@ def _with_cache_rotation(fn: Callable) -> Callable:
     return wrapped
 
 
-def _prioritize(out: dict) -> dict:
-    latest = _latest_green_round()
-    ordered: dict = {k: out[k] for k in _DRIVER_PRIORITY if k in out}
-    ordered.update(
-        {k: v for k, v in out.items() if k not in ordered and k not in latest}
-    )
-    # tier 3: already-green queries, STALEST latest-green round first (ties
-    # in registration order) — the budget slots left after tiers 1-2
-    # automatically re-certify whatever the driver has not seen longest,
-    # replacing the hand-maintained per-round rotation lists.
-    reg_pos = {k: i for i, k in enumerate(out)}
-    stale_first = sorted(
-        (k for k in out if k not in ordered),
-        key=lambda k: (latest.get(k, 0), reg_pos[k]),
-    )
-    ordered.update({k: out[k] for k in stale_first})
-    return {k: _with_cache_rotation(v) for k, v in ordered.items()}
-
-
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _raw_queries() -> dict:
     from . import (
         kpi, relational, temporal, extensions, curation, insights, mining,
     )
@@ -131,7 +111,47 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kpi, relational, temporal, extensions, curation, insights, mining,
     ):
         out.update(mod.QUERIES)
-    return _prioritize(out)
+    return out
+
+
+#: Process-lifetime cache of the prioritized name order: the CORRECTNESS
+#: artifacts it derives from only change between driver rounds (never
+#: mid-process), and both all_queries() and all_oracle_sql() need the
+#: same order — computing it once avoids re-parsing every artifact per
+#: call.
+_ORDER_CACHE: list[str] | None = None
+
+
+def _prioritized_order() -> list[str]:
+    global _ORDER_CACHE
+    if _ORDER_CACHE is None:
+        out = _raw_queries()
+        latest = _latest_green_round()
+        ordered: list[str] = [k for k in _DRIVER_PRIORITY if k in out]
+        seen = set(ordered)
+        for k in out:
+            if k not in seen and k not in latest:
+                ordered.append(k)
+                seen.add(k)
+        # tier 3: already-green queries, STALEST latest-green round
+        # first (ties in registration order) — the budget slots left
+        # after tiers 1-2 automatically re-certify whatever the driver
+        # has not seen longest, replacing the hand-maintained per-round
+        # rotation lists.
+        reg_pos = {k: i for i, k in enumerate(out)}
+        ordered += sorted(
+            (k for k in out if k not in seen),
+            key=lambda k: (latest.get(k, 0), reg_pos[k]),
+        )
+        _ORDER_CACHE = ordered
+    return _ORDER_CACHE
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = _raw_queries()
+    return {
+        k: _with_cache_rotation(out[k]) for k in _prioritized_order()
+    }
 
 
 def all_oracle_sql() -> dict[str, str]:
@@ -144,8 +164,11 @@ def all_oracle_sql() -> dict[str, str]:
         kpi, relational, temporal, extensions, curation, insights, mining,
     ):
         out.update(mod.ORACLE)
-    # mirror the queries() schedule exactly, so the driver sees one order
-    order = list(all_queries())
+    # mirror the queries() schedule exactly, so the driver sees one
+    # order — via the cached name order, not a second full
+    # prioritization (re-parsing every CORRECTNESS artifact and
+    # re-wrapping 181 queries to copy a key order is pure waste)
+    order = _prioritized_order()
     ordered = {k: out[k] for k in order if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered

@@ -209,7 +209,11 @@ def x40_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 9).alias("mu"),
         F.round(F.stddev_samp("value"), 9).alias("sigma"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # try_divide: a constant-valued type has sigma 0 (ANSI /0 throws);
+    # a single-event type has sigma NULL. NULL z rows count as
+    # non-anomalous below, matching the oracle (whose NaN > 2.5 is
+    # false and whose SUM(CASE ... ELSE 0) never goes NULL).
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
         "absz", F.abs(z)
     )
@@ -217,7 +221,8 @@ def x40_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum((F.col("absz") > 2.5).cast("bigint")).alias("n_anomalies"),
+            F.sum(F.coalesce((F.col("absz") > 2.5).cast("bigint"),
+                              F.lit(0))).alias("n_anomalies"),
             F.round(F.max("absz"), 4).alias("max_abs_z"),
         )
         .orderBy("event_type")
@@ -983,13 +988,23 @@ def x50_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = pdf["y"].to_numpy(np.float64)
         mx, my = x.mean(), y.mean()
         dx = x - mx
-        slope = float((dx * (y - my)).sum() / (dx * dx).sum())
+        ssx = float((dx * dx).sum())
+        if ssx == 0.0:
+            # zero x-variance group: numpy 0/0 would yield NaN where
+            # the oracle's REGR_SLOPE/REGR_INTERCEPT return NULL
+            slope = intercept = None
+        else:
+            raw = float((dx * (y - my)).sum() / ssx)
+            # intercept uses the UNROUNDED slope (the oracle's
+            # REGR_INTERCEPT does); rounding is output-only
+            slope = round(raw, 6)
+            intercept = round(my - raw * mx, 6)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [len(x)],
-                "slope": [round(slope, 6)],
-                "intercept": [round(my - slope * mx, 6)],
+                "slope": [slope],
+                "intercept": [intercept],
             }
         )
 
@@ -1142,7 +1157,10 @@ def x52_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    ewma = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x) / norm
+    # try_divide: an empty history window has norm 0 (ANSI /0 throws)
+    ewma = F.try_divide(
+        F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x), norm
+    )
     return (
         smoothed.select(
             "event_type",
@@ -1669,29 +1687,21 @@ def x60_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..cache import track_persist  # noqa: PLC0415
 
-    from ..operators.dedup import document_grams
+    from ..operators.dedup import document_grams, prefix_filter_postings
 
     t = 0.5
     docs = load_table(spark, sf_dir, "documents")
     grams = document_grams(docs, "text", "doc_id", shingle_n=3,
                            keep_cols=("lang",)) \
         .transform(track_persist)
-    postings = grams.select(
-        "id", "lang", F.size("grams").alias("n"), F.explode("grams").alias("g")
-    )
-    gfreq = postings.groupBy("g").agg(F.count("*").alias("gf"))
-    prefix = (
-        postings.join(F.broadcast(gfreq), "g")
-        .withColumn(
-            "rk", F.row_number().over(W.partitionBy("id").orderBy("gf", "g"))
-        )
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        # df≥2 prune AFTER ranking, lossless: the colliding witness the
-        # prefix lemma guarantees is shared by two docs, so df ≥ 2 —
-        # unique shingles can never produce a candidate (at web scale
-        # the vocabulary long tail is mostly df = 1; x67b's prune twin)
-        .filter(F.col("gf") >= 2)
-        .select("id", "lang", "g")
+    # shared machinery (operators/dedup.prefix_filter_postings): the
+    # rare-first ranking, the n − ⌈t·n⌉ + 1 cut, and the lossless df≥2
+    # prune are ONE implementation for x60 and x67b, so the certified
+    # and product paths cannot drift apart
+    prefix, _ = prefix_filter_postings(
+        grams,
+        lambda n: n - F.ceil(F.lit(t) * n) + 1,
+        block_col="lang",
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
@@ -1776,7 +1786,12 @@ def x61_mixture_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = totals.crossJoin(F.broadcast(t_max)).select(
         "source", "n_docs", "tok",
         F.least(
-            F.lit(4), F.ceil(F.col("tok_max") / F.col("tok")).cast("int")
+            F.lit(4),
+            F.coalesce(
+                F.ceil(F.try_divide(F.col("tok_max"), F.col("tok")))
+                .cast("int"),
+                F.lit(1),  # all-empty source: no upsampling, 1 epoch
+            ),
         ).alias("repeats"),
     )
     replicated = (
@@ -1811,7 +1826,8 @@ ORACLE["x61_mixture_upsampling"] = r"""
     ),
     plan AS (
         SELECT source, n_docs, tok,
-               CAST(LEAST(4, CEIL((SELECT MAX(tok) FROM totals) * 1.0 / tok))
+               CAST(LEAST(4, COALESCE(CEIL((SELECT MAX(tok) FROM totals)
+                                        * 1.0 / NULLIF(tok, 0)), 1))
                     AS INTEGER) AS repeats
         FROM totals
     ),
@@ -2167,11 +2183,13 @@ ORACLE["x66_weighted_sample"] = """
 #: itself makes for broadcast-vs-shuffle joins.
 CONTAINMENT_DIRECT_MAX_DOCS = 1_000_000
 
-#: Memoized auto-strategy decision per dataset path — the doc-count
-#: probe is a (metadata-cheap but not free) Spark job, and the decision
-#: is deterministic per dataset, so repeated plan builds shouldn't
-#: re-run it. A production engine reads this from catalog stats.
-_CONTAINMENT_STRATEGY: dict[str, str] = {}
+#: Memoized auto-strategy decision per (dataset path, mtime) — the
+#: doc-count probe is a (metadata-cheap but not free) Spark job, and
+#: the decision is deterministic per dataset VERSION, so repeated plan
+#: builds shouldn't re-run it; the mtime in the key invalidates the
+#: memo when the data at the path changes. A production engine reads
+#: this from catalog stats.
+_CONTAINMENT_STRATEGY: dict[tuple[str, float], str] = {}
 
 
 def _containment_pairs(
@@ -2235,13 +2253,26 @@ def _containment_pairs(
     t = 0.2
     docs = load_table(spark, sf_dir, "documents")
     if strategy == "auto":
-        if sf_dir not in _CONTAINMENT_STRATEGY:
-            _CONTAINMENT_STRATEGY[sf_dir] = (
+        # memo key includes the dataset's mtime: a corpus regenerated
+        # or grown AT THE SAME PATH must re-decide (a path-only memo
+        # would keep the quadratic direct plan after the corpus grows
+        # past the threshold — the exact case the switch exists for).
+        # A production engine reads catalog stats, whose snapshot id
+        # plays this mtime role.
+        import os
+
+        try:
+            mt = os.path.getmtime(f"{sf_dir}/documents.parquet")
+        except OSError:
+            mt = 0.0
+        memo_key = (sf_dir, mt)
+        if memo_key not in _CONTAINMENT_STRATEGY:
+            _CONTAINMENT_STRATEGY[memo_key] = (
                 "direct"
                 if docs.count() <= CONTAINMENT_DIRECT_MAX_DOCS
                 else "prefix"
             )
-        strategy = _CONTAINMENT_STRATEGY[sf_dir]
+        strategy = _CONTAINMENT_STRATEGY[memo_key]
     if strategy == "direct":
         grams = document_grams(docs, "text", "doc_id", shingle_n=3,
                                keep_cols=("lang",))
@@ -2276,34 +2307,19 @@ def _containment_pairs(
     grams = document_grams(docs, "text", "doc_id", shingle_n=3,
                            keep_cols=("lang",)) \
         .transform(track_persist)
-    postings = grams.select(
-        "id", "lang", F.size("grams").alias("n"),
-        F.explode("grams").alias("g"),
+    # probe-side prefix: first n − ⌈t·n⌉ + 1 shingles, rarest first —
+    # the SAME shared machinery as x60 (operators/dedup.
+    # prefix_filter_postings), so the certified and product prefix
+    # paths cannot drift; the rank covers ALL of the doc's shingles
+    # (the bound is defined on the full set) and the lossless df≥2
+    # prune happens AFTER ranking, on both sides.
+    from ..operators.dedup import prefix_filter_postings
+
+    prefix, idx = prefix_filter_postings(
+        grams,
+        lambda n: n - F.ceil(F.lit(t) * n) + 1,
+        block_col="lang",
     )
-    gfreq = postings.groupBy("g").agg(F.count("*").alias("gf"))
-    # probe-side prefix: first n − ⌈t·n⌉ + 1 shingles, rarest first
-    # (gf asc, shingle as the deterministic tiebreak). NOTE the rank is
-    # computed over ALL of the doc's shingles (the bound is defined on
-    # the full set) — the df≥2 prune below happens AFTER ranking.
-    prefix_ranked = (
-        postings.join(F.broadcast(gfreq), "g")
-        .withColumn(
-            "rk", F.row_number().over(W.partitionBy("id").orderBy("gf", "g"))
-        )
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-    )
-    # df≥2 prune, LOSSLESS: a shingle only one document contains cannot
-    # collide across documents, and any pair meeting the threshold
-    # shares a shingle with df ≥ 2 inside the probe prefix (the lemma's
-    # witness is shared, hence df ≥ 2). At web scale the vocabulary
-    # long tail is mostly df = 1, so this drops most join input; both
-    # sides prune so neither ships unique-shingle postings.
-    prefix = prefix_ranked.filter(F.col("gf") >= 2).select(
-        "id", "lang", "n", "g"
-    )
-    idx = postings.join(F.broadcast(gfreq), "g").filter(
-        F.col("gf") >= 2
-    ).select("id", "lang", "n", "g")
     p, f = prefix.alias("p"), idx.alias("f")
     # probe must be the smaller side (the lemma's overlap bound is
     # ⌈t·n_probe⌉ with n_probe = min); equal sizes meet in both

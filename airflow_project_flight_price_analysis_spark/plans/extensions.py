@@ -377,7 +377,14 @@ ORACLE = {
         FROM documents ORDER BY doc_id
     """,
     "x06_cosine_topk": """
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            -- zero-norm guard, mirroring cosine_topk: a zero vector
+            -- has no direction (cosine 0/0), and engines disagree on
+            -- how NaN ranks — both sides exclude it
+            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0
+        ),
         pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROUND(list_dot_product(q.e, c.e) /
@@ -432,6 +439,9 @@ ORACLE = {
                5 AS k,
                0.8 AS recall_certified
         FROM embeddings WHERE vec_id < 10
+          -- zero-norm guard mirroring cosine_topk (see x06)
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
     """,
     "x08_minhash_neardup": r"""
         WITH d AS (
@@ -597,6 +607,9 @@ ORACLE.update({
                5 AS k,
                0.7 AS recall_certified
         FROM embeddings WHERE vec_id < 10
+          -- zero-norm guard mirroring cosine_topk (see x06)
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
     """,
     "x14_label_centroids": """
         SELECT label, CAST(i - 1 AS INTEGER) AS pos,
@@ -666,7 +679,10 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked = v.repartition(shuffle_n, "label")
         a = blocked.alias("a")
         b = blocked.hint("shuffle_hash").alias("b")
-    cos = dot_expr(F.col("a.e"), F.col("b.e")) / (F.col("a.norm") * F.col("b.norm"))
+    # try_divide: a zero-norm vector would THROW under ANSI (0/0); as
+    # NULL the >= 0.3 filter drops the pair, matching the oracle's NaN
+    cos = F.try_divide(dot_expr(F.col("a.e"), F.col("b.e")),
+                       F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -727,10 +727,12 @@ def x85_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("s") + m * F.col("gmean")) / (F.col("n_orders") + m), 4
             ).alias("smoothed"),
             F.round(
-                (F.col("s") - F.col("mx")) / (F.col("n_orders") - 1), 4
-            ).alias("loo_min"),
+                F.try_divide(F.col("s") - F.col("mx"),
+                             F.col("n_orders") - 1), 4
+            ).alias("loo_min"),  # 1-order segment (ANSI /0 throws)
             F.round(
-                (F.col("s") - F.col("mn")) / (F.col("n_orders") - 1), 4
+                F.try_divide(F.col("s") - F.col("mn"),
+                             F.col("n_orders") - 1), 4
             ).alias("loo_max"),
         )
         .orderBy("c_mktsegment")
@@ -797,9 +799,9 @@ def x86_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ecdf = grid.select(
         "source", "n_src",
         (F.sum("c").over(w) / F.col("n_src")).alias("f_src"),
-        (
-            (F.sum("cg").over(w) - F.sum("c").over(w))
-            / (F.col("n_tot") - F.col("n_src"))
+        F.try_divide(
+            F.sum("cg").over(w) - F.sum("c").over(w),
+            F.col("n_tot") - F.col("n_src"),  # single-source corpus: 0
         ).alias("f_rest"),
     )
     return (
@@ -882,19 +884,22 @@ def x87_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.min("freq").cast("bigint").alias("x_k"),
         F.round(
-            (F.count(F.lit(1)) - 1)
-            / (
+            F.try_divide(
+                F.count(F.lit(1)) - 1,
                 F.sum(F.log(F.col("freq").cast("double")))
-                - F.count(F.lit(1)) * F.log(F.min("freq").cast("double"))
-            ),
+                - F.count(F.lit(1)) * F.log(F.min("freq").cast("double")),
+            ),  # all-equal top-k freqs: denominator 0 (ANSI /0 throws)
             6,
         ).alias("alpha"),
         F.round(
-            -(
-                F.sum(F.log(F.col("freq").cast("double")))
-                - F.count(F.lit(1)) * F.log(F.min("freq").cast("double"))
-            )
-            / (F.count(F.lit(1)) - 1),
+            F.try_divide(
+                -(
+                    F.sum(F.log(F.col("freq").cast("double")))
+                    - F.count(F.lit(1))
+                    * F.log(F.min("freq").cast("double"))
+                ),
+                F.count(F.lit(1)) - 1,  # 1-term vocab (ANSI /0 throws)
+            ),
             6,
         ).alias("implied_zipf_slope"),
     )

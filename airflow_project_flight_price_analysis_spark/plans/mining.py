@@ -366,7 +366,8 @@ def x92_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("lag").cast("bigint").alias("lag"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.sum("prod") / F.max("ss"), 6).alias("acf"),
+            F.round(F.try_divide(F.sum("prod"), F.max("ss")), 6)
+            .alias("acf"),  # constant series: ss=0 (ANSI /0 throws)
         )
         .orderBy("lag")
     )
@@ -426,7 +427,8 @@ def x93_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.crossJoin(F.broadcast(stats))
         .withColumn(
             "cusum",
-            F.sum((F.col("x") - F.col("mu")) / F.col("sigma")).over(w),
+            F.sum(F.try_divide(F.col("x") - F.col("mu"),
+                               F.col("sigma"))).over(w),
         )
     )
     return (

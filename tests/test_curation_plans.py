@@ -520,7 +520,10 @@ def test_x67_auto_switches_to_prefix_above_threshold(spark, tmp_path, monkeypatc
     monkeypatch.setattr(curation, "CONTAINMENT_DIRECT_MAX_DOCS", 1)
     monkeypatch.setattr(curation, "_CONTAINMENT_STRATEGY", {})
     auto = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "auto").collect()))
-    assert curation._CONTAINMENT_STRATEGY[sf_dir] == "prefix"
+    # memo is keyed by (path, mtime) so a regenerated dataset re-decides
+    assert list(curation._CONTAINMENT_STRATEGY.values()) == ["prefix"]
+    (memo_path, _memo_mtime), = curation._CONTAINMENT_STRATEGY
+    assert memo_path == sf_dir
     forced = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "prefix").collect()))
     direct = sorted(map(tuple, curation._containment_pairs(spark, sf_dir, "direct").collect()))
     assert auto == forced == direct
@@ -559,3 +562,85 @@ def test_x67_prefix_equals_direct_on_random_corpora(spark, tmp_path_factory,
     prefix = sorted(map(tuple,
                         _containment_pairs(spark, sf_dir, "prefix").collect()))
     assert direct == prefix
+
+
+def test_x67_auto_memo_invalidates_on_regeneration(spark, tmp_path,
+                                                   monkeypatch):
+    """A corpus REGENERATED at the same path must re-run the strategy
+    decision — the old path-only memo kept the quadratic direct plan
+    after the corpus grew past the ceiling."""
+    import os
+
+    from airflow_project_flight_price_analysis_spark.plans import curation
+
+    sf_dir = str(tmp_path)
+    small = [(1, "en", "alpha beta gamma delta")]
+    spark.createDataFrame(
+        small, "doc_id long, lang string, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    monkeypatch.setattr(curation, "CONTAINMENT_DIRECT_MAX_DOCS", 2)
+    monkeypatch.setattr(curation, "_CONTAINMENT_STRATEGY", {})
+    curation._containment_pairs(spark, sf_dir, "auto").collect()
+    assert list(curation._CONTAINMENT_STRATEGY.values()) == ["direct"]
+
+    # regenerate: 3 docs now exceed the ceiling of 2
+    bigger = small + [
+        (2, "en", "alpha beta gamma zeta"),
+        (3, "en", "unrelated words entirely here"),
+    ]
+    spark.createDataFrame(
+        bigger, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    os.utime(f"{sf_dir}/documents.parquet", (1e9, 2e9))  # force mtime change
+    curation._containment_pairs(spark, sf_dir, "auto").collect()
+    assert "prefix" in curation._CONTAINMENT_STRATEGY.values()
+
+
+def test_stats_queries_survive_degenerate_variance(spark, tmp_path):
+    """ANSI mode turns double/0 into DIVIDE_BY_ZERO errors: a
+    constant-valued event type (sigma = 0) or a single-event type
+    (sigma NULL) must yield zero anomalies, not crash the query;
+    likewise a constant daily series for the CUSUM/ACF queries."""
+    import datetime
+
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        x40_event_anomalies,
+    )
+    from airflow_project_flight_price_analysis_spark.plans.mining import (
+        x92_daily_autocorrelation,
+        x93_cusum_changepoint,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(6):  # one event per day -> constant daily count
+        rows.append((d, base + datetime.timedelta(days=d, minutes=d),
+                     d % 3, "heartbeat", 1.0, "{}"))
+    # single-event type, on its own day so the daily count stays
+    # constant at 1 (the x92/x93 zero-variance case)
+    rows.append((99, base + datetime.timedelta(days=6), 0,
+                 "lonely", 42.0, "{}"))
+    sf = str(tmp_path)
+    # pyarrow micros-ntz file, the driver-testdata layout the loader's
+    # footer probe expects (a Spark write would exercise a different
+    # timestamp flavor — not what this test is about)
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    x40 = {r.event_type: r.n_anomalies
+           for r in x40_event_anomalies(spark, sf).collect()}
+    assert x40 == {"heartbeat": 0, "lonely": 0}
+    # constant series: acf/cusum are NULL, never an ANSI error
+    assert all(r.acf is None
+               for r in x92_daily_autocorrelation(spark, sf).collect())
+    assert x93_cusum_changepoint(spark, sf).count() >= 0
