@@ -1703,6 +1703,9 @@ def x60_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda n: n - F.ceil(F.lit(t) * n) + 1,
         block_col="lang",
     )
+    # the symmetric Jaccard join never reads doc sizes — don't ship
+    # them through the candidate shuffle
+    prefix = prefix.select("id", "lang", "g")
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
