@@ -17,8 +17,8 @@ fights.
 
 The fix is engine-side so every harness gets it: persists route through
 :func:`track_persist`, and building the NEXT registered query first
-releases every block the PREVIOUS invocation registered (see
-``plans.__init__._prioritize`` wrapping). By the time a harness asks for
+releases every block the PREVIOUS invocation registered (see the
+``plans.__init__._with_cache_rotation`` wrapping in ``all_queries``). By the time a harness asks for
 query N+1, query N's result has been materialized — its cache has served
 its purpose. If a caller interleaves builds and collects instead,
 ``unpersist`` degrades gracefully: the released subplan recomputes per
