@@ -83,9 +83,12 @@ def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - no codecs here
 
 def _decode_fake(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in 'feature vector': bytes of sha256(payload)
-    scaled to [0,1). Stable across runs/machines."""
+    scaled to [0,1). Stable across runs/machines. Divisor 256 (not
+    255): a 0xFF byte under /255 lands EXACTLY on 1.0, violating the
+    half-open range ~3% of rows (8 bytes × 1/255) — the all-rows range
+    test caught it."""
     h = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in h[:dim]]
+    return [b / 256.0 for b in h[:dim]]
 
 
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:

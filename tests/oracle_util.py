@@ -39,14 +39,24 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        # normalize float noise below a relative ~1e-9
+        # DRIVER PARITY: 9-significant-digit formatting, exactly the
+        # driver's normalizer. This is rounding (collapses noise up to
+        # ~1e-8 relative; can in principle split values a hair apart at
+        # a rounding boundary) — queries therefore round/deciml-cast
+        # their own float outputs so the compare never sits on a
+        # boundary. Do NOT "improve" this locally: a tolerance the
+        # driver doesn't have would hide real driver-side mismatches.
         return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        # ndarray: both toPandas() and DuckDB fetchdf() deliver ARRAY
+        # columns as numpy arrays, which pd.isna would choke on
         return tuple(_norm_cell(x) for x in v)
     if pd.isna(v):
         return "<null>"
@@ -70,7 +80,12 @@ def _assert_no_hugeint(pdf: pd.DataFrame, name: str) -> None:
     can't see that, so flag it explicitly: cast such sums in the oracle SQL."""
     for col in pdf.columns:
         if pdf[col].dtype == object and len(pdf):
-            v = pdf[col].iloc[0]
+            # first NON-NULL value: a NULL first row (outer-join group)
+            # must not bypass the guard
+            nn = pdf[col].dropna()
+            if not len(nn):
+                continue
+            v = nn.iloc[0]
             if isinstance(v, int) and not isinstance(v, bool):
                 raise AssertionError(
                     f"{name}: oracle column {col!r} is a Python-int object "

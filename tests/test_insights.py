@@ -237,7 +237,18 @@ def test_ks_grid_is_value_scale_not_row_scale(spark):
     for r in rows:
         assert 0.0 <= r.ks <= 1.0, r
     assert sum(r.n_docs for r in rows) == docs.count()
-    assert n_vals * n_src < docs.count() * n_src  # grid stays sub-row-scale
+    # The scale claim is structural, not numeric-at-this-SF: the grid
+    # is |distinct lengths| × |sources| cells — bounded by the VALUE
+    # DOMAIN, so it stays fixed while rows grow 1000×. At sf0.001 the
+    # distinct count (~313) is near the row count (500), so a numeric
+    # grid<rows assertion is meaningless here (an earlier form
+    # multiplied both sides by n_src and was vacuous). The structural
+    # guarantee lives in the plan: no pairwise doc×doc join — the only
+    # joins carry the per-source totals (broadcast) onto the grid.
+    plan = _Q["x86_ks_drift"](spark, SF_ORACLE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_hill_estimator_sane_and_take_ordered(spark):

@@ -229,10 +229,10 @@ def test_q66_share_is_single_aggregate(spark):
     """SUM(CASE)/SUM must compute inside one partial→final aggregate —
     no second pass over the join for the denominator."""
     plan = _plan(_Q["q66_market_share"](spark, SF_ORACLE))
-    import re
-    aggs = re.findall(r"HashAggregate", plan)
-    # one partial + one final for the year groups, plus dim-side joins;
-    # crucially NOT two separate year-level aggregations unioned/joined
+    # exactly one partial + one final HashAggregate for the year groups
+    # — a denominator computed by a second aggregation joined back
+    # would add another pair (and an exchange)
+    assert plan.count("HashAggregate") == 2, plan
     assert "Union" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
 

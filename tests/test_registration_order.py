@@ -42,7 +42,7 @@ def test_unverified_queries_fit_in_driver_budget():
     )
     stale_overflow = [
         n for n in plans._BUDGET_OVERFLOW_OK
-        if n in list(entrymod.queries())[:DRIVER_BUDGET]
+        if n in names[:DRIVER_BUDGET]
     ]
     assert not stale_overflow, (
         f"overflow-declared queries now fit the budget — clear them from "

@@ -159,9 +159,9 @@ def test_zero_norm_vectors_never_pollute_topk(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
-    got = [(r.neighbor_id, r.rank) for r in out.collect()]
-    assert (3, 1) not in got and all(n != 3 for n, _ in got)
-    assert got[0] == (1, 1)  # the real nearest neighbor holds rank 1
+    by_rank = {r.rank: r.neighbor_id for r in out.collect()}
+    assert 3 not in by_rank.values()
+    assert by_rank[1] == 1  # the real nearest neighbor holds rank 1
 
 
 def test_ivf_seed_selection_survives_non_zero_based_ids(spark):

@@ -84,7 +84,7 @@ def test_stream_ingest_is_incremental_and_idempotent(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     q = start_stream_ingest(spark, str(landing), bronze, ledger, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out
     assert spark.read.parquet(bronze).count() == 1  # in-batch dup collapsed
 
     # new file lands: only its new row is ingested; old file not re-read
@@ -92,7 +92,7 @@ def test_stream_ingest_is_incremental_and_idempotent(spark, tmp_path):
         "\n".join([CSV_HEADER, GOOD_ROW, SECOND_ROW]) + "\n"
     )
     q2 = start_stream_ingest(spark, str(landing), bronze, ledger, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)  # False = timed out
     bronze_df = spark.read.parquet(bronze)
     assert bronze_df.count() == 2
     assert spark.read.parquet(ledger).count() == 2
@@ -262,7 +262,7 @@ def test_quality_quarantine_splits_and_annotates(spark, tmp_path):
         stream, checks, good, quar, str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out
 
     good_rows = {r.id for r in spark.read.parquet(good).collect()}
     bad = {r.id: sorted(r.violations)
@@ -327,7 +327,7 @@ def test_streaming_decontaminate_splits_exactly(spark, tmp_path):
           .trigger(availableNow=True).start())
     qf = (flagged.writeStream.format("memory").queryName("dc_flagged")
           .trigger(availableNow=True).start())
-    qc.awaitTermination(120); qf.awaitTermination(120)
+    assert qc.awaitTermination(120) and qf.awaitTermination(120)
 
     got_clean = {r.id for r in spark.sql("select * from dc_clean").collect()}
     got_flagged = {r.id for r in spark.sql("select * from dc_flagged").collect()}
@@ -371,7 +371,7 @@ def test_neardup_stream_flags_corpus_and_batch_dups(spark, tmp_path):
     stream = spark.readStream.schema(_DOC_SCHEMA).parquet(e1)
     q = start_neardup_stream(stream, clean_p, flagged_p, ledger_p,
                              str(tmp_path / "ck1"), threshold=0.5)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out
     assert sorted(r.doc_id for r in
                   spark.read.parquet(clean_p).collect()) == [1, 2]
     led = read_sig_ledger(spark, ledger_p)
@@ -388,7 +388,7 @@ def test_neardup_stream_flags_corpus_and_batch_dups(spark, tmp_path):
     stream = spark.readStream.schema(_DOC_SCHEMA).parquet(e1)
     q = start_neardup_stream(stream, clean_p, flagged_p, ledger_p,
                              str(tmp_path / "ck1"), threshold=0.5)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out
 
     clean = {r.doc_id for r in spark.read.parquet(clean_p).collect()}
     flagged = {r.doc_id: (r.matched_id, r.reason)
@@ -509,7 +509,7 @@ def test_events_stream_reads_directory_layout(spark, tmp_path):
     q = (events_stream(spark, sf)
          .writeStream.format("memory").queryName("evdir")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out
     assert spark.table("evdir").count() == 50
 
 

@@ -137,12 +137,16 @@ def test_register_views_isolates_broken_table(spark, tmp_path):
         if name != "events":
             shutil.copy(f"{SF_SMALL}/{name}.parquet", tmp_path / f"{name}.parquet")
     (tmp_path / "events.parquet").write_bytes(b"not a parquet file")
-    errors = register_views(spark, str(tmp_path))
-    assert list(errors) == ["events"]
-    # unrelated SQL-frontend queries still run
-    assert spark.sql("SELECT count(*) AS n FROM orders").first().n > 0
-    # re-register the real views for any later test in the session
-    register_views(spark, SF_SMALL)
+    try:
+        errors = register_views(spark, str(tmp_path))
+        assert list(errors) == ["events"]
+        # unrelated SQL-frontend queries still run
+        assert spark.sql("SELECT count(*) AS n FROM orders").first().n > 0
+    finally:
+        # ALWAYS restore the real views — a failing assert must not
+        # leave the session's views pointing at the corrupt tmp copy
+        # and cascade-fail every later SQL-frontend test
+        register_views(spark, SF_SMALL)
 
 
 def test_tz_aware_nanos_takes_nanos_path(spark, tmp_path):

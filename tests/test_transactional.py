@@ -156,7 +156,7 @@ def test_streaming_dim_upsert_end_to_end(spark, tmp_path):
         "airline_id int, airline_name string").parquet(src_dir)
     q = start_dim_stream(source, str(tmp_path / "dim"), "airline_id",
                          str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out
 
     state = SnapshotTable(str(tmp_path / "dim")).read(spark)
     assert state.count() == 2
