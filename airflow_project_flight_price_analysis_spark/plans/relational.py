@@ -3007,3 +3007,60 @@ ORACLE.update({
         ORDER BY 1
     """,
 })
+
+
+def q79_event_echo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified face of the GENERAL banded range-join operator
+    (operators/asof.py:banded_range_join — q35 keeps its fused
+    single-source special case; the library operator was
+    property-tested but had no oracle row until this query): per user,
+    pair every event with the events that FOLLOW it within 10 minutes
+    ("echo" pairs — the session-stitching primitive), then aggregate
+    per event type of the leading event. The banding turns the
+    inequality join into an equi-join on (user_id, time-bucket) with a
+    residual BETWEEN — pair space bounded by per-bucket population,
+    never O(n²); the oracle states the naive non-equi join.
+
+    The lower bound is 1s (not 0) so self-pairs are excluded without a
+    separate event_id predicate the banding would not see.
+    """
+    from ..operators.asof import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    follow = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    pairs = banded_range_join(
+        ev, follow, key_cols=["user_id"], left_ts="l_ts", right_ts="r_ts",
+        lower_seconds=1, upper_seconds=600,
+    )
+    return (
+        pairs.groupBy(F.col("l_type").alias("lead_type"))
+        .agg(
+            F.count("*").alias("n_echo_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("lead_type")
+    )
+
+
+QUERIES.update({"q79_event_echo_pairs": q79_event_echo_pairs})
+
+ORACLE.update({
+    "q79_event_echo_pairs": """
+        SELECT a.event_type AS lead_type,
+               CAST(COUNT(*) AS BIGINT) AS n_echo_pairs,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts + INTERVAL 1 SECOND
+         AND b.ts <= a.ts + INTERVAL 600 SECOND
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

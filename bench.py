@@ -107,6 +107,9 @@ HEADLINE = [
     "q77_qualified_suppliers",
     # round-6 batch 3: z-order curve certification (layout operator)
     "x101_zorder_profile",
+    # round-6 batch 4: the GENERAL banded range-join operator's
+    # driver-certified face (q35 benches the fused special case)
+    "q79_event_echo_pairs",
 ]
 
 
