@@ -110,6 +110,14 @@ SECTIONS = [
      "incremental screen certification: banded batch-vs-ledger "
      "equi-join + est-Jaccard verify on one side, exact postings "
      "truth on the other, joined into one certification row"),
+    ("q78_preshipped_orders",
+     "Q4 discipline: NOT EXISTS(inequality correlate) collapsed to one "
+     "MAX reduction — single lineitem scan, partial_max map-side "
+     "combine, one (orderkey, max_ship) row per order shuffled"),
+    ("q79_event_echo_pairs",
+     "general banded range join: inequality join rewritten as an "
+     "equi-join on (user_id, time-bucket) + residual BETWEEN; left "
+     "rows explode to 2 buckets, pair space bounded per bucket"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
