@@ -13,6 +13,17 @@ from pyspark.sql import functions as F
 
 NULL_SENTINEL = "␀"  # ␀ — distinguishes NULL from empty string in hashes
 
+#: Version of the ``row_hash_expr`` encoding. v1 was plain
+#: ``concat_ws('|', ...)``; v2 added the injective length prefix, which
+#: CHANGES EVERY HASH VALUE — a ledger/exact-dedup artifact persisted by
+#: a v1 build stops matching, and the next incremental run re-ingests
+#: the whole history as "new" exactly once (ADVICE r7). Deployments
+#: upgrading over existing state must either rebuild the ledger once or
+#: stamp ledger rows with this constant (a ``hash_version`` column) and
+#: re-hash the old cohort; ``streaming/ingest.py`` and
+#: ``operators/star.py::dedup_against_ledger`` consume these hashes.
+ROW_HASH_VERSION = 2
+
 
 def row_hash_expr(cols: list[Column | str], algo: str = "md5") -> Column:
     """Deterministic content hash of a row (reference: MD5 over the
@@ -26,6 +37,10 @@ def row_hash_expr(cols: list[Column | str], algo: str = "md5") -> Column:
     injective. ``sha2-256`` recommended at 100 TB scale (X1) where
     md5-collision odds over ~10^12 rows start to matter for
     exact-dedup counts.
+
+    FORMAT BREAK: the length prefix is encoding v2 — see
+    ``ROW_HASH_VERSION`` for the upgrade-over-persisted-ledger
+    implications.
     """
     raw = [
         F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),

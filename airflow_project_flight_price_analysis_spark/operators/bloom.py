@@ -113,6 +113,22 @@ def bloom_might_contain(bloom_words: Column, key: Column, *, num_bits: int,
     return F.when(key.isNull(), F.lit(False)).otherwise(cond)
 
 
+#: Internal column names the prune/semi-join plumbing introduces on the
+#: probe side of a join.  A probe that already carries one of these would
+#: make the filter/drop ambiguous at analysis time (ADVICE r7) — guard
+#: explicitly, mirroring the ``__rk_*`` collision check in asof.py.
+_RESERVED = ("__bloom_words", "__bloom_bk")
+
+
+def _require_no_reserved(probe: DataFrame) -> None:
+    clash = [c for c in probe.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"probe columns {clash} collide with bloom-internal names "
+            f"{_RESERVED} — rename them before bloom_prune/bloom_semi_join"
+        )
+
+
 def _require_same_key_type(probe: DataFrame, probe_col: str,
                            build: DataFrame, build_col: str) -> None:
     """The bloom positions hash ``key.cast('string')`` while the exact
@@ -134,19 +150,27 @@ def bloom_prune(probe: DataFrame, build_keys: DataFrame, probe_col: str,
                 build_col: str, *, expected_items: int,
                 fpp: float = 0.01) -> DataFrame:
     """Probe rows that MIGHT match the build keys (true matches + ~fpp
-    false positives; never a false negative). Map-side on the probe."""
+    false positives; never a false negative). Map-side on the probe.
+
+    The broadcast filter row is carried under the reserved name
+    ``__bloom_words`` (never a user-plausible name like ``words``), and
+    probes already holding a reserved name are rejected up front."""
+    _require_no_reserved(probe)
     _require_same_key_type(probe, probe_col, build_keys, build_col)
     m, k = bloom_parameters(expected_items, fpp)
-    bloom = bloom_build(build_keys.select(F.col(build_col).alias("__bk")),
-                        "__bk", num_bits=m, num_hashes=k)
+    bloom = bloom_build(
+        build_keys.select(F.col(build_col).alias("__bloom_bk")),
+        "__bloom_bk", num_bits=m, num_hashes=k,
+    ).select(F.col("words").alias("__bloom_words"))
     return (
         probe.crossJoin(F.broadcast(bloom))
         .filter(
             bloom_might_contain(
-                F.col("words"), F.col(probe_col), num_bits=m, num_hashes=k
+                F.col("__bloom_words"), F.col(probe_col),
+                num_bits=m, num_hashes=k,
             )
         )
-        .drop("words")
+        .drop("__bloom_words")
     )
 
 
@@ -156,9 +180,11 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_col: str,
     """Exactly ``probe.join(build, probe[probe_col] == build[build_col],
     'left_semi')`` — but the semi-join's shuffle carries only the
     bloom-surviving probe rows."""
-    keys = build.select(F.col(build_col).alias("__bk"))
-    pruned = bloom_prune(probe, keys, probe_col, "__bk",
+    _require_no_reserved(probe)
+    keys = build.select(F.col(build_col).alias("__bloom_bk"))
+    pruned = bloom_prune(probe, keys, probe_col, "__bloom_bk",
                          expected_items=expected_items, fpp=fpp)
     return pruned.join(
-        keys.distinct(), pruned[probe_col] == F.col("__bk"), "left_semi"
+        keys.distinct(), pruned[probe_col] == F.col("__bloom_bk"),
+        "left_semi",
     )

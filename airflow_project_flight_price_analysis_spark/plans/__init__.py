@@ -24,20 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 6: queries whose SEMANTICS/PLAN change this round and so need
-    # a fresh driver row despite being green in r5:
-    "x67_containment_pairs",     # r5 verdict item 3: now strategy-adaptive
-    #                              (direct at test scales, prefix at
-    #                              corpus scale) — same oracle.
-    "q32_asof_join",             # ADVICE r6 hardened the asof/banded
-    #                              operator family (struct row-carry,
-    #                              null-safe anti-join); q32/q35 are the
-    #                              registered faces of that family.
-    "q35_range_join",
-    "x44_cluster_survivors",     # connected_components rewritten to the
-    #                              hybrid propagation→star-contraction
-    "x96_entity_resolution",     # form (r6); x44/x96/x21 consume it —
-    #                              x21 already sorts into the stale tier.
+    # round 7: EMPTY. No registered query's semantics/plan changed this
+    # round (the ADVICE hardening — bloom reserved column names, neardup
+    # coherence guards, row-hash versioning note — alters internals and
+    # failure modes, never results). Every budget slot therefore goes to
+    # tier 2 (the r7 additions: q80-q85 TPC-H shapes, x103/x104) and
+    # tier 3 stalest-first, which surfaces exactly the 39 r3-stale rows
+    # (q02-q05 KPIs, q06-q17 star spine, ...) the r6 verdict flagged.
 )
 # Tier 2 (automatic, no green row) as of round-6 close: q66 (r5's only
 # red row, fixed via DECIMAL(38,6) aggregation) plus the 13 round-6

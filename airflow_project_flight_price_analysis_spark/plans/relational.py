@@ -3064,3 +3064,421 @@ ORACLE.update({
         ORDER BY 1
     """,
 })
+
+
+def q80_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated scalar MIN over a 5-way join: for
+    each qualifying part (small STANDARD parts), the EUROPE suppliers
+    whose observed sale price equals the MINIMUM price any EUROPE
+    supplier charged for that part. The testdata has no partsupp
+    table, so lineitem plays the part⋈supplier bridge and
+    l_extendedprice the supply cost — identical optimizer shape.
+
+    Scale plan: the correlated ``price = (SELECT min(price) WHERE
+    l2.partkey = p.partkey ...)`` decorrelates into a WINDOW MIN over
+    the region-restricted bridge partitioned by part — ONE shuffle of
+    the bridge on p_partkey, then ``price == min`` is a free post-
+    window filter; no per-part rescan and no grouped-min + join-back
+    (which would re-shuffle the same bridge for a SortMergeJoin on
+    (partkey, price) — strictly worse). The survivors-only DISTINCT
+    runs AFTER the filter, so its shuffle carries just the min-
+    achieving rows. Dimension joins (part filter, supplier,
+    nation⋈region) are all broadcast; the part filter prunes the
+    bridge before the window (pinned in test_plan_shapes.py).
+    Equality on the min is exact: prices come straight from parquet
+    doubles, bit-identical in both engines. Ordering is total
+    (acctbal desc, then unique (s_name, p_partkey)), so the LIMIT is
+    deterministic.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.join(F.broadcast(reg),
+                                 nat.n_regionkey == reg.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # region- and part-restricted bridge: every observed
+    # (part, supplier, price) sale; the window min is duplicate-
+    # insensitive, so dedup waits until after the min filter
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey",
+                F.col("l_extendedprice").alias("price"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+                "price")
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        bridge.withColumn("min_price", F.min("price").over(w))
+        .filter(F.col("price") == F.col("min_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                F.round("min_price", 2).alias("min_price"))
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+QUERIES.update({"q80_min_cost_supplier": q80_min_cost_supplier})
+
+ORACLE.update({
+    "q80_min_cost_supplier": """
+        WITH sup AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        bridge AS (
+            SELECT DISTINCT p.p_partkey, p.p_brand, sup.s_name,
+                   sup.s_acctbal, sup.n_name,
+                   l.l_extendedprice AS price
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN sup ON l.l_suppkey = sup.s_suppkey
+            WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               ROUND(price, 2) AS min_price
+        FROM bridge b
+        WHERE price = (SELECT min(price) FROM bridge b2
+                       WHERE b2.p_partkey = b.p_partkey)
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+    """,
+})
+
+
+def q81_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation × order year over a
+    5-way join with an expression measure. partsupp's supply cost is
+    proxied by ``p_retailprice * 0.1`` per unit (no partsupp table in
+    the testdata); the optimizer shape — a name-LIKE part filter that
+    must PUSH BELOW the big joins, an expression measure combining
+    columns of three tables, a two-key aggregate — is Q9's.
+
+    Scale plan: the part filter (`p_name LIKE '%red%'`) applies at the
+    part scan and the part⋈lineitem broadcast join prunes lineitem
+    BEFORE the orders join (pinned in test_plan_shapes.py: the
+    Like/Contains filter sits under the join, not above it). supplier
+    ⋈nation rides in as a broadcast attribute. One partial aggregate
+    over |nations|×|years| groups; sums follow the q66 DECIMAL(38,6)
+    discipline for cross-engine bit-stability.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    sup_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")
+                        .select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        # decimal-space rounding, then cast — see q83's boundary note
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+QUERIES.update({"q81_profit_by_nation_year": q81_profit_by_nation_year})
+
+ORACLE.update({
+    "q81_profit_by_nation_year": """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(ROUND(SUM(CAST(
+                   l.l_extendedprice * (1 - l.l_discount)
+                   - p.p_retailprice * l.l_quantity * 0.1
+               AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+})
+
+
+def q82_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity clears a threshold (IN over a grouped-HAVING
+    subquery), joined back to customer and re-aggregated.
+
+    Scale plan: the HAVING subquery decorrelates to ONE grouped sum
+    over lineitem (partial_sum map-side) filtered to the few heavy
+    orders; that TINY survivor set then drives everything — it
+    broadcast-semi-joins orders, and the final per-order quantity
+    comes from the SAME aggregate (no second lineitem scan — pinned
+    in test_plan_shapes.py: exactly one lineitem scan in the plan,
+    vs the naive IN + re-join + re-aggregate shape that reads it
+    twice). Threshold 250 ≈ the 98.5th percentile of per-order
+    quantity at every test SF, so the result is non-vacuous yet
+    selective, exactly Q18's intent.
+    """
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(F.broadcast(heavy),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("total_qty", 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+QUERIES.update({"q82_large_volume_customers": q82_large_volume_customers})
+
+ORACLE.update({
+    "q82_large_volume_customers": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')
+                   AS o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+})
+
+
+def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item top customers: revenue lost to
+    returns (`l_returnflag = 'R'`) in one quarter, per customer with
+    nation attribute, top 20.
+
+    Scale plan: the quarter filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan (both in PushedFilters);
+    the big join is lineitem⋈orders on orderkey, then ONE aggregate
+    over |customers| groups, then broadcast customer⋈nation attaches
+    attributes to the aggregate OUTPUT (not to every lineitem — the
+    attribute join after the groupBy keeps the shuffle narrow).
+    TakeOrderedAndProject caps at 20; revenue follows the q66
+    DECIMAL(38,6) discipline and the tie-break on c_custkey makes the
+    cutoff total.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        # round IN DECIMAL SPACE, then cast: rounding the double image
+        # of an exact .xx5 decimal (e.g. 307843.595) is engine-dependent
+        # (the nearest double sits below the half), while HALF_UP on the
+        # decimal itself is bit-identical in Spark and DuckDB
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")
+                        .select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("c_acctbal"),
+                "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+QUERIES.update({"q83_returned_item_customers": q83_returned_item_customers})
+
+ORACLE.update({
+    "q83_returned_item_customers": """
+        SELECT c.c_custkey, c.c_name,
+               ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+})
+
+
+def q84_supplier_cnt_by_part_attr(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — suppliers per part attribute with a NOT-IN
+    exclusion and a grouped COUNT DISTINCT: how many distinct
+    non-blacklisted suppliers sold each (brand, type, size) family,
+    excluding one brand, one type family, and negative-balance
+    suppliers (the Q16 complaints-supplier analog).
+
+    Scale plan: the NOT IN over a nullable-free key decorrelates to a
+    broadcast LEFT ANTI join (the blacklist is |suppliers|-bounded);
+    part attribute filters push to the part scan; the count-distinct
+    is Spark's two-phase distinct aggregate (partial by (attrs,
+    suppkey), then count) — no row-level distinct shuffle of the
+    whole bridge. Ordering is total (count desc + full attr tuple).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_sup),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+QUERIES.update({"q84_supplier_cnt_by_part_attr": q84_supplier_cnt_by_part_attr})
+
+ORACLE.update({
+    "q84_supplier_cnt_by_part_attr": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size <= 15
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+})
+
+
+def q85_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional priority counts: per line status,
+    how many 1997-shipped returned lines belong to critical
+    (URGENT/HIGH) vs other orders. The testdata has no l_shipmode/
+    l_receiptdate, so line status plays the shipmode group and the
+    shipdate-year filter the receipt-window filter — the shape (big
+    join + CASE-conditional counts in ONE aggregate) is Q12's.
+
+    Scale plan: both filters push to the lineitem scan; orders joins
+    on orderkey carrying only (orderkey, priority); the CASE lives
+    map-side inside one partial aggregate over 2 groups — never two
+    passes or a pivot shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+QUERIES.update({"q85_priority_line_counts": q85_priority_line_counts})
+
+ORACLE.update({
+    "q85_priority_line_counts": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

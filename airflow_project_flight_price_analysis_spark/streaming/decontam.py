@@ -79,23 +79,29 @@ def streaming_decontaminate(
     """Split a stream into (clean, flagged) against a batch blocklist.
     Exact: ``flagged`` is precisely the stream-static semi-join; the
     bloom literal only routes definite-clean rows around the join."""
-    from ..operators.bloom import _require_same_key_type
+    from ..operators.bloom import (
+        _require_no_reserved,
+        _require_same_key_type,
+    )
 
     # same guard as bloom_prune: the literal hashes key.cast('string')
     # but the exact join compares natively — mixed types would give
-    # bloom false negatives and route contaminated rows into `clean`
+    # bloom false negatives and route contaminated rows into `clean`;
+    # and the reserved-name guard keeps a stream that already carries a
+    # `__bloom_bk` column from making the verify joins ambiguous
+    _require_no_reserved(stream)
     _require_same_key_type(stream, stream_col, blocklist, block_col)
     might = literal_bloom_predicate(
         blocklist, block_col, F.col(stream_col), fpp=fpp
     )
     candidates = stream.filter(might)
-    keys = blocklist.select(F.col(block_col).alias("__bk")).distinct()
+    keys = blocklist.select(F.col(block_col).alias("__bloom_bk")).distinct()
     flagged = candidates.join(
-        keys, candidates[stream_col] == F.col("__bk"), "left_semi"
+        keys, candidates[stream_col] == F.col("__bloom_bk"), "left_semi"
     )
     clean = stream.filter(~F.coalesce(might, F.lit(False))).unionByName(
         candidates.join(
-            keys, candidates[stream_col] == F.col("__bk"), "left_anti"
+            keys, candidates[stream_col] == F.col("__bloom_bk"), "left_anti"
         )
     )
     return clean, flagged

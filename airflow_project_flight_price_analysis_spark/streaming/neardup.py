@@ -39,6 +39,16 @@ signatures, which would flag every replayed doc as a dup of itself),
 recomputes the identical split, and overwrites identical partitions
 instead of appending duplicates.
 
+**Operational invariant**: epoch ids are CHECKPOINT-scoped, so the
+checkpoint and the three output paths (clean/flagged/ledger) form one
+unit — wipe or relocate them TOGETHER, never separately. The sink
+enforces this (``check_ledger_coherence``): a ledger already holding
+epochs beyond the current one means the checkpoint was reset
+underneath persisted outputs, and the sink raises instead of silently
+screening against an empty ledger and clobbering prior partitions.
+The same pre-write check pins sketch geometry (every ledger signature
+must have exactly ``num_hashes`` elements).
+
 Scale notes: the per-epoch cost is |batch|·num_hashes sketching plus a
 bucket join whose ledger side is partition-pruned only by bucket — at
 very large corpora, bucket the ledger table on (band, bucket) so the
@@ -77,6 +87,57 @@ def read_sig_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
         if e.getCondition() == "PATH_NOT_FOUND":
             return spark.createDataFrame([], SIG_SCHEMA)
         raise
+
+
+def check_ledger_coherence(ledger: DataFrame, epoch_id: int,
+                           num_hashes: int) -> None:
+    """Fail LOUDLY on the two silent-corruption modes (ADVICE r7):
+
+    - **Checkpoint/ledger incoherence.** Epoch ids are checkpoint-scoped:
+      if the checkpoint is wiped/relocated while the clean/flagged/ledger
+      parquet persists, epoch ids restart at 0, the ``epoch_id <
+      current`` screen filter silently empties the ledger (screening
+      disabled — near-dups admitted), and dynamic partition overwrite
+      clobbers the prior epoch-0/1/... partitions in all three sinks.
+      A ledger already holding ``epoch_id >= current`` beyond the replay
+      window is exactly that signature; raise instead of proceeding.
+      (Replay of the CURRENT epoch is legitimate — its own first-attempt
+      partition may exist — so the check is ``> epoch_id``, not ``>=``.)
+    - **Sketch-geometry drift.** A ledger written with a different
+      ``num_hashes`` makes ``zip_with`` pad with NULLs, est_jaccard goes
+      NULL, and every cross-epoch match is silently DROPPED instead of
+      failing. Assert every ledger signature has exactly ``num_hashes``
+      elements.
+
+    One aggregate pass over the ledger per epoch (three scalar
+    columns); the screen's bucket join reads the same table anyway, so
+    the marginal cost is one extra columnar scan of (epoch_id,
+    size(sig)) — and max(epoch_id) prunes to partition metadata."""
+    row = ledger.agg(
+        F.max("epoch_id").alias("max_epoch"),
+        F.sum((F.size("sig") != num_hashes).cast("long")).alias("bad_sigs"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if row["n"] == 0:
+        return
+    if row["max_epoch"] is not None and row["max_epoch"] > epoch_id:
+        raise RuntimeError(
+            f"signature ledger holds epoch_id={row['max_epoch']} > current "
+            f"epoch {epoch_id}: the streaming checkpoint was reset or "
+            "relocated independently of the output/ledger paths. "
+            "Proceeding would disable cross-epoch screening and overwrite "
+            "prior epochs' partitions — wipe checkpoint AND "
+            "clean/flagged/ledger paths together, or restore the original "
+            "checkpoint."
+        )
+    if row["bad_sigs"]:
+        raise RuntimeError(
+            f"{row['bad_sigs']} ledger signatures have length != "
+            f"{num_hashes}: the ledger was written with a different "
+            "num_hashes. Re-sketch the ledger or run with the original "
+            "geometry — mixed geometries silently drop every cross-epoch "
+            "match."
+        )
 
 
 def _est_jaccard(num_hashes: int):
@@ -176,9 +237,11 @@ def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
         # near-dup of itself — the epoch filter restores the exact
         # ledger the first attempt saw, so the replay recomputes the
         # identical split and overwrites identical partitions.
-        ledger = read_sig_ledger(sess, ledger_path).filter(
-            F.col("epoch_id") < int(epoch_id)
-        )
+        full_ledger = read_sig_ledger(sess, ledger_path)
+        # fail loudly on checkpoint/ledger incoherence or geometry drift
+        # BEFORE any write — see check_ledger_coherence
+        check_ledger_coherence(full_ledger, int(epoch_id), num_hashes)
+        ledger = full_ledger.filter(F.col("epoch_id") < int(epoch_id))
         # minhash_signatures already normalizes the id column to "id"
         sigs = minhash_signatures(
             batch, text_col, id_col, num_hashes, shingle_n

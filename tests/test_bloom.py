@@ -127,3 +127,27 @@ def test_might_contain_is_false_for_null_keys(spark):
     by_key = {r.k: r.hit for r in got}
     assert by_key["0"] is True and by_key["7"] is True
     assert by_key[None] is False
+
+
+def test_bloom_tolerates_user_columns_named_words(spark):
+    """ADVICE r7: the filter row travels under a reserved name, so a
+    probe that legitimately carries a `words` column must work."""
+    probe = spark.createDataFrame(
+        [("1", ["a", "b"]), ("99", ["c"])], "k string, words array<string>"
+    )
+    build = spark.range(50).select(F.col("id").cast("string").alias("bk"))
+    got = bloom_semi_join(probe, build, "k", "bk", expected_items=50)
+    rows = got.collect()
+    assert [r.k for r in rows] == ["1"]
+    assert rows[0].words == ["a", "b"]  # user column untouched
+
+
+def test_bloom_rejects_reserved_probe_columns(spark):
+    """...and a probe colliding with the reserved internal names fails
+    fast with a clear error instead of an analysis-time ambiguity."""
+    import pytest
+
+    probe = spark.createDataFrame([("1", 0)], "k string, __bloom_bk int")
+    build = spark.range(5).select(F.col("id").cast("string").alias("bk"))
+    with pytest.raises(ValueError, match="reserved|collide"):
+        bloom_semi_join(probe, build, "k", "bk", expected_items=5)

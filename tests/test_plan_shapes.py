@@ -344,3 +344,64 @@ def test_q78_correlate_collapses_to_max_reduction(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "partial_max" in plan, plan
     assert "LeftAnti" not in plan, plan
+
+
+def test_q80_correlated_min_is_window_over_single_scan(spark):
+    """Q2 discipline: the correlated scalar MIN decorrelates to a
+    window min over the bridge — ONE lineitem scan, one shuffle on
+    p_partkey, no grouped-min + join-back (no SortMergeJoin), never a
+    per-part rescan; all dimension joins broadcast."""
+    plan = _plan(_Q["q80_min_cost_supplier"](spark, SF_ORACLE))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan and "min(price" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q81_part_filter_pushed_below_joins(spark):
+    """Q9 discipline: the p_name LIKE filter must sit AT the part scan
+    (PushedFilters / a Filter directly over the part relation), pruning
+    lineitem via the broadcast join BEFORE the orders join — never a
+    post-join residual."""
+    df = _Q["q81_profit_by_nation_year"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # the Contains shows up in the part scan's pushed/data filters,
+    # below any join operator in the tree string
+    first_join = min(plan.find("BroadcastHashJoin") % 10**9,
+                     plan.find("SortMergeJoin") % 10**9,
+                     plan.find("ShuffledHashJoin") % 10**9)
+    like_pos = plan.find("red")
+    assert like_pos != -1, plan
+    assert "PushedFilters: [.*p_name.*]" not in plan.split("part.parquet")[0]
+    # part scan carries the Contains filter
+    part_scan = plan[plan.find("part.parquet") - 2000:
+                     plan.find("part.parquet")]
+    assert "red" in part_scan or "Contains" in part_scan, plan
+
+
+def test_q82_single_lineitem_scan(spark):
+    """Q18 discipline: the grouped-HAVING subquery and the per-order
+    quantity both come from ONE lineitem aggregate — one scan, not the
+    naive IN + re-join + re-aggregate double read."""
+    plan = _plan(_Q["q82_large_volume_customers"](spark, SF_ORACLE))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q84_blacklist_is_broadcast_anti_join(spark):
+    """Q16 discipline: NOT IN over a non-nullable key runs as a
+    broadcast LEFT ANTI join (blacklist is |suppliers|-bounded), and
+    the part attribute filters reach the part scan."""
+    plan = _plan(_Q["q84_supplier_cnt_by_part_attr"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q85_single_pass_conditional_counts(spark):
+    """Q12 discipline: both CASE counts live in ONE partial aggregate;
+    the returnflag + shipdate filters push to the lineitem scan."""
+    plan = _plan(_Q["q85_priority_line_counts"](spark, SF_ORACLE))
+    assert "partial_sum" in plan, plan
+    i = plan.find("lineitem.parquet")
+    li_scan = plan[max(0, i - 3000): i + 3000]  # whole FileScan line
+    assert "PushedFilters" in li_scan and "l_returnflag" in li_scan, plan

@@ -437,6 +437,51 @@ def test_neardup_sink_epoch_replay_is_exactly_once(spark, tmp_path):
     assert flagged == [3]
 
 
+def test_neardup_sink_rejects_checkpoint_reset_over_live_ledger(
+        spark, tmp_path):
+    """ADVICE r7 (medium): a wiped/relocated checkpoint restarts epoch
+    ids at 0 while the ledger persists — the sink must raise instead of
+    silently screening against an empty ledger and clobbering prior
+    epoch partitions. Replaying the CURRENT max epoch stays legal."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        make_neardup_sink,
+    )
+
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("clean", "flagged", "ledger"))
+    sink = make_neardup_sink(clean_p, flagged_p, ledger_p, threshold=0.5)
+    sink(spark.createDataFrame([_doc(1, _T1)], _DOC_SCHEMA), 0)
+    sink(spark.createDataFrame([_doc(2, _T2)], _DOC_SCHEMA), 1)
+    # replay of the max epoch is fine (at-least-once delivery)
+    sink(spark.createDataFrame([_doc(2, _T2)], _DOC_SCHEMA), 1)
+    # ...but a restart at epoch 0 means checkpoint/ledger incoherence
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink(spark.createDataFrame([_doc(3, _T3)], _DOC_SCHEMA), 0)
+
+
+def test_neardup_sink_rejects_ledger_geometry_drift(spark, tmp_path):
+    """ADVICE r7 (low): a ledger written with a different num_hashes
+    would zip_with-pad with NULLs and silently drop every cross-epoch
+    match — the sink must fail on signature-length mismatch."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        make_neardup_sink,
+    )
+
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("clean", "flagged", "ledger"))
+    sink16 = make_neardup_sink(clean_p, flagged_p, ledger_p,
+                               threshold=0.5, num_hashes=16, num_bands=4)
+    sink16(spark.createDataFrame([_doc(1, _T1)], _DOC_SCHEMA), 0)
+    sink32 = make_neardup_sink(clean_p, flagged_p, ledger_p,
+                               threshold=0.5, num_hashes=32, num_bands=8)
+    with pytest.raises(RuntimeError, match="num_hashes"):
+        sink32(spark.createDataFrame([_doc(2, _T2)], _DOC_SCHEMA), 1)
+
+
 def test_neardup_incremental_matches_batch_on_chain_free_corpus(spark,
                                                                 tmp_path):
     """On a corpus with no near-dup CHAINS (every dup links straight to
