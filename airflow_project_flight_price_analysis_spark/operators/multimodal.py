@@ -77,7 +77,142 @@ def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - no codecs here
     raise NotImplementedError(
         "real media decode requires PIL/av/soundfile, not present in this "
         "environment; set SPARK_GRAFT_FAKE_DECODE=1 (default in tests) for "
-        "the deterministic fake"
+        "the deterministic fake. Exception: WAV/PCM16 has a REAL stdlib "
+        "decode path — see decode_wav_features below."
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path: RIFF/WAVE PCM16 via stdlib `struct` (r6 verdict item 4).
+# The container format needs no external library, so at least one decode in
+# this engine parses actual media bytes end-to-end: synth_wav_media writes
+# spec-conformant WAV files (RIFF header, fmt chunk, PCM16 LE frames) and
+# decode_wav_features walks the chunk list and unpacks the samples. The
+# PIL/av-dependent formats keep the documented guard above.
+# --------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+#: Generative law for the synthetic signal — shared with the x103 DuckDB
+#: oracle, which recomputes sample statistics analytically from the same
+#: integer formula (exact in both engines):
+#:   n_samples(doc) = 40 + doc_id % 25
+#:   sample_i(doc)  = ((doc_id*31 + i*7) % 65536) - 32768   (int16)
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Spec-conformant mono PCM16 WAV for one doc (stdlib only)."""
+    import struct as st
+
+    n = 40 + doc_id % 25
+    frames = b"".join(
+        st.pack("<h", ((doc_id * 31 + i * 7) % 65536) - 32768)
+        for i in range(n)
+    )
+    byte_rate = WAV_SAMPLE_RATE * 2  # mono, 16-bit
+    fmt = st.pack("<HHIIHH", 1, 1, WAV_SAMPLE_RATE, byte_rate, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(frames)) + frames)
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic audio media table: one real WAV payload per doc.
+    Arrow-batched builder (payload bytes are constructed Python-side by
+    necessity — binary packing — but from doc_id alone, so the input
+    batch carries ONE long column, not the text)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": ids.map(lambda d: _wav_bytes(int(d))),
+                "meta": ids.map(lambda d: {
+                    "modality": "audio", "format": "wav",
+                    "width": None, "height": None,
+                    "duration_ms": int((40 + int(d) % 25) * 1000
+                                       // WAV_SAMPLE_RATE),
+                }),
+            })
+
+    from ..session import scale_out
+    return scale_out(
+        docs.select("doc_id"), "doc_id"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    # exact integer sum of squares: lets consumers aggregate signal
+    # energy across items ORDER-INDEPENDENTLY (bigint sum), instead of
+    # folding per-item float rms values whose summation order differs
+    # between engines/partitionings
+    T.StructField("ssq", T.LongType()),
+])
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, float, int, int]:
+    """(n_samples, sample_rate, rms, peak, ssq) from real WAV bytes —
+    walks the RIFF chunk list (tolerates extra chunks), validates PCM16
+    mono. Malformed containers raise: silent zeros would poison
+    downstream stats the way a swallowed ledger read would (star.py
+    discipline)."""
+    import math
+    import struct as st
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos:pos + 4], st.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = st.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported encoding {fmt} (need PCM16 mono)")
+    n = len(data) // 2
+    samples = st.unpack(f"<{n}h", data[:n * 2])
+    ssq = sum(s * s for s in samples)  # exact int — no float accumulation
+    rms = math.sqrt(ssq / n) if n else 0.0
+    peak = max((abs(s) for s in samples), default=0)
+    return n, rate, rms, peak, ssq
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL decode: Arrow-batched stdlib parse of WAV payloads →
+    per-item sample statistics. This is the template a PIL/av kernel
+    drops into on a cluster with codecs — identical plumbing (schema,
+    batch shape, partitioning), real bytes in this sandbox."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(_parse_wav)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_samples": parsed.map(lambda t: t[0]).astype("int32"),
+                "sample_rate": parsed.map(lambda t: t[1]).astype("int32"),
+                "duration_ms": parsed.map(
+                    lambda t: t[0] * 1000 // t[1] if t[1] else 0
+                ).astype("int32"),
+                "rms": parsed.map(lambda t: t[2]),
+                "peak": parsed.map(lambda t: t[3]).astype("int32"),
+                "ssq": parsed.map(lambda t: t[4]).astype("int64"),
+            })
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(
+        run, schema=WAV_FEATURE_SCHEMA
     )
 
 

@@ -324,3 +324,43 @@ def start_neardup_stream(docs_stream: DataFrame, clean_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_sig_ledger(spark: SparkSession, ledger_path: str, out_path: str,
+                       upto_epoch: int,
+                       target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Ledger maintenance (r6 verdict item 7): the sink appends one
+    epoch partition per micro-batch forever — across months of epochs
+    the screen's ledger scan degrades into a many-small-files listing
+    problem (operators/compaction.py rationale). Fold every epoch
+    ``<= upto_epoch`` into ONE base partition stamped ``upto_epoch``,
+    carry later epochs through unchanged, and write a complete NEW
+    ledger directory at ``out_path`` (atomic swap is the caller's
+    rename — same contract as ``compact_parquet``; never compact in
+    place under a running stream).
+
+    Correctness: the screen only ever reads ``epoch_id < current``, so
+    collapsing history onto the max compacted epoch preserves every
+    future epoch's visible signature set EXACTLY. The one constraint:
+    ``upto_epoch`` must be <= the checkpoint's last COMMITTED epoch —
+    a replay can only target the epoch after the last commit, which
+    sees base + tail identically. (Replaying an epoch <= upto_epoch
+    can't happen under an intact checkpoint; if the checkpoint is
+    gone, check_ledger_coherence already refuses the restart.)
+
+    Returns the base-partition file count (sized from on-disk bytes,
+    like compact_parquet)."""
+    import math
+
+    from ..operators.compaction import dir_bytes
+
+    ledger = read_sig_ledger(spark, ledger_path)
+    base = (
+        ledger.filter(F.col("epoch_id") <= upto_epoch)
+        .withColumn("epoch_id", F.lit(int(upto_epoch)))
+    )
+    tail = ledger.filter(F.col("epoch_id") > upto_epoch)
+    n = max(1, math.ceil(dir_bytes(ledger_path) / target_file_bytes))
+    (base.repartition(n).unionByName(tail)
+     .write.mode("overwrite").partitionBy("epoch_id").parquet(out_path))
+    return n

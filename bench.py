@@ -110,6 +110,15 @@ HEADLINE = [
     # round-6 batch 4: the GENERAL banded range-join operator's
     # driver-certified face (q35 benches the fused special case)
     "q79_event_echo_pairs",
+    # round-7: the new TPC-H shapes with real join weight (Q2's window
+    # min over the 5-way bridge, Q9's 5-way profit rollup, Q18's
+    # single-scan heavy-order screen), the real-codec WAV decode
+    # (mapInPandas round-trip), and the CDC span-dedup window+explode
+    "q80_min_cost_supplier",
+    "q81_profit_by_nation_year",
+    "q82_large_volume_customers",
+    "x103_wav_decode_stats",
+    "x104_cdc_span_dedup",
 ]
 
 

@@ -644,3 +644,89 @@ def test_stats_queries_survive_degenerate_variance(spark, tmp_path):
     assert all(r.acf is None
                for r in x92_daily_autocorrelation(spark, sf).collect())
     assert x93_cusum_changepoint(spark, sf).count() >= 0
+
+
+# --- x104: content-defined-chunking span dedup (r7) ------------------------
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([r[2] for r in rows]),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    return sf
+
+
+def test_cdc_catches_offset_shifted_copies_fixed_grid_misses(spark, tmp_path):
+    """The r6 verdict's weak spot, pinned: a passage copied at an
+    UNALIGNED offset shares zero fixed-grid spans with its original but
+    re-chunks into identical CDC spans. Construct a 200-token passage,
+    embed it in doc B at offset 3 (not a multiple of the 20-token
+    grid), pad doc B's tail so the grid slices differ everywhere."""
+    import random
+
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        QUERIES,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = [vocab[rng.randrange(500)] for _ in range(200)]
+    prefix = [f"p{i}x" for i in range(3)]            # shift by 3 tokens
+    tail = [f"t{i}y" for i in range(37)]
+    docs = [
+        (1, " ".join(passage), "orig"),
+        (2, " ".join(prefix + passage + tail), "copy"),
+    ]
+    sf = _write_docs(tmp_path, docs)
+
+    grid = {r.source: r.n_dup_spans
+            for r in QUERIES["x38_span_dedup"](spark, sf).collect()}
+    cdc = {r.source: r.n_dup_spans
+           for r in QUERIES["x104_cdc_span_dedup"](spark, sf).collect()}
+    # fixed grid: every span of the copy is offset by 3 → all miss
+    assert sum(grid.values()) == 0, grid
+    # CDC: the shared interior spans hash identically → detected
+    assert sum(cdc.values()) >= 5, cdc
+
+
+def test_cdc_miss_bound_on_short_overlaps(spark, tmp_path):
+    """Short shared runs may legitimately be missed (P(miss) <=
+    (1 + L/16)·(15/16)^L) — but identical DOCUMENTS must always be
+    fully flagged (boundary positions coincide trivially), and the
+    dup mass must equal the span count of one copy."""
+    import random
+
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        QUERIES,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(300)]
+    text = " ".join(vocab[rng.randrange(300)] for _ in range(150))
+    sf = _write_docs(tmp_path, [(1, text, "a"), (2, text, "b")])
+    rows = {r.source: r for r in
+            QUERIES["x104_cdc_span_dedup"](spark, sf).collect()}
+    assert rows["b"].n_dup_spans == rows["b"].n_spans  # total recall
+    assert rows["a"].n_dup_spans == 0                  # first copy survives
+
+
+def test_cdc_regroup_reuses_doc_partitioning(spark):
+    """Scale shape: the (doc_id, span_id) regroup must NOT add a second
+    exchange after the window's doc_id shuffle — subset-of-keys
+    clustering satisfies the aggregate's distribution."""
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        cdc_spans,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = cdc_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

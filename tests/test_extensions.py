@@ -320,3 +320,57 @@ def test_x34_window_is_sharded(spark):
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines, plan
     assert any("source" in ln and "shard" in ln for ln in window_lines), plan
+
+
+# --- real stdlib WAV codec (operators/multimodal.py, r7) -------------------
+
+def test_wav_roundtrip_decode(spark):
+    """synth → decode recovers the generative law exactly: the decode
+    parses REAL RIFF bytes (not the fake featurizer)."""
+    import math
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_wav_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 7, 123)], "doc_id long")
+    rows = {r.media_id: r for r in
+            decode_wav_features(synth_wav_media(docs)).collect()}
+    for did in (0, 7, 123):
+        n = 40 + did % 25
+        samples = [((did * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+        r = rows[did]
+        assert r.n_samples == n
+        assert r.sample_rate == 8000
+        assert r.peak == max(abs(s) for s in samples)
+        assert r.ssq == sum(s * s for s in samples)
+        assert r.rms == math.sqrt(r.ssq / n)
+
+
+def test_wav_parser_walks_extra_chunks_and_rejects_garbage():
+    """The chunk walker must tolerate a LIST chunk before data (real
+    WAV files carry them) and raise on malformed containers."""
+    import struct as st
+
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _parse_wav,
+        _wav_bytes,
+    )
+
+    wav = _wav_bytes(5)
+    # splice an extra chunk between WAVE and fmt
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    spliced = wav[:12] + extra + wav[12:]
+    spliced = spliced[:4] + st.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert _parse_wav(spliced) == _parse_wav(wav)
+    with pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"not a wav at all")
+    # stereo/8-bit must be rejected, not mis-decoded
+    bad_fmt = st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", 16) + bad_fmt
+            + b"data" + st.pack("<I", 4) + b"\0\0\0\0")
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(b"RIFF" + st.pack("<I", len(body)) + body)

@@ -571,3 +571,51 @@ def test_decontaminate_rejects_mixed_key_types(spark, tmp_path):
     block = spark.createDataFrame([(1.0,)], "k double")
     with pytest.raises(TypeError, match="type mismatch"):
         streaming_decontaminate(stream, block, "k", "k")
+
+
+def test_sig_ledger_compaction_preserves_screen_results(spark, tmp_path):
+    """r6 verdict item 7: folding all epochs <= K into one base
+    partition must leave every future epoch's screen IDENTICAL — the
+    screen reads epoch_id < current, and the base lands on the max
+    compacted epoch."""
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        compact_sig_ledger,
+        make_neardup_sink,
+        read_sig_ledger,
+    )
+
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("clean", "flagged", "ledger"))
+    sink = make_neardup_sink(clean_p, flagged_p, ledger_p, threshold=0.5)
+    sink(spark.createDataFrame([_doc(1, _T1)], _DOC_SCHEMA), 0)
+    sink(spark.createDataFrame([_doc(2, _T2)], _DOC_SCHEMA), 1)
+    sink(spark.createDataFrame([_doc(3, _T3)], _DOC_SCHEMA), 2)
+
+    compacted_p = str(tmp_path / "ledger_compacted")
+    compact_sig_ledger(spark, ledger_p, compacted_p, upto_epoch=2)
+    led = read_sig_ledger(spark, compacted_p)
+    # one base partition, same signature set
+    assert {r.epoch_id for r in led.collect()} == {2}
+    assert sorted(r.id for r in led.collect()) == [1, 2, 3]
+
+    # epoch 3 against ORIGINAL vs COMPACTED ledger: identical split
+    batch = spark.createDataFrame(
+        [_doc(4, _T1.replace("quick", "swift")), _doc(5, "wholly new text "
+              "with nothing shared at all among previous passages here")],
+        _DOC_SCHEMA,
+    )
+    out_a = (str(tmp_path / "ca"), str(tmp_path / "fa"),
+             str(tmp_path / "la"))
+    out_b = (str(tmp_path / "cb"), str(tmp_path / "fb"),
+             str(tmp_path / "lb"))
+    import shutil
+    shutil.copytree(ledger_p, out_a[2])
+    shutil.copytree(compacted_p, out_b[2])
+    make_neardup_sink(out_a[0], out_a[1], out_a[2], threshold=0.5)(batch, 3)
+    make_neardup_sink(out_b[0], out_b[1], out_b[2], threshold=0.5)(batch, 3)
+    for sub in (0, 1):  # clean + flagged identical
+        a = sorted(r.doc_id for r in spark.read.parquet(out_a[sub])
+                   .filter("epoch_id = 3").collect())
+        b = sorted(r.doc_id for r in spark.read.parquet(out_b[sub])
+                   .filter("epoch_id = 3").collect())
+        assert a == b and a  # non-vacuous
