@@ -77,8 +77,9 @@ def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - no codecs here
     raise NotImplementedError(
         "real media decode requires PIL/av/soundfile, not present in this "
         "environment; set SPARK_GRAFT_FAKE_DECODE=1 (default in tests) for "
-        "the deterministic fake. Exception: WAV/PCM16 has a REAL stdlib "
-        "decode path — see decode_wav_features below."
+        "the deterministic fake. Exceptions: WAV/PCM16 and BMP/24bpp have "
+        "REAL stdlib decode paths — decode_wav_features / "
+        "decode_bmp_features below."
     )
 
 
@@ -295,4 +296,132 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                            F.lit(every_ms))
             ).alias("frame_ms"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #2: BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp,
+# bottom-up rows, 4-byte row padding) via stdlib `struct` — the image
+# sibling of the WAV path above. Same certification idea: the builder and
+# the x105 oracle share one generative law; the decoder parses the actual
+# container bytes (padding, BGR order, row flip included).
+# --------------------------------------------------------------------------
+
+#: Generative law (shared with the x105 DuckDB oracle):
+#:   W(doc) = 8 + doc_id % 5;  H(doc) = 6 + doc_id % 4
+#:   channel c of pixel p (row-major top-down, c: 0=R 1=G 2=B):
+#:       ((doc_id * 7 + p * 3 + c) % 256)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 5, 6 + doc_id % 4
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """Spec-conformant 24bpp BMP: bottom-up rows, BGR byte order,
+    rows padded to 4-byte boundaries (stdlib only)."""
+    import struct as st
+
+    w, h = _bmp_dims(doc_id)
+    row_stride = (w * 3 + 3) // 4 * 4
+    px = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up storage
+        for x in range(w):
+            p = y * w + x                   # logical top-down index
+            r, g, b = (
+                (doc_id * 7 + p * 3 + c) % 256 for c in range(3)
+            )
+            px += bytes((b, g, r))          # BGR on disk
+        px += b"\0" * (row_stride - w * 3)  # row padding
+    info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                   2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = st.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    return hdr + info + bytes(px)
+
+
+BMP_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    # exact per-channel sums (ints) — order-independent to aggregate,
+    # same rationale as the WAV path's ssq
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+])
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from real BMP bytes.
+    Validates magic/bpp/compression; handles bottom-up row order, BGR
+    channel order, and row padding. Malformed containers raise (the
+    WAV parser's discipline)."""
+    import struct as st
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    off = st.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = st.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) // 4 * 4
+    sums = [0, 0, 0]  # R, G, B
+    for row in range(h):
+        src_y = (h - 1 - row) if bottom_up else row
+        base = off + src_y * row_stride
+        row_bytes = payload[base: base + w * 3]
+        if len(row_bytes) < w * 3:
+            raise ValueError("truncated pixel data")
+        sums[2] += sum(row_bytes[0::3])  # B
+        sums[1] += sum(row_bytes[1::3])  # G
+        sums[0] += sum(row_bytes[2::3])  # R
+    return w, h, sums[0], sums[1], sums[2]
+
+
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic image media table: one real BMP payload per doc
+    (builder input is the doc_id column alone, like synth_wav_media)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": ids.map(lambda d: _bmp_bytes(int(d))),
+                "meta": ids.map(lambda d: {
+                    "modality": "image", "format": "bmp",
+                    "width": _bmp_dims(int(d))[0],
+                    "height": _bmp_dims(int(d))[1],
+                    "duration_ms": None,
+                }),
+            })
+
+    from ..session import scale_out
+    return scale_out(
+        docs.select("doc_id"), "doc_id"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image decode: Arrow-batched stdlib parse of BMP payloads →
+    per-item channel statistics (see decode_wav_features)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(_parse_bmp)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": parsed.map(lambda t: t[0]).astype("int32"),
+                "height": parsed.map(lambda t: t[1]).astype("int32"),
+                "sum_r": parsed.map(lambda t: t[2]).astype("int64"),
+                "sum_g": parsed.map(lambda t: t[3]).astype("int64"),
+                "sum_b": parsed.map(lambda t: t[4]).astype("int64"),
+            })
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(
+        run, schema=BMP_FEATURE_SCHEMA
     )

@@ -161,3 +161,190 @@ def _insert_if_new(current: DataFrame | None, updates: DataFrame, key: str) -> D
         cur_keys, F.col(key).eqNullSafe(F.col("__cur_key")), "left_anti"
     )
     return current.unionByName(fresh)
+
+
+# --------------------------------------------------------------------------
+# Bucket-granular copy-on-write MERGE (r7): the 100 TB path the snapshot
+# docstring promises. SnapshotTable rewrites the whole table per commit —
+# honest for dimensions, wrong for a large fact/corpus table where a MERGE
+# touches a sliver of keys. BucketedMergeTable hash-buckets rows by key and
+# keeps a per-snapshot MANIFEST (bucket -> immutable data dir); a MERGE
+# rewrites ONLY the buckets containing source keys and carries every other
+# bucket forward BY REFERENCE. This is the Iceberg/Delta copy-on-write
+# shape re-expressed over plain parquet + the same atomic-link commit
+# protocol. No table-format jars required.
+#
+# Layout under root/:
+#   data/<uuid>/__bucket=<b>/part-*.parquet   immutable per-commit data
+#   manifests/<uuid>.json                     {bucket: "data/<uuid>/__bucket=<b>"}
+#   commits/v{N:08d}                          marker, content = manifest uuid
+# --------------------------------------------------------------------------
+
+
+class BucketedMergeTable:
+    """MERGE INTO with bucket-level copy-on-write and optimistic commits.
+
+    ``when_matched``: 'update' (source row replaces base row — Delta's
+    UPDATE SET *), or 'delete' (matched base rows removed). Unmatched
+    source rows insert (for 'update'); inserts don't apply to 'delete'.
+    Keys are NULL-SAFE throughout (eqNullSafe — the r5/r6 anti-join bug
+    class).
+    """
+
+    def __init__(self, root: str, key: str, n_buckets: int = 16) -> None:
+        self.root = root
+        self.key = key
+        self.n_buckets = int(n_buckets)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+
+    # -- bookkeeping (same commit protocol as SnapshotTable) ---------------
+
+    def latest_version(self) -> int:
+        commits = os.listdir(os.path.join(self.root, "commits"))
+        return max((int(c[1:]) for c in commits if c.startswith("v")),
+                   default=0)
+
+    def _manifest(self, version: int) -> dict[str, str]:
+        """bucket(str) -> data dir relative to root. {} for version 0."""
+        import json
+
+        if version == 0:
+            return {}
+        marker = os.path.join(self.root, "commits", f"v{version:08d}")
+        with open(marker, encoding="utf-8") as f:
+            mid = f.read().strip()
+        with open(os.path.join(self.root, "manifests", f"{mid}.json"),
+                  encoding="utf-8") as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame | None:
+        """Table state at ``version`` (default latest); None if empty.
+        Reads are manifest-driven: each bucket dir is immutable, so a
+        reader holding a manifest is isolated from concurrent commits
+        (snapshot isolation by construction)."""
+        v = self.latest_version() if version is None else version
+        man = self._manifest(v)
+        if not man:
+            return None
+        paths = [os.path.join(self.root, p) for p in man.values()]
+        return spark.read.parquet(*paths).drop("__bucket")
+
+    def _bucket_expr(self):
+        # NULL keys hash via the sentinel so they land in ONE stable
+        # bucket (xxhash64 of a null child would fold to the seed)
+        from ..functions.cleaning import NULL_SENTINEL
+
+        return F.pmod(
+            F.xxhash64(F.coalesce(F.col(self.key).cast("string"),
+                                  F.lit(NULL_SENTINEL))),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def _try_commit(self, manifest: dict[str, str], version: int) -> None:
+        import json
+
+        mid = uuid.uuid4().hex
+        mpath = os.path.join(self.root, "manifests", f"{mid}.json")
+        with open(mpath, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        marker = os.path.join(self.root, "commits", f"v{version:08d}")
+        tmp = os.path.join(self.root, "commits", f".tmp-{mid}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(mid)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} already committed") from None
+        finally:
+            os.unlink(tmp)
+
+    # -- MERGE -------------------------------------------------------------
+
+    def merge(self, spark: SparkSession, source: DataFrame, *,
+              when_matched: str = "update", max_retries: int = 5,
+              _test_between_read_and_commit: Callable[[], None] | None = None,
+              ) -> int:
+        """Serializable MERGE: only buckets containing source keys are
+        rewritten; every other bucket carries forward by reference. On
+        commit conflict, rebase against the winner's manifest and retry
+        (only the changed buckets recompute). Returns the committed
+        version."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        key, bexpr = self.key, self._bucket_expr()
+        # deterministic in-batch dedup: one source row per key
+        cols = source.columns
+        src = (
+            source.groupBy(key)
+            .agg(F.min(F.struct(*[c for c in cols if c != key])).alias("__r"))
+            .select(key, "__r.*").select(*cols)
+            .withColumn("__bucket", bexpr)
+        )
+        src.persist()
+        try:
+            # the changed-bucket list is n_buckets-bounded — a scalar
+            # collect, never data rows
+            changed = sorted(
+                r["__bucket"] for r in
+                src.select("__bucket").distinct().collect()
+            )
+            for _ in range(max_retries):
+                base_version = self.latest_version()
+                man = self._manifest(base_version)
+                new_man = dict(man)  # unchanged buckets: carried by ref
+                snap_id = uuid.uuid4().hex
+                out_dir = os.path.join(self.root, "data", snap_id)
+                base_paths = [
+                    os.path.join(self.root, man[str(b)])
+                    for b in changed if str(b) in man
+                ]
+                if base_paths:
+                    base = (
+                        spark.read.parquet(*base_paths)
+                        .withColumn("__bucket", bexpr)  # recompute, cheap
+                    )
+                    survivors = base.join(
+                        src.select(F.col(key).alias("__mk")).distinct(),
+                        F.col(key).eqNullSafe(F.col("__mk")), "left_anti",
+                    )
+                else:
+                    survivors = None
+                if when_matched == "update":
+                    merged = (src if survivors is None
+                              else survivors.unionByName(src))
+                else:  # delete: matched rows go; source never inserts
+                    merged = survivors
+                if _test_between_read_and_commit is not None:
+                    hook, _test_between_read_and_commit = (
+                        _test_between_read_and_commit, None)
+                    hook()
+                if merged is not None:
+                    (merged.write.mode("errorifexists")
+                     .partitionBy("__bucket").parquet(out_dir))
+                written = (
+                    set(os.listdir(out_dir)) if merged is not None else set()
+                )
+                for b in changed:
+                    part = f"__bucket={b}"
+                    if part in written:
+                        new_man[str(b)] = os.path.join(
+                            "data", snap_id, part)
+                    else:
+                        # bucket emptied (delete removed every row)
+                        new_man.pop(str(b), None)
+                try:
+                    self._try_commit(new_man, base_version + 1)
+                    return base_version + 1
+                except CommitConflict:
+                    continue
+            raise CommitConflict(f"gave up after {max_retries} retries")
+        finally:
+            src.unpersist()

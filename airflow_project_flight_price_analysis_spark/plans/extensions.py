@@ -2414,3 +2414,76 @@ ORACLE.update({
         ORDER BY n_samples
     """,
 })
+
+
+def x105_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, the x103 pattern applied to BMP: build
+    spec-conformant 24bpp BMP payloads (bottom-up rows, BGR order,
+    4-byte row padding) deterministically from doc_id, parse the actual
+    container bytes with the stdlib kernel
+    (operators/multimodal.py::decode_bmp_features), and let the DuckDB
+    oracle recompute the channel sums analytically from the shared
+    generative law (W = 8 + doc_id%5, H = 6 + doc_id%4, channel c of
+    pixel p = (doc_id*7 + p*3 + c) % 256). A MATCH certifies the whole
+    storage round-trip — including the padding/flip/BGR handling, which
+    the generative law knows nothing about.
+
+    Channel sums stay EXACT bigints through the aggregate; the derived
+    mean is one division over identical integers in both engines.
+    """
+    from ..operators.multimodal import decode_bmp_features, synth_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_bmp_features(synth_bmp_media(docs))
+    n_px = F.col("width") * F.col("height") * F.col("n_docs")
+    return (
+        feats.groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+        )
+        .withColumn("mean_r", F.col("sum_r").cast("double") / n_px)
+        .withColumn("mean_g", F.col("sum_g").cast("double") / n_px)
+        .withColumn("mean_b", F.col("sum_b").cast("double") / n_px)
+        .orderBy("width", "height")
+    )
+
+
+QUERIES.update({"x105_bmp_decode_stats": x105_bmp_decode_stats})
+
+ORACLE.update({
+    "x105_bmp_decode_stats": """
+        WITH d AS (
+            SELECT doc_id,
+                   8 + doc_id % 5 AS w,
+                   6 + doc_id % 4 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   CAST(unnest(range(0, w * h)) AS BIGINT) AS p
+            FROM d
+        ),
+        per_doc AS (
+            SELECT doc_id, w, h,
+                   CAST(SUM((doc_id*7 + p*3 + 0) % 256) AS BIGINT) AS sr,
+                   CAST(SUM((doc_id*7 + p*3 + 1) % 256) AS BIGINT) AS sg,
+                   CAST(SUM((doc_id*7 + p*3 + 2) % 256) AS BIGINT) AS sb
+            FROM px GROUP BY 1, 2, 3
+        )
+        SELECT CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(sr) AS BIGINT) AS sum_r,
+               CAST(SUM(sg) AS BIGINT) AS sum_g,
+               CAST(SUM(sb) AS BIGINT) AS sum_b,
+               CAST(SUM(sr) AS DOUBLE) / (w * h * COUNT(*)) AS mean_r,
+               CAST(SUM(sg) AS DOUBLE) / (w * h * COUNT(*)) AS mean_g,
+               CAST(SUM(sb) AS DOUBLE) / (w * h * COUNT(*)) AS mean_b
+        FROM per_doc
+        GROUP BY w, h
+        ORDER BY width, height
+    """,
+})

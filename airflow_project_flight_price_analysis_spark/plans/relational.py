@@ -2125,8 +2125,10 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial aggregates and DuckDB's single-threaded fold, and with only
     # a handful of output rows one value landing near a rounding boundary
     # flips the cross-engine hash (the r5 red row). DECIMAL(38,6) sums are
-    # bit-stable on both engines; the final cast to double is then a
-    # deterministic function of identical inputs.
+    # bit-stable on both engines; and ROUND the DECIMAL, not its double
+    # image (r7): an exact .xx5 sum (e.g. 307843.595) casts to a double
+    # just BELOW the half, so double-rounding is engine-dependent while
+    # decimal HALF_UP matches bit-for-bit (verified incl. negatives).
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(38,6)"
     )
@@ -2147,7 +2149,7 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(rev).cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -2165,8 +2167,8 @@ ORACLE.update({
                      / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                                      AS DECIMAL(38,6))) AS DOUBLE), 6)
                    AS mkt_share,
-               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(38,6))) AS DOUBLE), 2)
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
                    AS total_revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2427,10 +2429,8 @@ def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-                .cast("double"),
-                2,
-            ).alias("total_price"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+            ).cast("double").alias("total_price"),
         )
     )
     sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_", os.path.basename(sf_dir.rstrip("/")))
@@ -2464,8 +2464,8 @@ ORACLE.update({
     "q70_sink_roundtrip": """
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                          AS DOUBLE), 2) AS total_price,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS total_price,
                TRUE AS audit_present
         FROM orders
         GROUP BY 1
@@ -2700,10 +2700,8 @@ def q74_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_suppliers"),
             F.round(
-                F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
-                .cast("double"),
-                2,
-            ).alias("total_acctbal"),
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)")), 2
+            ).cast("double").alias("total_acctbal"),
         )
     )
     sf_tag = re.sub(r"[^A-Za-z0-9_]", "_",
@@ -2736,8 +2734,8 @@ ORACLE.update({
     "q74_catalog_roundtrip": """
         SELECT n.n_name,
                CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-               ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6)))
-                          AS DOUBLE), 2) AS total_acctbal
+               CAST(ROUND(SUM(CAST(s.s_acctbal AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS total_acctbal
         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         GROUP BY 1
         ORDER BY 1
@@ -2799,9 +2797,8 @@ def q75_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .cast("decimal(38,6)")
-            ).cast("double"),
-            2,
-        ).alias("revenue"),
+            ), 2
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -2836,8 +2833,8 @@ def q76_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(
-        F.round(F.col("__promo").cast("double"), 2).alias("promo_revenue"),
-        F.round(F.col("__total").cast("double"), 2).alias("total_revenue"),
+        F.round(F.col("__promo"), 2).cast("double").alias("promo_revenue"),
+        F.round(F.col("__total"), 2).cast("double").alias("total_revenue"),
         F.round(
             (F.lit(100.0) * F.col("__promo").cast("double")
              / F.col("__total").cast("double")),
@@ -2900,8 +2897,8 @@ QUERIES.update({
 ORACLE.update({
     "q75_disjunctive_pushdown": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(38,6))) AS DOUBLE), 2)
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
                    AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
@@ -2920,10 +2917,10 @@ ORACLE.update({
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
         )
-        SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                   ELSE CAST(0 AS DECIMAL(38,6)) END)
-                          AS DOUBLE), 2) AS promo_revenue,
-               ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue,
+        SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(38,6)) END),
+                     2) AS DOUBLE) AS promo_revenue,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
                ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
                                            ELSE CAST(0 AS DECIMAL(38,6)) END)
                                   AS DOUBLE)

@@ -374,3 +374,55 @@ def test_wav_parser_walks_extra_chunks_and_rejects_garbage():
             + b"data" + st.pack("<I", 4) + b"\0\0\0\0")
     with pytest.raises(ValueError, match="unsupported"):
         _parse_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+
+
+def test_bmp_roundtrip_decode(spark):
+    """synth → decode recovers exact per-channel sums through the real
+    storage transforms (bottom-up rows, BGR order, row padding)."""
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_dims,
+        decode_bmp_features,
+        synth_bmp_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 3, 11)], "doc_id long")
+    rows = {r.media_id: r for r in
+            decode_bmp_features(synth_bmp_media(docs)).collect()}
+    for did in (0, 3, 11):
+        w, h = _bmp_dims(did)
+        exp = [sum((did * 7 + p * 3 + c) % 256 for p in range(w * h))
+               for c in range(3)]
+        r = rows[did]
+        assert (r.width, r.height) == (w, h)
+        assert [r.sum_r, r.sum_g, r.sum_b] == exp
+
+
+def test_bmp_parser_handles_topdown_and_rejects_malformed():
+    """Negative biHeight = top-down storage (valid per spec) must
+    decode to the same logical sums; garbage and unsupported bpp must
+    raise."""
+    import struct as st
+
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_bytes,
+        _parse_bmp,
+    )
+
+    wav = _bmp_bytes(3)
+    w, h = st.unpack_from("<ii", wav, 18)
+    # rebuild as top-down: negate height, reverse the row order
+    row_stride = (w * 3 + 3) // 4 * 4
+    off = st.unpack_from("<I", wav, 10)[0]
+    rows = [wav[off + i * row_stride: off + (i + 1) * row_stride]
+            for i in range(h)]
+    td = bytearray(wav[:off] + b"".join(reversed(rows)))
+    st.pack_into("<i", td, 22, -h)
+    assert _parse_bmp(bytes(td)) == _parse_bmp(wav)
+    with pytest.raises(ValueError, match="BMP"):
+        _parse_bmp(b"PNG? nope")
+    bad = bytearray(wav)
+    st.pack_into("<H", bad, 28, 8)  # 8bpp unsupported
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_bmp(bytes(bad))

@@ -405,3 +405,19 @@ def test_q85_single_pass_conditional_counts(spark):
     i = plan.find("lineitem.parquet")
     li_scan = plan[max(0, i - 3000): i + 3000]  # whole FileScan line
     assert "PushedFilters" in li_scan and "l_returnflag" in li_scan, plan
+
+
+def test_x103_x105_payloads_never_shuffle(spark):
+    """Media-decode scale discipline: the binary payload must exist
+    only inside the fused MapInPandas chain — every Exchange carries
+    either the 8-byte doc_id (pre-synth repartition) or fixed-width
+    stats (post-decode aggregate), and the documents scan reads ONLY
+    doc_id."""
+    for name in ("x103_wav_decode_stats", "x105_bmp_decode_stats"):
+        plan = _plan(_Q[name](spark, SF_ORACLE))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "payload" not in line, f"{name}: payload shuffles\n{line}"
+        scan = next(l for l in plan.splitlines() if "documents.parquet" in l)
+        assert "ReadSchema: struct<doc_id:bigint>" in scan, scan
+        assert "partial_sum" in plan, plan  # map-side combine on stats

@@ -181,3 +181,97 @@ def test_upsert_null_key_inserts_once(spark, tmp_path):
         [(r.k, r.v) for r in rows], key=lambda p: (p[0] is None, p)
     )
     assert got == [(1, "a"), (None, "x")]
+
+
+# --- BucketedMergeTable: bucket-granular copy-on-write MERGE (r7) ----------
+
+def _bm(tmp_path, n_buckets=8):
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        BucketedMergeTable,
+    )
+
+    return BucketedMergeTable(str(tmp_path / "bm"), "k", n_buckets=n_buckets)
+
+
+def _rows(t, spark):
+    df = t.read(spark)
+    return sorted((r.k, r.v) for r in df.collect()) if df is not None else []
+
+
+def test_merge_update_and_insert_semantics(spark, tmp_path):
+    t = _bm(tmp_path)
+    t.merge(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    # update 2, insert 4
+    t.merge(spark, spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"))
+    assert _rows(t, spark) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_merge_delete_semantics(spark, tmp_path):
+    t = _bm(tmp_path)
+    t.merge(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    t.merge(spark, spark.createDataFrame(
+        [(2, "ignored"), (9, "no-op")], "k long, v string"),
+        when_matched="delete")
+    assert _rows(t, spark) == [(1, "a"), (3, "c")]
+
+
+def test_merge_rewrites_only_changed_buckets(spark, tmp_path):
+    """The copy-on-write contract: buckets without source keys carry
+    forward BY REFERENCE — their manifest entries are byte-identical
+    across the commit."""
+    t = _bm(tmp_path, n_buckets=16)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(64)],
+                                 "k long, v string")
+    t.merge(spark, base)
+    man1 = t._manifest(t.latest_version())
+    t.merge(spark, spark.createDataFrame([(5, "V5")], "k long, v string"))
+    man2 = t._manifest(t.latest_version())
+    changed = [b for b in man1 if man1[b] != man2.get(b)]
+    assert len(changed) == 1  # exactly key 5's bucket rewrote
+    carried = [b for b in man1 if man1[b] == man2.get(b)]
+    assert len(carried) == len(man1) - 1
+    assert _rows(t, spark)[5] == (5, "V5")
+
+
+def test_merge_conflict_rebases_and_both_commits_land(spark, tmp_path):
+    """Concurrent-writer seam: writer A reads v1, writer B commits v2,
+    A's first commit attempt conflicts, A rebases onto B's state —
+    both merges are visible in the final table."""
+    t = _bm(tmp_path)
+    t.merge(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    def interleave():
+        t2 = _bm(tmp_path)
+        t2.merge(spark, spark.createDataFrame(
+            [(2, "b")], "k long, v string"))
+
+    v = t.merge(
+        spark, spark.createDataFrame([(3, "c")], "k long, v string"),
+        _test_between_read_and_commit=interleave,
+    )
+    assert v == 3
+    assert _rows(t, spark) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_time_travel_and_empty_delete(spark, tmp_path):
+    t = _bm(tmp_path, n_buckets=4)
+    t.merge(spark, spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "k long, v string"))
+    t.merge(spark, spark.createDataFrame([(1, "x"), (2, "x")],
+                                         "k long, v string"),
+            when_matched="delete")
+    assert _rows(t, spark) == []                      # emptied
+    old = t.read(spark, version=1)
+    assert sorted((r.k, r.v) for r in old.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_merge_null_key_is_null_safe(spark, tmp_path):
+    t = _bm(tmp_path)
+    t.merge(spark, spark.createDataFrame([(None, "a"), (1, "b")],
+                                         "k long, v string"))
+    t.merge(spark, spark.createDataFrame([(None, "A")], "k long, v string"))
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(None, "A"), (1, "b")}

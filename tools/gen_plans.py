@@ -118,6 +118,26 @@ SECTIONS = [
      "general banded range join: inequality join rewritten as an "
      "equi-join on (user_id, time-bucket) + residual BETWEEN; left "
      "rows explode to 2 buckets, pair space bounded per bucket"),
+    ("q80_min_cost_supplier",
+     "Q2 shape: correlated scalar min decorrelated to a WINDOW MIN "
+     "over the region-restricted bridge — one lineitem scan, one "
+     "p_partkey shuffle, all dims broadcast, no grouped-min join-back"),
+    ("q81_profit_by_nation_year",
+     "Q9 shape: p_name LIKE filter at the part scan prunes lineitem "
+     "via broadcast BEFORE the orders join; one 2-key aggregate with "
+     "decimal-exact sums"),
+    ("q82_large_volume_customers",
+     "Q18 shape: grouped-HAVING subquery and per-order quantity from "
+     "ONE lineitem aggregate (single scan); heavy-order survivors "
+     "broadcast back to orders"),
+    ("x103_wav_decode_stats",
+     "real stdlib WAV decode: payload exists only inside the fused "
+     "MapInPandas chain — the only exchanges carry doc_id (8 bytes) "
+     "and fixed-width stats with map-side combine"),
+    ("x104_cdc_span_dedup",
+     "content-defined chunking: boundary flags prefix-summed in ONE "
+     "doc_id window shuffle; the (doc, span) regroup reuses that "
+     "partitioning (subset-of-keys), cross-doc rank on xxhash64(span)"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
