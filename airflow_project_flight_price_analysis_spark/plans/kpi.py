@@ -58,6 +58,23 @@ _SEASONALITY_SQL = (
 )
 
 
+
+def _avg_fare_exact() -> F.Column:
+    """Decimal-exact mean fare (r7 hardening, the q66/q83 bug class):
+    AVG over raw doubles folds in partition order, so Spark's partial
+    aggregates and DuckDB's sequential fold can differ by an ulp and
+    flip ROUND at a boundary. SUM the fare as DECIMAL(38,6) (exact,
+    order-independent), divide by COUNT in double (identical operands →
+    one correctly-rounded IEEE op), then ROUND — engines agree on
+    rounding identical doubles including dyadic .xx5 halves (verified:
+    both round half-away-from-zero)."""
+    return F.round(
+        F.sum(_fare().cast("decimal(38,6)")).cast("double")
+        / F.count(F.lit(1)),
+        2,
+    )
+
+
 def q01_avg_fare_by_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — AVG(total_fare) GROUP BY airline (project_report.md:92-96)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -65,7 +82,7 @@ def q01_avg_fare_by_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy(F.col("s_name").alias("airline"))
-        .agg(F.round(F.avg(_fare()), 2).alias("avg_fare"))
+        .agg(_avg_fare_exact().alias("avg_fare"))
         .orderBy(F.desc("avg_fare"), "airline")
     )
 
@@ -97,7 +114,7 @@ def q03_fare_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("month"),
         )
         .agg(
-            F.round(F.avg(_fare()), 2).alias("avg_fare"),
+            _avg_fare_exact().alias("avg_fare"),
             F.count("*").alias("bookings"),
         )
         .orderBy("year", "month")
@@ -113,7 +130,7 @@ def q04_seasonal_fare_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(_seasonality(F.month("o_orderdate")).alias("seasonality"))
         .agg(
-            F.round(F.avg(_fare()), 2).alias("avg_fare"),
+            _avg_fare_exact().alias("avg_fare"),
             F.count("*").alias("total_bookings"),
         )
         .orderBy("seasonality")
@@ -205,7 +222,8 @@ QUERIES = {
 ORACLE = {
     "q01_avg_fare_by_airline": f"""
         SELECT s_name AS airline,
-               ROUND(AVG({_FARE_SQL}), 2) AS avg_fare
+               ROUND(CAST(SUM(CAST({_FARE_SQL} AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 2) AS avg_fare
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
         ORDER BY avg_fare DESC, airline
@@ -219,7 +237,8 @@ ORACLE = {
     "q03_fare_trend": f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                CAST(month(o_orderdate) AS INTEGER) AS month,
-               ROUND(AVG({_FARE_SQL}), 2) AS avg_fare,
+               ROUND(CAST(SUM(CAST({_FARE_SQL} AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 2) AS avg_fare,
                COUNT(*) AS bookings
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
@@ -227,7 +246,8 @@ ORACLE = {
     """,
     "q04_seasonal_fare_variation": f"""
         SELECT {_SEASONALITY_SQL} AS seasonality,
-               ROUND(AVG({_FARE_SQL}), 2) AS avg_fare,
+               ROUND(CAST(SUM(CAST({_FARE_SQL} AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 2) AS avg_fare,
                COUNT(*) AS total_bookings
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1

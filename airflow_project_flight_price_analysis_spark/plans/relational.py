@@ -353,7 +353,14 @@ def q21_rollup_fare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(F.year("o_orderdate").alias("year"), F.quarter("o_orderdate").alias("quarter"), "o_totalprice")
         .rollup("year", "quarter")
-        .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"), F.count("*").alias("n"))
+        .agg(
+            # decimal-exact mean (kpi.py::_avg_fare_exact rationale)
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double") / F.count(F.lit(1)), 2,
+            ).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
         .orderBy(F.asc_nulls_first("year"), F.asc_nulls_first("quarter"))
     )
 
@@ -534,7 +541,8 @@ ORACLE = {
     "q21_rollup_fare": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
-               ROUND(AVG(o_totalprice), 2) AS avg_price,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 2) AS avg_price,
                COUNT(*) AS n
         FROM orders
         GROUP BY ROLLUP(year, quarter)

@@ -31,7 +31,10 @@ def test_q03_q04_partial_aggregation(spark):
     hash exchange carries |groups| partial rows, not lineitem rows."""
     for name in ("q03_fare_trend", "q04_seasonal_fare_variation"):
         plan = _plan(_Q[name](spark, SF_ORACLE))
-        assert "partial_avg" in plan, f"{name}: no map-side combine\n{plan}"
+        # r7: the mean is a decimal-exact partial_sum + partial_count
+        # (see kpi._avg_fare_exact) — still map-side combined
+        assert "partial_sum" in plan, f"{name}: no map-side combine\n{plan}"
+        assert "partial_count" in plan, f"{name}: no map-side combine\n{plan}"
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         # exactly one hash-partitioned exchange (the partial-agg shuffle);

@@ -526,3 +526,73 @@ def test_topk_per_group_matches_reference_and_prunes(spark, rows, k):
     assert got == expected
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+# --- r7 codecs: pure-Python round trips under hypothesis -------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**40))
+def test_wav_roundtrip_property(doc_id):
+    """For ANY doc id, parsing the synthesized WAV recovers exactly the
+    generative law (pure-Python — no Spark per example)."""
+    import math
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _parse_wav,
+        _wav_bytes,
+    )
+
+    n, rate, rms, peak, ssq = _parse_wav(_wav_bytes(doc_id))
+    samples = [((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+    assert n == 40 + doc_id % 25
+    assert rate == 8000
+    assert ssq == sum(s * s for s in samples)
+    assert peak == max(abs(s) for s in samples)
+    assert rms == math.sqrt(ssq / n)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**40))
+def test_bmp_roundtrip_property(doc_id):
+    """BMP round trip for ANY doc id — storage transforms (padding,
+    bottom-up, BGR) must cancel exactly."""
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_bytes,
+        _bmp_dims,
+        _parse_bmp,
+    )
+
+    w, h, sr, sg, sb = _parse_bmp(_bmp_bytes(doc_id))
+    assert (w, h) == _bmp_dims(doc_id)
+    exp = [sum((doc_id * 7 + p * 3 + c) % 256 for p in range(w * h))
+           for c in range(3)]
+    assert [sr, sg, sb] == exp
+
+
+def test_bucketed_merge_matches_dict_replay(spark, tmp_path):
+    """Randomized sequences of update/delete merges must equal the
+    obvious dict semantics — the serializable-MERGE oracle."""
+    import random
+
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        BucketedMergeTable,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        t = BucketedMergeTable(str(tmp_path / f"t{seed}"), "k", n_buckets=8)
+        model: dict[int, str] = {}
+        for step in range(4):
+            keys = rng.sample(range(12), rng.randint(1, 5))
+            op = rng.choice(["update", "delete"])
+            rows = [(k, f"s{seed}v{step}k{k}") for k in keys]
+            t.merge(spark, spark.createDataFrame(rows, "k long, v string"),
+                    when_matched=op)
+            if op == "update":
+                model.update(dict(rows))
+            else:
+                for k in keys:
+                    model.pop(k, None)
+        df = t.read(spark)
+        got = {} if df is None else {r.k: r.v for r in df.collect()}
+        assert got == model, f"seed {seed}: {got} != {model}"
