@@ -1,0 +1,99 @@
+"""Table-maintenance job — the scheduled housekeeping pass a long-lived
+lake needs (the orchestrator schedules it off-peak, like the reference
+schedules its pipeline DAG daily — ``dags/flight_pipeline_dag.py:21-26``).
+
+Three maintenance families, each a first-class operator elsewhere in the
+engine, wired here into one spark-submit entry point:
+
+- ``compact``     small-file compaction of a parquet directory
+                  (operators/compaction.py — size-targeted rewrite to a
+                  NEW directory; the caller swaps atomically)
+- ``ledger``      streaming near-dup signature-ledger epoch folding
+                  (streaming/neardup.py::compact_sig_ledger — collapse
+                  epochs <= K into one base partition; screens of all
+                  future epochs are provably unchanged)
+- ``vacuum``      orphan-snapshot removal for BucketedMergeTable roots
+                  (operators/transactional.py — losing optimistic
+                  writers leak uuid dirs; never run under a live writer)
+
+Usage:
+    python -m airflow_project_flight_price_analysis_spark.jobs.maintenance \
+        compact --path /wh/bronze --out /wh/bronze_c [--target-mb 128]
+    python -m ... maintenance ledger --path /wh/sig_ledger \
+        --out /wh/sig_ledger_c --upto-epoch 41
+    python -m ... maintenance vacuum --root /wh/merge_table --key k
+
+Emits one JSON report line to stdout (the flight_pipeline convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ..session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="maintenance")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compact", help="small-file compaction")
+    c.add_argument("--path", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--no-shuffle", action="store_true",
+                   help="coalesce instead of repartition (uneven files)")
+
+    led = sub.add_parser("ledger", help="near-dup sig-ledger epoch folding")
+    led.add_argument("--path", required=True)
+    led.add_argument("--out", required=True)
+    led.add_argument("--upto-epoch", type=int, required=True,
+                     help="fold epochs <= this (must be <= last COMMITTED "
+                          "checkpoint epoch)")
+    led.add_argument("--target-mb", type=int, default=128)
+
+    v = sub.add_parser("vacuum", help="merge-table orphan removal")
+    v.add_argument("--root", required=True)
+    v.add_argument("--key", required=True,
+                   help="table key column (manifest layout is key-agnostic "
+                        "but the handle requires it)")
+    v.add_argument("--n-buckets", type=int, default=16)
+
+    args = ap.parse_args(argv)
+    report: dict = {"cmd": args.cmd}
+
+    if args.cmd == "vacuum":
+        # pure-filesystem maintenance: no SparkSession needed
+        from ..operators.transactional import BucketedMergeTable
+
+        t = BucketedMergeTable(args.root, args.key, n_buckets=args.n_buckets)
+        removed = t.vacuum()
+        report.update(root=args.root, removed=len(removed))
+    else:
+        spark = get_spark(app_name=f"fpa-maintenance-{args.cmd}")
+        target = args.target_mb * 1024 * 1024
+        if args.cmd == "compact":
+            from ..operators.compaction import compact_parquet
+
+            n = compact_parquet(spark, args.path, args.out,
+                                target_file_bytes=target,
+                                shuffle=not args.no_shuffle)
+            report.update(path=args.path, out=args.out, files=n)
+        else:
+            from ..streaming.neardup import compact_sig_ledger
+
+            n = compact_sig_ledger(spark, args.path, args.out,
+                                   upto_epoch=args.upto_epoch,
+                                   target_file_bytes=target)
+            report.update(path=args.path, out=args.out,
+                          upto_epoch=args.upto_epoch, base_files=n)
+
+    json.dump(report, sys.stdout)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

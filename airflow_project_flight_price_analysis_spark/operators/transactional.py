@@ -266,6 +266,50 @@ class BucketedMergeTable:
         finally:
             os.unlink(tmp)
 
+    def vacuum(self) -> list[str]:
+        """Remove snapshot data dirs and manifests no committed version
+        references (losing writers and abandoned retries leak uuid dirs —
+        the price of optimistic commits; Iceberg calls this orphan-file
+        removal). Returns the removed paths.
+
+        Safe against in-flight writers ONLY for dirs older than any live
+        attempt — a real deployment gates on age (e.g. modified > 1h
+        ago); here the caller is the single maintenance process, same
+        contract as compact_parquet (never vacuum under a running
+        writer)."""
+        import json
+        import shutil
+
+        live_manifests: set[str] = set()
+        live_dirs: set[str] = set()
+        commits_dir = os.path.join(self.root, "commits")
+        for c in os.listdir(commits_dir):
+            if not c.startswith("v"):
+                continue
+            with open(os.path.join(commits_dir, c), encoding="utf-8") as f:
+                mid = f.read().strip()
+            live_manifests.add(f"{mid}.json")
+            mpath = os.path.join(self.root, "manifests", f"{mid}.json")
+            with open(mpath, encoding="utf-8") as f:
+                for rel in json.load(f).values():
+                    # rel = data/<uuid>/__bucket=<b>; retention unit is
+                    # the snapshot dir
+                    live_dirs.add(rel.split(os.sep)[1])
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for d in os.listdir(data_dir):
+            if d not in live_dirs:
+                path = os.path.join(data_dir, d)
+                shutil.rmtree(path)
+                removed.append(path)
+        man_dir = os.path.join(self.root, "manifests")
+        for m in os.listdir(man_dir):
+            if m not in live_manifests:
+                path = os.path.join(man_dir, m)
+                os.unlink(path)
+                removed.append(path)
+        return removed
+
     # -- MERGE -------------------------------------------------------------
 
     def merge(self, spark: SparkSession, source: DataFrame, *,
@@ -348,3 +392,4 @@ class BucketedMergeTable:
             raise CommitConflict(f"gave up after {max_retries} retries")
         finally:
             src.unpersist()
+

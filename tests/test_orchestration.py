@@ -40,3 +40,31 @@ def test_job_mains_are_importable():
     from airflow_project_flight_price_analysis_spark.jobs.flight_pipeline import main as m2
 
     assert callable(m1) and callable(m2)
+
+
+def test_maintenance_job_cli(spark, tmp_path, capsys):
+    """The maintenance entry point runs all three families end-to-end
+    and emits the one-line JSON report (flight_pipeline convention)."""
+    import json
+
+    from airflow_project_flight_price_analysis_spark.jobs.maintenance import (
+        main,
+    )
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        BucketedMergeTable,
+    )
+
+    frag = str(tmp_path / "frag")
+    spark.range(0, 2000).repartition(20).write.parquet(frag)
+    assert main(["compact", "--path", frag, "--out",
+                 str(tmp_path / "c"), "--target-mb", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cmd"] == "compact" and rep["files"] >= 1
+    assert spark.read.parquet(str(tmp_path / "c")).count() == 2000
+
+    t = BucketedMergeTable(str(tmp_path / "mt"), "k", n_buckets=4)
+    t.merge(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert main(["vacuum", "--root", str(tmp_path / "mt"),
+                 "--key", "k"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cmd"] == "vacuum" and rep["removed"] == 0

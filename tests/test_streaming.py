@@ -619,3 +619,35 @@ def test_sig_ledger_compaction_preserves_screen_results(spark, tmp_path):
         b = sorted(r.doc_id for r in spark.read.parquet(out_b[sub])
                    .filter("epoch_id = 3").collect())
         assert a == b and a  # non-vacuous
+
+
+def test_ingest_sink_rejects_checkpoint_reset_over_live_ledger(
+        spark, tmp_path):
+    """The neardup coherence guard applied to exact-dedup ingest: a
+    checkpoint restart at epoch 0 over a persisted ledger must raise
+    (dynamic overwrite would clobber historical epoch partitions);
+    replaying the current max epoch stays legal."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.sources.flights_csv import (
+        read_flights_csv,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.ingest import (
+        make_ingest_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text("\n".join([CSV_HEADER, GOOD_ROW]) + "\n")
+    (landing / "b.csv").write_text("\n".join([CSV_HEADER, SECOND_ROW]) + "\n")
+    bronze, ledger = str(tmp_path / "bronze"), str(tmp_path / "ledger")
+    sink = make_ingest_sink(bronze, ledger)
+    sink(read_flights_csv(spark, str(landing / "a.csv")), 0)
+    sink(read_flights_csv(spark, str(landing / "b.csv")), 1)
+    # replay of the max epoch: fine
+    sink(read_flights_csv(spark, str(landing / "b.csv")), 1)
+    # restart at 0 over the live ledger: refuse
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink(read_flights_csv(spark, str(landing / "a.csv")), 0)
+    # history intact
+    assert spark.read.parquet(bronze).count() == 2

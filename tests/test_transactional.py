@@ -275,3 +275,29 @@ def test_merge_null_key_is_null_safe(spark, tmp_path):
     t.merge(spark, spark.createDataFrame([(None, "A")], "k long, v string"))
     got = {(r.k, r.v) for r in t.read(spark).collect()}
     assert got == {(None, "A"), (1, "b")}
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """Every historical version stays readable after vacuum (manifests
+    still referenced by commits are live); only truly orphaned snapshot
+    dirs/manifests — from losing or abandoned writers — are removed."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    t = _bm(tmp_path, n_buckets=4)
+    t.merge(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(spark, spark.createDataFrame([(2, "b")], "k long, v string"))
+    # fake a losing writer's leftovers: an orphan snapshot dir + manifest
+    orphan_dir = os.path.join(t.root, "data", _uuid.uuid4().hex)
+    os.makedirs(os.path.join(orphan_dir, "__bucket=0"))
+    orphan_man = os.path.join(t.root, "manifests",
+                              f"{_uuid.uuid4().hex}.json")
+    with open(orphan_man, "w", encoding="utf-8") as f:
+        f.write("{}")
+    removed = t.vacuum()
+    assert sorted(removed) == sorted([orphan_dir, orphan_man])
+    # both versions still fully readable
+    assert {r.k for r in t.read(spark, version=1).collect()} == {1}
+    assert {r.k for r in t.read(spark, version=2).collect()} == {1, 2}
+    shutil.rmtree(t.root)
