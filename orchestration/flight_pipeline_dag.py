@@ -88,3 +88,60 @@ if HAVE_AIRFLOW:
         )
 
         wait_for_storage >> run_pipeline   # :68 (linear deps)
+
+
+# --- maintenance DAG (r7): off-peak housekeeping ---------------------------
+# Weekly table maintenance the pipeline DAG shouldn't block on: parquet
+# small-file compaction of bronze, near-dup signature-ledger epoch
+# folding, and merge-table orphan vacuum — one spark-submit of
+# jobs/maintenance.py per family. Compaction/folding write NEW
+# directories; the final task swaps them in (mv is atomic on the same
+# filesystem; object stores use a manifest/pointer flip instead).
+
+MAINT_LAUNCHER = os.path.join(
+    os.path.dirname(__file__), "launch_maintenance.py"
+)
+
+
+def _maint_cmd(args: str) -> str:
+    return (
+        f"{SPARK_SUBMIT} --deploy-mode cluster "
+        f"--py-files {PY_FILES} {MAINT_LAUNCHER} {args}"
+    )
+
+
+if HAVE_AIRFLOW:
+    with DAG(
+        dag_id="flight_price_maintenance_spark",
+        schedule="@weekly",
+        catchup=False,
+        start_date=datetime(2026, 1, 1),
+        default_args=default_args,
+    ) as maintenance_dag:
+        compact_bronze = BashOperator(
+            task_id="compact_bronze",
+            bash_command=_maint_cmd(
+                f"compact --path {WAREHOUSE}/bronze_flights "
+                f"--out {WAREHOUSE}/bronze_flights.compact --target-mb 128"
+            ),
+        )
+        fold_sig_ledger = BashOperator(
+            task_id="fold_sig_ledger",
+            # upto-epoch is injected by the scheduler from the stream's
+            # last committed epoch (a checkpoint read) — templated here
+            bash_command=_maint_cmd(
+                f"ledger --path {WAREHOUSE}/sig_ledger "
+                f"--out {WAREHOUSE}/sig_ledger.compact "
+                "--upto-epoch {{ var.value.get('fpa_ledger_upto', 0) }}"
+            ),
+        )
+        swap_compacted = BashOperator(
+            task_id="swap_compacted",
+            bash_command=(
+                f"mv {WAREHOUSE}/bronze_flights {WAREHOUSE}/bronze_flights.old && "
+                f"mv {WAREHOUSE}/bronze_flights.compact {WAREHOUSE}/bronze_flights && "
+                f"mv {WAREHOUSE}/sig_ledger {WAREHOUSE}/sig_ledger.old && "
+                f"mv {WAREHOUSE}/sig_ledger.compact {WAREHOUSE}/sig_ledger"
+            ),
+        )
+        [compact_bronze, fold_sig_ledger] >> swap_compacted

@@ -26,6 +26,8 @@ def test_launcher_primary_resources_exist_and_import():
     for cmd, launcher in (
         (flight_pipeline_dag.PIPELINE_CMD, flight_pipeline_dag.LAUNCHER),
         (corpus_curation_dag.CURATE_CMD, corpus_curation_dag.LAUNCHER),
+        (flight_pipeline_dag._maint_cmd("compact --path p --out o"),
+         flight_pipeline_dag.MAINT_LAUNCHER),
     ):
         assert launcher in cmd
         assert os.path.isfile(launcher)
@@ -38,8 +40,9 @@ def test_launcher_primary_resources_exist_and_import():
 def test_job_mains_are_importable():
     from airflow_project_flight_price_analysis_spark.jobs.corpus_pipeline import main as m1
     from airflow_project_flight_price_analysis_spark.jobs.flight_pipeline import main as m2
+    from airflow_project_flight_price_analysis_spark.jobs.maintenance import main as m3
 
-    assert callable(m1) and callable(m2)
+    assert callable(m1) and callable(m2) and callable(m3)
 
 
 def test_maintenance_job_cli(spark, tmp_path, capsys):
