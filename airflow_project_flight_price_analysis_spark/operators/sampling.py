@@ -67,3 +67,76 @@ def stratified_threshold_sample(
         .filter(F.col("__h") <= F.col("__thr"))
         .drop("__h", "__thr", "__strat")
     )
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
+                  n_shards: int | None = None) -> DataFrame:
+    """Deterministic global training-order shuffle (r7): order rows by
+    ``xxhash64(key, seed)`` — a different ``seed`` per training epoch
+    gives an independent-looking permutation that is REPRODUCIBLE
+    across runs, cluster sizes, and partitionings (``rand(seed)`` is
+    none of those: its row assignment depends on partition layout).
+
+    Scale shape: one range-partitioned sort — Spark samples the hash
+    distribution to build balanced range bounds, so the output is both
+    globally ordered and evenly sharded; no single-partition funnel.
+    With ``n_shards`` the result is also repartitioned-by-range into
+    exactly that many output files (the shard a row lands in is part
+    of the epoch's reproducible layout).
+
+    The hash column is dropped — callers get the input schema back in
+    shuffled order.
+    """
+    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
+    out = df.withColumn("__eh", h)
+    if n_shards is not None:
+        out = out.repartitionByRange(int(n_shards), "__eh")
+        return out.sortWithinPartitions("__eh").drop("__eh")
+    return out.orderBy("__eh").drop("__eh")
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    temperature: float,
+    base_fraction: float,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (r7) — the multilingual-/
+    multi-source-rebalancing step of LLM data pipelines (the p^(1/T)
+    rule of mBERT/XLM-R; T > 1 upsamples small sources relative to
+    their share, T = 1 is proportional sampling).
+
+    Per-source keep fraction: ``f_s = min(1, base_fraction *
+    (share_s)^(1/T - 1))`` where ``share_s`` is the source's row share
+    — so at T=1 every source keeps ``base_fraction``, and at T>1 small
+    sources keep MORE than base (up to everything) while large sources
+    keep less, flattening the mixture toward uniform. Selection is by
+    content-hash threshold (``content_hash64 <= f_s * 2^60``):
+    deterministic, engine-independent, and NESTED across
+    ``base_fraction`` values like stratified_threshold_sample.
+
+    Scale shape: one |sources|-row aggregate (map-side combined),
+    broadcast back; the keep decision is a map-side filter — no sort,
+    no rank, no per-row shuffle.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    shares = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    total = shares.agg(F.sum("__n").alias("__t"))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(base_fraction))
+        * F.pow(F.col("__n") / F.col("__t"),
+                F.lit(1.0 / float(temperature) - 1.0)),
+    )
+    plan = (
+        shares.crossJoin(F.broadcast(total))
+        .select(F.col(source_col).alias("__src"), frac.alias("__keep"))
+    )
+    h = content_hash64(F.col(key_col))
+    return (
+        df.join(F.broadcast(plan), F.col(source_col) == F.col("__src"))
+        .filter(h <= (F.col("__keep") * F.lit(float(2 ** 60))).cast("long"))
+        .drop("__src", "__keep")
+    )

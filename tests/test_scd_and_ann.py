@@ -266,3 +266,60 @@ def test_ledger_schema_drift_fails_loud(spark):
     drifted = spark.createDataFrame([("h",)], "hash string")  # renamed col
     with pytest.raises(ValueError, match="schema drift"):
         dedup_against_ledger(incoming, drifted)
+
+
+# --- r7: epoch shuffle + temperature mixture (operators/sampling.py) -------
+
+def test_epoch_shuffle_reproducible_and_partition_invariant(spark):
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    o1 = [r.k for r in epoch_shuffle(df, "k", seed=7).collect()]
+    o2 = [r.k for r in epoch_shuffle(df.repartition(13), "k",
+                                     seed=7).collect()]
+    assert o1 == o2                      # layout-independent
+    assert sorted(o1) == list(range(500))  # a permutation
+    o3 = [r.k for r in epoch_shuffle(df, "k", seed=8).collect()]
+    assert o3 != o1                      # epochs differ
+    # sharded form: same global order when shards are concatenated in
+    # range order, and shard sizes are balanced (range partitioner)
+    sharded = epoch_shuffle(df, "k", seed=7, n_shards=4)
+    sizes = [len(p) for p in sharded.rdd.glom().collect()]
+    assert len(sizes) == 4 and min(sizes) > 50
+    assert [r.k for r in sharded.collect()] == o1
+
+
+def test_temperature_mixture_flattens_small_sources(spark):
+    """T=1 ≡ plain proportional sampling; T>1 keeps a LARGER fraction
+    of the minority source than of the majority one; selection is
+    deterministic and nested across base fractions."""
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big") for i in range(1800)] + \
+           [(10_000 + i, "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, source string")
+
+    t1 = temperature_mixture_sample(df, "source", "k", 1.0, 0.3)
+    by_src = {r.source: r.n for r in
+              t1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # T=1: every source keeps ~base_fraction
+    assert abs(by_src["big"] / 1800 - 0.3) < 0.06
+    assert abs(by_src["small"] / 200 - 0.3) < 0.12
+
+    t3 = temperature_mixture_sample(df, "source", "k", 3.0, 0.3)
+    by3 = {r.source: r.n for r in
+           t3.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    frac_small, frac_big = by3["small"] / 200, by3["big"] / 1800
+    assert frac_small > frac_big         # flattened toward uniform
+    assert frac_small > 0.45             # minority upsampled vs base
+
+    # nested: the 15% sample is a subset of the 30% sample
+    t3_small = temperature_mixture_sample(df, "source", "k", 3.0, 0.15)
+    keys30 = {r.k for r in t3.collect()}
+    keys15 = {r.k for r in t3_small.collect()}
+    assert keys15 <= keys30 and keys15
