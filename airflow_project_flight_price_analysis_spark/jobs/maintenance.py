@@ -49,9 +49,15 @@ def main(argv: list[str] | None = None) -> int:
     led = sub.add_parser("ledger", help="near-dup sig-ledger epoch folding")
     led.add_argument("--path", required=True)
     led.add_argument("--out", required=True)
-    led.add_argument("--upto-epoch", type=int, required=True,
-                     help="fold epochs <= this (must be <= last COMMITTED "
-                          "checkpoint epoch)")
+    led.add_argument("--checkpoint", required=True,
+                     help="the stream's checkpoint dir — the fold bound "
+                          "is DERIVED from (or validated against) its "
+                          "last committed epoch; never trust a manual "
+                          "number")
+    led.add_argument("--upto-epoch", type=int, default=None,
+                     help="fold epochs <= this (default: the "
+                          "checkpoint's last committed epoch; values "
+                          "above it are rejected)")
     led.add_argument("--target-mb", type=int, default=128)
 
     v = sub.add_parser("vacuum", help="merge-table orphan removal")
@@ -65,9 +71,18 @@ def main(argv: list[str] | None = None) -> int:
     report: dict = {"cmd": args.cmd}
 
     if args.cmd == "vacuum":
-        # pure-filesystem maintenance: no SparkSession needed
+        # pure-filesystem maintenance: no SparkSession needed. Require
+        # an EXISTING table — the handle's makedirs would otherwise
+        # fabricate an empty skeleton at a mistyped --root and report
+        # success while the real table's orphans survive (r7 review).
+        import os
+
         from ..operators.transactional import BucketedMergeTable
 
+        if not os.path.isdir(os.path.join(args.root, "commits")):
+            print(f"error: {args.root} is not a merge-table root "
+                  "(no commits/ dir)", file=sys.stderr)
+            return 2
         t = BucketedMergeTable(args.root, args.key, n_buckets=args.n_buckets)
         removed = t.vacuum()
         report.update(root=args.root, removed=len(removed))
@@ -82,13 +97,22 @@ def main(argv: list[str] | None = None) -> int:
                                 shuffle=not args.no_shuffle)
             report.update(path=args.path, out=args.out, files=n)
         else:
+            from ..streaming.coherence import last_committed_epoch
             from ..streaming.neardup import compact_sig_ledger
 
+            upto = args.upto_epoch
+            if upto is None:
+                upto = last_committed_epoch(args.checkpoint)
+                if upto is None:
+                    print("error: checkpoint has no committed epochs — "
+                          "nothing to fold", file=sys.stderr)
+                    return 2
             n = compact_sig_ledger(spark, args.path, args.out,
-                                   upto_epoch=args.upto_epoch,
-                                   target_file_bytes=target)
+                                   upto_epoch=upto,
+                                   target_file_bytes=target,
+                                   checkpoint_dir=args.checkpoint)
             report.update(path=args.path, out=args.out,
-                          upto_epoch=args.upto_epoch, base_files=n)
+                          upto_epoch=upto, base_files=n)
 
     json.dump(report, sys.stdout)
     print()

@@ -84,15 +84,23 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
     exactly that many output files (the shard a row lands in is part
     of the epoch's reproducible layout).
 
-    The hash column is dropped — callers get the input schema back in
-    shuffled order.
+    ``key_col`` must uniquely identify rows (a doc/sample id): ties are
+    broken by the key itself (so two DISTINCT keys colliding to one
+    hash still order deterministically), but rows SHARING a key have no
+    defined relative order — dedup first. The hash column is dropped —
+    callers get the input schema back in shuffled order.
     """
+    if "__eh" in df.columns:
+        raise ValueError(
+            "input column __eh collides with epoch_shuffle's internal "
+            "hash column — rename it first (bloom.py reserved-name rule)"
+        )
     h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
     out = df.withColumn("__eh", h)
     if n_shards is not None:
-        out = out.repartitionByRange(int(n_shards), "__eh")
-        return out.sortWithinPartitions("__eh").drop("__eh")
-    return out.orderBy("__eh").drop("__eh")
+        out = out.repartitionByRange(int(n_shards), "__eh", key_col)
+        return out.sortWithinPartitions("__eh", key_col).drop("__eh")
+    return out.orderBy("__eh", key_col).drop("__eh")
 
 
 def temperature_mixture_sample(
@@ -122,6 +130,12 @@ def temperature_mixture_sample(
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    clash = [c for c in df.columns if c in ("__src", "__keep", "__n", "__t")]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with "
+            "temperature_mixture_sample internals — rename them first"
+        )
     shares = df.groupBy(source_col).agg(F.count("*").alias("__n"))
     total = shares.agg(F.sum("__n").alias("__t"))
     frac = F.least(
@@ -135,8 +149,13 @@ def temperature_mixture_sample(
         .select(F.col(source_col).alias("__src"), frac.alias("__keep"))
     )
     h = content_hash64(F.col(key_col))
+    # NULL-safe source join: groupBy treats NULL as a real stratum, so
+    # the plan HAS a NULL-source row — a plain == join would null-reject
+    # every NULL-source data row and silently sample that stratum at 0%
+    # (the stratified_threshold_sample guard, same file)
     return (
-        df.join(F.broadcast(plan), F.col(source_col) == F.col("__src"))
+        df.join(F.broadcast(plan),
+                F.col(source_col).eqNullSafe(F.col("__src")))
         .filter(h <= (F.col("__keep") * F.lit(float(2 ** 60))).cast("long"))
         .drop("__src", "__keep")
     )

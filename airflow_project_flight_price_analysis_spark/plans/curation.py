@@ -3261,8 +3261,11 @@ def x104_cdc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``cdc_spans``): rank identical spans by first occurrence and
     report duplicated-span mass per source — x38's aggregate contract,
     alignment-free. Spans shorter than CDC_MIN_SPAN_TOKENS are excluded
-    from duplicate RANKING (a single common word between two boundaries
-    is not evidence of copying) but still count toward span mass.
+    ENTIRELY — from both the ranking and the n_spans/dup_ratio
+    denominators (a single common word between two boundaries is not
+    evidence of copying, and counting unrankable spans in the mass
+    would deflate every ratio); the oracle applies the same n_toks
+    floor before its rank.
 
     The cross-doc shuffle carries ``xxhash64(span)`` (fixed 8 bytes),
     never the span string; the oracle ranks by the string itself,

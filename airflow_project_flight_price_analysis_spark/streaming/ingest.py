@@ -53,26 +53,15 @@ def make_ingest_sink(bronze_path: str, ledger_path: str):
 
         sess = batch.sparkSession
         ledger = read_ledger(sess, ledger_path)
-        # Checkpoint/ledger coherence (the neardup.py r7 guard, and the
-        # stakes are HIGHER here): epoch ids are checkpoint-scoped, so a
-        # wiped/relocated checkpoint restarts at epoch 0 — and dynamic
-        # partition overwrite would then CLOBBER the historical epoch-0
-        # bronze and ledger partitions with the new batch: silent loss
-        # of already-ingested history plus future re-ingest of its rows
-        # (their hashes vanish with the ledger partition). Replaying the
-        # current max epoch is legitimate at-least-once delivery, so the
-        # check is strictly `>`.
+        # Checkpoint/ledger coherence (shared guard — see
+        # streaming/coherence.py; the stakes HERE are history loss: a
+        # reset checkpoint restarting at epoch 0 would dynamic-overwrite
+        # the historical epoch-0 bronze and ledger partitions, silently
+        # deleting already-ingested rows AND their dedup hashes).
         if ledger is not None:
-            row = ledger.agg(F.max("epoch_id").alias("m")).collect()[0]
-            if row["m"] is not None and row["m"] > int(epoch_id):
-                raise RuntimeError(
-                    f"ingest ledger holds epoch_id={row['m']} > current "
-                    f"epoch {epoch_id}: the streaming checkpoint was reset "
-                    "or relocated independently of bronze/ledger. "
-                    "Proceeding would overwrite historical epoch "
-                    "partitions — wipe checkpoint AND bronze/ledger "
-                    "together, or restore the original checkpoint."
-                )
+            from .coherence import check_epoch_coherence
+
+            check_epoch_coherence(ledger, int(epoch_id), what="ingest")
         fresh = dedup_against_ledger(batch, ledger)
         fresh = (
             fresh.withColumn("load_timestamp", F.current_timestamp())

@@ -112,32 +112,16 @@ def check_ledger_coherence(ledger: DataFrame, epoch_id: int,
     One aggregate pass over the ledger per epoch (three scalar
     columns); the screen's bucket join reads the same table anyway, so
     the marginal cost is one extra columnar scan of (epoch_id,
-    size(sig)) — and max(epoch_id) prunes to partition metadata."""
-    row = ledger.agg(
-        F.max("epoch_id").alias("max_epoch"),
-        F.sum((F.size("sig") != num_hashes).cast("long")).alias("bad_sigs"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if row["n"] == 0:
-        return
-    if row["max_epoch"] is not None and row["max_epoch"] > epoch_id:
-        raise RuntimeError(
-            f"signature ledger holds epoch_id={row['max_epoch']} > current "
-            f"epoch {epoch_id}: the streaming checkpoint was reset or "
-            "relocated independently of the output/ledger paths. "
-            "Proceeding would disable cross-epoch screening and overwrite "
-            "prior epochs' partitions — wipe checkpoint AND "
-            "clean/flagged/ledger paths together, or restore the original "
-            "checkpoint."
-        )
-    if row["bad_sigs"]:
-        raise RuntimeError(
-            f"{row['bad_sigs']} ledger signatures have length != "
-            f"{num_hashes}: the ledger was written with a different "
-            "num_hashes. Re-sketch the ledger or run with the original "
-            "geometry — mixed geometries silently drop every cross-epoch "
-            "match."
-        )
+    size(sig)) — and max(epoch_id) prunes to partition metadata.
+
+    Thin wrapper over the SHARED guard (streaming/coherence.py — one
+    implementation for every epoch-partitioned sink), adding the
+    signature-geometry pin."""
+    from .coherence import check_epoch_coherence
+
+    check_epoch_coherence(
+        ledger, epoch_id, what="signature", num_hashes=num_hashes
+    )
 
 
 def _est_jaccard(num_hashes: int):
@@ -328,7 +312,8 @@ def start_neardup_stream(docs_stream: DataFrame, clean_path: str,
 
 def compact_sig_ledger(spark: SparkSession, ledger_path: str, out_path: str,
                        upto_epoch: int,
-                       target_file_bytes: int = 128 * 1024 * 1024) -> int:
+                       target_file_bytes: int = 128 * 1024 * 1024,
+                       checkpoint_dir: str | None = None) -> int:
     """Ledger maintenance (r6 verdict item 7): the sink appends one
     epoch partition per micro-batch forever — across months of epochs
     the screen's ledger scan degrades into a many-small-files listing
@@ -346,21 +331,44 @@ def compact_sig_ledger(spark: SparkSession, ledger_path: str, out_path: str,
     a replay can only target the epoch after the last commit, which
     sees base + tail identically. (Replaying an epoch <= upto_epoch
     can't happen under an intact checkpoint; if the checkpoint is
-    gone, check_ledger_coherence already refuses the restart.)
+    gone, check_ledger_coherence already refuses the restart.) Pass
+    ``checkpoint_dir`` to ENFORCE the constraint instead of trusting
+    the caller — the r7 review found the scheduled maintenance path
+    had no validation at all.
 
-    Returns the base-partition file count (sized from on-disk bytes,
-    like compact_parquet)."""
+    Returns the base-partition file count — sized from the BASE
+    epochs' on-disk bytes only (sizing from the whole ledger would
+    over-partition a small base under a large tail, re-creating the
+    small-files problem this exists to fix)."""
     import math
+    import os
 
     from ..operators.compaction import dir_bytes
 
+    if checkpoint_dir is not None:
+        from .coherence import last_committed_epoch
+
+        last = last_committed_epoch(checkpoint_dir)
+        if last is None or upto_epoch > last:
+            raise ValueError(
+                f"upto_epoch={upto_epoch} exceeds the checkpoint's last "
+                f"committed epoch ({last}): folding a replayable epoch "
+                "would change its visible ledger on replay. Pass "
+                f"upto_epoch <= {last if last is not None else 'N/A'}."
+            )
     ledger = read_sig_ledger(spark, ledger_path)
     base = (
         ledger.filter(F.col("epoch_id") <= upto_epoch)
         .withColumn("epoch_id", F.lit(int(upto_epoch)))
     )
     tail = ledger.filter(F.col("epoch_id") > upto_epoch)
-    n = max(1, math.ceil(dir_bytes(ledger_path) / target_file_bytes))
+    base_bytes = sum(
+        dir_bytes(os.path.join(ledger_path, d))
+        for d in os.listdir(ledger_path)
+        if d.startswith("epoch_id=")
+        and int(d.split("=", 1)[1]) <= upto_epoch
+    )
+    n = max(1, math.ceil(base_bytes / target_file_bytes))
     (base.repartition(n).unionByName(tail)
      .write.mode("overwrite").partitionBy("epoch_id").parquet(out_path))
     return n

@@ -127,21 +127,36 @@ if HAVE_AIRFLOW:
         )
         fold_sig_ledger = BashOperator(
             task_id="fold_sig_ledger",
-            # upto-epoch is injected by the scheduler from the stream's
-            # last committed epoch (a checkpoint read) — templated here
+            # the fold bound is DERIVED inside the job from the stream's
+            # checkpoint (last committed epoch) and values beyond it are
+            # rejected — never a hand-maintained Variable (r7 review:
+            # the old var-templated form defaulted to 0, a weekly no-op
+            # rewrite, and accepted unsafe values)
             bash_command=_maint_cmd(
                 f"ledger --path {WAREHOUSE}/sig_ledger "
                 f"--out {WAREHOUSE}/sig_ledger.compact "
-                "--upto-epoch {{ var.value.get('fpa_ledger_upto', 0) }}"
+                f"--checkpoint {WAREHOUSE}/sig_ledger_checkpoint"
             ),
         )
+
+        def _swap(src: str) -> str:
+            # rerun-safe and week-N-safe: drop last week's .old first
+            # (plain `mv X X.old` NESTS into an existing .old and fails
+            # outright by week 3), keep exactly one rollback generation,
+            # and the X -> X.old -> X.compact chain leaves at most a
+            # rename-wide window without X (object stores flip a
+            # manifest/pointer instead)
+            return (
+                f"rm -rf {src}.old && "
+                f"mv {src} {src}.old && "
+                f"mv {src}.compact {src}"
+            )
+
         swap_compacted = BashOperator(
             task_id="swap_compacted",
             bash_command=(
-                f"mv {WAREHOUSE}/bronze_flights {WAREHOUSE}/bronze_flights.old && "
-                f"mv {WAREHOUSE}/bronze_flights.compact {WAREHOUSE}/bronze_flights && "
-                f"mv {WAREHOUSE}/sig_ledger {WAREHOUSE}/sig_ledger.old && "
-                f"mv {WAREHOUSE}/sig_ledger.compact {WAREHOUSE}/sig_ledger"
+                _swap(f"{WAREHOUSE}/bronze_flights") + " && "
+                + _swap(f"{WAREHOUSE}/sig_ledger")
             ),
         )
         [compact_bronze, fold_sig_ledger] >> swap_compacted

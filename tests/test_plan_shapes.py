@@ -363,23 +363,31 @@ def test_q80_correlated_min_is_window_over_single_scan(spark):
 
 def test_q81_part_filter_pushed_below_joins(spark):
     """Q9 discipline: the p_name LIKE filter must sit AT the part scan
-    (PushedFilters / a Filter directly over the part relation), pruning
-    lineitem via the broadcast join BEFORE the orders join — never a
-    post-join residual."""
-    df = _Q["q81_profit_by_nation_year"](spark, SF_ORACLE)
-    plan = _plan(df)
-    # the Contains shows up in the part scan's pushed/data filters,
-    # below any join operator in the tree string
-    first_join = min(plan.find("BroadcastHashJoin") % 10**9,
-                     plan.find("SortMergeJoin") % 10**9,
-                     plan.find("ShuffledHashJoin") % 10**9)
-    like_pos = plan.find("red")
-    assert like_pos != -1, plan
-    assert "PushedFilters: [.*p_name.*]" not in plan.split("part.parquet")[0]
-    # part scan carries the Contains filter
-    part_scan = plan[plan.find("part.parquet") - 2000:
-                     plan.find("part.parquet")]
-    assert "red" in part_scan or "Contains" in part_scan, plan
+    (a Contains filter on the line feeding the part relation), BELOW
+    every join in the printed tree — never a post-join residual.
+
+    (r7 review rewrite: the first version asserted a literal regex
+    string was absent — vacuously true — and never used its computed
+    positions.)"""
+    plan = _plan(_Q["q81_profit_by_nation_year"](spark, SF_ORACLE))
+    lines = plan.splitlines()
+    join_lines = [i for i, ln in enumerate(lines)
+                  if "BroadcastHashJoin" in ln or "SortMergeJoin" in ln
+                  or "ShuffledHashJoin" in ln]
+    contains_lines = [i for i, ln in enumerate(lines)
+                      if "Contains(p_name" in ln or "Contains(p_name#"
+                      in ln or ("Filter" in ln and "red" in ln)
+                      or ("part.parquet" in ln and "red" in ln)]
+    assert join_lines, plan
+    assert contains_lines, f"p_name LIKE filter not found\n{plan}"
+    # tree prints parents above children: the filter must sit strictly
+    # BELOW the topmost join (i.e. on a later line), and no residual
+    # Filter with the predicate may sit ABOVE the first join
+    assert min(contains_lines) > min(join_lines), plan
+    residual_above = [i for i in contains_lines
+                      if i < min(join_lines) and "Filter" in lines[i]
+                      and "parquet" not in lines[i]]
+    assert not residual_above, plan
 
 
 def test_q82_single_lineitem_scan(spark):

@@ -651,3 +651,43 @@ def test_ingest_sink_rejects_checkpoint_reset_over_live_ledger(
         sink(read_flights_csv(spark, str(landing / "a.csv")), 0)
     # history intact
     assert spark.read.parquet(bronze).count() == 2
+
+
+def test_ledger_compaction_validates_against_checkpoint(spark, tmp_path):
+    """r7 review: the fold bound must be enforceable against the
+    stream's checkpoint — folding a replayable epoch would change its
+    visible ledger on replay."""
+    import os
+
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.streaming.coherence import (
+        last_committed_epoch,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.neardup import (
+        compact_sig_ledger,
+        make_neardup_sink,
+    )
+
+    clean_p, flagged_p, ledger_p = (str(tmp_path / d)
+                                    for d in ("clean", "flagged", "ledger"))
+    sink = make_neardup_sink(clean_p, flagged_p, ledger_p, threshold=0.5)
+    sink(spark.createDataFrame([_doc(1, _T1)], _DOC_SCHEMA), 0)
+    sink(spark.createDataFrame([_doc(2, _T2)], _DOC_SCHEMA), 1)
+    # fabricate a checkpoint whose last committed epoch is 0
+    ck = tmp_path / "ck" / "commits"
+    ck.mkdir(parents=True)
+    (ck / "0").write_text("{}")
+    assert last_committed_epoch(str(tmp_path / "ck")) == 0
+    assert last_committed_epoch(str(tmp_path / "nope")) is None
+    with pytest.raises(ValueError, match="replayable"):
+        compact_sig_ledger(spark, ledger_p, str(tmp_path / "out"),
+                           upto_epoch=1, checkpoint_dir=str(tmp_path / "ck"))
+    # within the committed bound: succeeds, and the base is sized from
+    # the base epochs only (tiny → exactly 1 file)
+    n = compact_sig_ledger(spark, ledger_p, str(tmp_path / "out"),
+                           upto_epoch=0,
+                           checkpoint_dir=str(tmp_path / "ck"))
+    assert n == 1
+    led = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.epoch_id for r in led.select("epoch_id").collect()} == {0, 1}
