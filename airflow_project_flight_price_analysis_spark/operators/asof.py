@@ -49,6 +49,16 @@ def asof_join(
     """
     if "__rts" in value_cols:
         raise ValueError("value column name '__rts' is reserved")
+    # reserved-name guard (the bloom.py rule, r7 review): a left side
+    # already carrying one of the internals would be silently
+    # overwritten-then-dropped (or die in a confusing union error)
+    clash = [c for c in left.columns
+             if c in ("__ts", "__side", "__r", "__last", "__tb")]
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with asof_join internals — "
+            "rename them first"
+        )
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
     )

@@ -446,7 +446,18 @@ def prefix_filter_postings(grams: DataFrame, prefix_len,
         F.explode("grams").alias("g"),
     )
     gfreq = postings.groupBy("g").agg(F.count("*").alias("gf"))
-    with_freq = postings.join(F.broadcast(gfreq), "g")
+    # SIZE-GATED broadcast (r7 review + the x16 conf-gate pattern):
+    # gfreq has one row per DISTINCT shingle — billions at corpus
+    # scale, where a forced hint would OOM the driver; but dropping
+    # the hint entirely makes small corpora pay the postings side's
+    # map-shuffle write before AQE broadcast-converts (measured +0.7 s
+    # on x60 at sf0.1). Default ON for the test/bench scales; corpus
+    # deployments flip ``spark.graft.prefix.broadcastGramFreq`` to
+    # false and get the shuffle join AQE would have to pick anyway.
+    bc = grams.sparkSession.conf.get(
+        "spark.graft.prefix.broadcastGramFreq", "true"
+    ) == "true"
+    with_freq = postings.join(F.broadcast(gfreq) if bc else gfreq, "g")
     prefix = (
         with_freq
         .withColumn(

@@ -173,6 +173,15 @@ def _parse_wav(payload: bytes) -> tuple[int, int, float, int, int]:
     while pos + 8 <= len(payload):
         cid, clen = payload[pos:pos + 4], st.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8: pos + 8 + clen]
+        if len(body) < clen:
+            # a declared length past the payload end = truncated file;
+            # computing stats over partial samples is exactly the
+            # silent-poisoning this parser's contract rejects (r7
+            # review — the BMP parser already had the twin check)
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {clen} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
             fmt = st.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":

@@ -24,10 +24,17 @@ def content_hash64(key: Column) -> Column:
     """Uniform-ish 60-bit non-negative hash of a key column via md5
     (15 hex chars = 60 bits; skew.py scales against 2^60 accordingly) —
     reproducible across engines and runs (unlike ``rand(seed)``, whose
-    row assignment depends on partition layout)."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    row assignment depends on partition layout).
+
+    NULL keys hash via the sentinel (the row_hash_expr discipline,
+    functions/cleaning.py) instead of propagating NULL: a NULL hash
+    makes every ``h <= threshold`` keep-filter evaluate to NULL, so
+    NULL-key rows would silently sample at 0% while still counting
+    toward their stratum's share (r7 review)."""
+    from ..functions.cleaning import NULL_SENTINEL
+
+    safe = F.coalesce(key.cast("string"), F.lit(NULL_SENTINEL))
+    return F.conv(F.substring(F.md5(safe), 1, 15), 16, 10).cast("long")
 
 
 def stratified_threshold_sample(
@@ -80,26 +87,51 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
     Scale shape: one range-partitioned sort — Spark samples the hash
     distribution to build balanced range bounds, so the output is both
     globally ordered and evenly sharded; no single-partition funnel.
-    With ``n_shards`` the result is also repartitioned-by-range into
-    exactly that many output files (the shard a row lands in is part
-    of the epoch's reproducible layout).
+
+    With ``n_shards`` the output instead carries an ``epoch_shard``
+    column — the shard id as a FIXED-WIDTH band of the hash space
+    (``(h + 2^63) // (2^64 / n)``), balanced by xxhash64 uniformity —
+    and is clustered+sorted by (shard, hash, key). The shard a row
+    lands in is then a pure function of (key, seed, n_shards): write
+    with ``.partitionBy("epoch_shard")`` for a bit-reproducible
+    shard→file mapping. (r7 review: the first version used
+    ``repartitionByRange`` for the shards, whose range bounds come
+    from SAMPLING with an RDD-id-derived seed — per-run and
+    per-input-layout dependent, contradicting the reproducibility
+    contract. The in-memory partition split remains an execution
+    detail; the ``epoch_shard`` VALUE is the contract.)
 
     ``key_col`` must uniquely identify rows (a doc/sample id): ties are
     broken by the key itself (so two DISTINCT keys colliding to one
     hash still order deterministically), but rows SHARING a key have no
     defined relative order — dedup first. The hash column is dropped —
-    callers get the input schema back in shuffled order.
+    callers get the input schema back (plus ``epoch_shard`` in the
+    sharded form) in shuffled order.
     """
-    if "__eh" in df.columns:
+    reserved = ("__eh", "epoch_shard") if n_shards is not None else ("__eh",)
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
         raise ValueError(
-            "input column __eh collides with epoch_shuffle's internal "
-            "hash column — rename it first (bloom.py reserved-name rule)"
+            f"input columns {clash} collide with epoch_shuffle's "
+            "internals — rename them first (bloom.py reserved-name rule)"
         )
     h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
     out = df.withColumn("__eh", h)
     if n_shards is not None:
-        out = out.repartitionByRange(int(n_shards), "__eh", key_col)
-        return out.sortWithinPartitions("__eh", key_col).drop("__eh")
+        width = 2 ** 64 // int(n_shards) + (2 ** 64 % int(n_shards) > 0)
+        # 2^63 and the band width exceed a JVM long — carry both as
+        # decimal literals (py4j lit() rejects ints past 2^63-1)
+        half = F.lit(str(2 ** 63)).cast("decimal(38,0)")
+        shard = (
+            (F.col("__eh").cast("decimal(38,0)") + half)
+            / F.lit(str(width)).cast("decimal(38,0)")
+        ).cast("int")
+        out = out.withColumn("epoch_shard", shard)
+        return (
+            out.repartition(int(n_shards), "epoch_shard")
+            .sortWithinPartitions("epoch_shard", "__eh", key_col)
+            .drop("__eh")
+        )
     return out.orderBy("__eh", key_col).drop("__eh")
 
 

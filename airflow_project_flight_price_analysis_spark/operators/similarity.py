@@ -219,11 +219,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     k-means|| pass would slot in here unchanged). Seed selection is
     ``orderBy(id).limit(n)`` — NOT ``filter(id < n)``, which assumes
     dense 0-based ids and silently yields zero centroids (and an empty
-    result) for 1-based or hash-surrogate ids. The probe join's key is
-    centroid_id — the pair space is corpus/K per probe, not the full
-    corpus.
+    result) for 1-based or hash-surrogate ids. Zero-norm vectors are
+    excluded from SEEDS too (r7 review): a zero-norm centroid makes
+    every assignment csim 0/0 = NaN, which sorts FIRST under desc and
+    collapses the whole index into that one bucket — turning the
+    per-probe corpus/K cost guarantee into a full scan. The probe
+    join's key is centroid_id — the pair space is corpus/K per probe,
+    not the full corpus.
     """
-    centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
+    centroids = (
+        corpus.filter(norm_expr(vec_col) > 0)
+        .orderBy(F.col(id_col)).limit(n_centroids)
+    )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     cq = centroids.select(

@@ -57,8 +57,12 @@ def salted_equi_join(
         )
         return joined.drop("__salt")
 
+    # distinct FIRST: a duplicated value in hot_keys (e.g. two unioned
+    # heavy-hitter passes) would multiply every flagged probe AND build
+    # row through the left joins, breaking the result-identical-to-
+    # plain-join contract (r7 review)
     hot = F.broadcast(
-        hot_keys.toDF("__hot_key").withColumn("__is_hot", F.lit(1))
+        hot_keys.toDF("__hot_key").distinct().withColumn("__is_hot", F.lit(1))
     )
     p_flagged = probe.join(
         hot, probe[probe_key] == hot["__hot_key"], "left"

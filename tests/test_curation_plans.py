@@ -267,8 +267,11 @@ def test_x59_single_events_scan_window_per_user(spark):
 
 def test_x60_prefix_postings_not_allpairs(spark):
     """Candidates must come from the prefix-posting equi-join — no
-    cartesian pair space; the gram-frequency order table rides as a
-    broadcast; the prefix rank window partitions by doc id."""
+    cartesian pair space; the prefix rank window partitions by doc id.
+    The gram-frequency broadcast is CONF-GATED (r7 review: |distinct
+    shingles| rows would OOM the driver at corpus scale): default-on
+    for test scales, and flipping spark.graft.prefix.broadcastGramFreq
+    must remove every BroadcastHashJoin from the g-keyed join path."""
     # earlier tests may have persisted a document_grams frame with the
     # same subplan; the CacheManager would substitute InMemoryTableScan
     # and change this plan's string — pin the UNCACHED shape
@@ -276,9 +279,27 @@ def test_x60_prefix_postings_not_allpairs(spark):
     plan = _plan(_Q["x60_prefix_filtered_jaccard"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # default: gate on, hint applied
     assert "hashpartitioning(id" in plan, plan
     assert "EvalPython" not in plan
+    # corpus mode: with the gate off AND cost-based auto-broadcast
+    # disabled (mimicking a too-big-to-broadcast size estimate), no
+    # FORCED hint may remain on the g-keyed join — the plan must be
+    # free to shuffle-join gfreq (auto-broadcast from small size stats
+    # stays legitimate, which is why the threshold must be pulled to
+    # isolate the hint)
+    try:
+        spark.conf.set("spark.graft.prefix.broadcastGramFreq", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.catalog.clearCache()
+        plan2 = _plan(_Q["x60_prefix_filtered_jaccard"](spark, SF_SMALL))
+        g_bhj = [ln for ln in plan2.splitlines()
+                 if "BroadcastHashJoin" in ln and "[g#" in ln]
+        assert not g_bhj, plan2
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2, plan2
+    finally:
+        spark.conf.unset("spark.graft.prefix.broadcastGramFreq")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_x61_replication_is_mapside_explode(spark):

@@ -283,12 +283,28 @@ def test_epoch_shuffle_reproducible_and_partition_invariant(spark):
     assert sorted(o1) == list(range(500))  # a permutation
     o3 = [r.k for r in epoch_shuffle(df, "k", seed=8).collect()]
     assert o3 != o1                      # epochs differ
-    # sharded form: same global order when shards are concatenated in
-    # range order, and shard sizes are balanced (range partitioner)
+    # sharded form: epoch_shard is a pure function of (key, seed, n) —
+    # identical across runs AND input partitionings — shards are
+    # reasonably balanced, and shard-major + in-shard order recovers
+    # the global hash order
+    from pyspark.sql import functions as F
+
     sharded = epoch_shuffle(df, "k", seed=7, n_shards=4)
-    sizes = [len(p) for p in sharded.rdd.glom().collect()]
+    assign1 = {r.k: r.epoch_shard for r in sharded.collect()}
+    assign2 = {r.k: r.epoch_shard
+               for r in epoch_shuffle(df.repartition(17), "k", seed=7,
+                                      n_shards=4).collect()}
+    assert assign1 == assign2            # deterministic shard mapping
+    sizes = [r.n for r in sharded.groupBy("epoch_shard")
+             .agg(F.count("*").alias("n")).collect()]
     assert len(sizes) == 4 and min(sizes) > 50
-    assert [r.k for r in sharded.collect()] == o1
+    # shards are CONTIGUOUS hash bands: walking the global shuffle
+    # order must visit shard 0's rows first, then shard 1's, ... — the
+    # shard sequence along o1 is non-decreasing, so shard-major
+    # concatenation recovers the global training order
+    seq = [assign1[k] for k in o1]
+    assert seq == sorted(seq)
+    assert sorted(assign1) == sorted(o1)  # every row sharded
 
 
 def test_temperature_mixture_flattens_small_sources(spark):
