@@ -14,41 +14,52 @@ from pyspark.sql import functions as F
 NULL_SENTINEL = "␀"  # ␀ — distinguishes NULL from empty string in hashes
 
 #: Version of the ``row_hash_expr`` encoding. v1 was plain
-#: ``concat_ws('|', ...)``; v2 added the injective length prefix, which
-#: CHANGES EVERY HASH VALUE — a ledger/exact-dedup artifact persisted by
-#: a v1 build stops matching, and the next incremental run re-ingests
-#: the whole history as "new" exactly once (ADVICE r7). Deployments
+#: ``concat_ws('|', ...)``; v2 added the injective length prefix; v3
+#: tags NULL outside the value alphabet (``n`` vs ``v<len>:<value>`` —
+#: v2 encoded NULL as the literal sentinel character, so a real value
+#: equal to the sentinel hashed identically to NULL and the dedup
+#: consumers would silently merge the two rows). Every version bump
+#: CHANGES EVERY HASH VALUE — a ledger/exact-dedup artifact persisted
+#: by an older build stops matching, and the next incremental run
+#: re-ingests the whole history as "new" exactly once. Deployments
 #: upgrading over existing state must either rebuild the ledger once or
 #: stamp ledger rows with this constant (a ``hash_version`` column) and
 #: re-hash the old cohort; ``streaming/ingest.py`` and
 #: ``operators/star.py::dedup_against_ledger`` consume these hashes.
-ROW_HASH_VERSION = 2
+ROW_HASH_VERSION = 3
 
 
 def row_hash_expr(cols: list[Column | str], algo: str = "md5") -> Column:
     """Deterministic content hash of a row (reference: MD5 over the
     stringified value tuple, row-at-a-time — ``dags/tasks/ingestion.py:69``).
 
-    Vectorized: ``md5(concat_ws('|', len:value...))``. Each part is
-    LENGTH-PREFIXED before joining — plain ``concat_ws('|')`` is
-    separator-injectable (('x|y','z') and ('x','y|z') both concatenate
-    to 'x|y|z' and would silently collide, deleting distinct rows in
-    every dedup consumer); with the ``len:`` prefix the encoding is
-    injective. ``sha2-256`` recommended at 100 TB scale (X1) where
-    md5-collision odds over ~10^12 rows start to matter for
-    exact-dedup counts.
+    Vectorized: ``md5(concat_ws('|', part...))`` where a part is
+    ``v<len>:<value>`` for non-null values and the bare tag ``n`` for
+    NULL. Two injectivity hazards are closed by construction:
 
-    FORMAT BREAK: the length prefix is encoding v2 — see
-    ``ROW_HASH_VERSION`` for the upgrade-over-persisted-ledger
-    implications.
+    - separator injection: plain ``concat_ws('|')`` lets ('x|y','z')
+      and ('x','y|z') collide; the length prefix disambiguates;
+    - NULL/sentinel ambiguity (v3, r7 review): v2 encoded NULL as a
+      literal sentinel CHARACTER, so a genuine value equal to the
+      sentinel hashed identically to NULL and dedup consumers silently
+      merged the rows. The ``n``/``v`` tag lives outside the value
+      alphabet — no value can imitate NULL.
+
+    ``sha2-256`` recommended at 100 TB scale (X1) where md5-collision
+    odds over ~10^12 rows start to matter for exact-dedup counts.
+
+    FORMAT BREAK: see ``ROW_HASH_VERSION`` for the
+    upgrade-over-persisted-ledger implications.
     """
-    raw = [
-        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),
-                   F.lit(NULL_SENTINEL))
+    strs = [
+        (F.col(c).cast("string") if isinstance(c, str) else c.cast("string"))
         for c in cols
     ]
     parts = [
-        F.concat(F.length(p).cast("string"), F.lit(":"), p) for p in raw
+        F.when(p.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(p).cast("string"), F.lit(":"), p)
+        )
+        for p in strs
     ]
     joined = F.concat_ws("|", *parts)
     if algo == "md5":

@@ -13,8 +13,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
-# BPE-ish word/punct splitter: words, numbers, or single punctuation marks
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# BPE-ish word/punct splitter: words, numbers, or single punctuation
+# marks. Unicode classes (r7 review): the ASCII form counted every
+# non-Latin LETTER as punctuation, so e.g. a Chinese doc tokenized to
+# one mark per character and its quality score collapsed.
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
 
 ENGLISH_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -48,16 +51,15 @@ def token_count_expr(col: Column | str) -> Column:
 
 def bpe_token_count_expr(col: Column | str) -> Column:
     """BPE-ish token count: words + numbers + individual punctuation.
-    A cheap, deterministic proxy for LLM tokenizer counts."""
+    A cheap, deterministic proxy for LLM tokenizer counts.
+
+    Counts regex MATCHES directly (r7 review): the earlier
+    mark-split-filter form kept a whitespace-only residue segment for
+    any text ending in whitespace (filter tested ``!= ''`` only), so
+    'hello world \\n' counted 3 — regexp_extract_all is exact and is
+    what the DuckDB oracle always computed."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(
-                F.regexp_replace(c, f"({BPE_TOKEN_RE})", "$1\x1f"), "\x1f"
-            ),
-            lambda x: x != "",
-        )
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
 def quality_metrics(col: Column | str) -> dict[str, Column]:
@@ -68,7 +70,12 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
     toks = tokens_expr(c)
     n_chars = F.length(c)
     n_tokens = F.size(toks)
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    # unicode-aware (r7 review): the ASCII class counted every
+    # non-Latin letter (and every accented char) as punctuation, so the
+    # quality gate silently dropped fluent non-English text
+    n_punct = n_chars - F.length(
+        F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    )
     n_stop = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS))
     )
@@ -76,7 +83,10 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "mean_token_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        # EXACT mean token length (r7 review): the old
+        # (n_chars - (n_tokens - 1)) form assumed exactly one separator
+        # between tokens and no outer whitespace — '  hi  ' scored 6.0
+        "mean_token_len": F.length(F.array_join(toks, "")) / safe_tokens,
         "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
         "stopword_ratio": n_stop / safe_tokens,
     }
@@ -126,13 +136,21 @@ def lang_id_expr(col: Column | str) -> Column:
 
 def normalize_text_expr(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, strip punctuation,
-    collapse whitespace — one regex pass: any run of non-alphanumerics
+    collapse whitespace — one regex pass: any run of non-word characters
     (punctuation AND whitespace) becomes a single space, which equals the
-    two-pass strip-then-collapse form on every input (both yield the
-    [a-z0-9]+ tokens joined by single spaces; verified 0 differing rows
-    over sf0.1, 2.3× faster)."""
+    two-pass strip-then-collapse form on every input (verified 0
+    differing rows over sf0.1, 2.3× faster).
+
+    UNICODE word classes (r7 review): the ASCII-only form normalized
+    every non-Latin document to the empty string, giving the whole
+    non-Latin corpus ONE shared fingerprint — the exact-dedup stage
+    would then collapse it to a single surviving document. ``\p{L}``/
+    ``\p{N}`` keep fingerprints meaningful for any script (identical
+    output on pure-ASCII text)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.trim(
+        F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " ")
+    )
 
 
 def fingerprint_expr(col: Column | str) -> Column:

@@ -772,7 +772,7 @@ ORACLE["x47_split_leakage"] = r"""
     WITH labeled AS (
         SELECT doc_id, lang,
                CASE WHEN substring(md5(trim(regexp_replace(regexp_replace(
-                           lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                           lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
                            '\s+', ' ', 'g'))), 1, 1) < 'c'
                     THEN 'train' ELSE 'test' END AS split,
                string_split_regex(trim(lower(text)), '\s+') AS l,

@@ -357,7 +357,7 @@ ORACLE = {
         WITH t AS (
             SELECT doc_id,
                    length(text) AS n_chars,
-                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_punct,
                    CASE WHEN trim(text) = '' THEN []
                         ELSE string_split_regex(trim(text), '\s+') END AS toks
             FROM documents
@@ -373,7 +373,7 @@ ORACLE = {
     "x04_fingerprints": r"""
         SELECT doc_id,
                md5(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+                   '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         FROM documents ORDER BY doc_id
     """,
     "x06_cosine_topk": """
@@ -882,7 +882,7 @@ ORACLE.update({
     "x18_bpe_token_count": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+                    '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS n_bpe_tokens
         FROM documents ORDER BY doc_id
     """,
 })
@@ -916,7 +916,7 @@ QUERIES.update({"x19_train_test_split": x19_train_test_split})
 ORACLE.update({
     "x19_train_test_split": r"""
         SELECT CASE WHEN substring(md5(trim(regexp_replace(regexp_replace(
-                        lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))),
+                        lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))),
                     1, 1) < 'c'
                     THEN 'train' ELSE 'test' END AS split,
                lang,
@@ -1096,7 +1096,7 @@ ORACLE.update({
         WITH gated AS (
             SELECT doc_id, lang, text,
                    md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+                       '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
             WHERE CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END >= 5

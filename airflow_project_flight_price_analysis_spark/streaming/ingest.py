@@ -62,6 +62,14 @@ def make_ingest_sink(bronze_path: str, ledger_path: str):
             from .coherence import check_epoch_coherence
 
             check_epoch_coherence(ledger, int(epoch_id), what="ingest")
+            # replay discipline (r7 review — neardup.py has had this
+            # filter from the start): dedup against the PRE-epoch
+            # ledger only. A crash mid-ledger-write can leave a PARTIAL
+            # epoch_id=N partition; replaying N against it would treat
+            # the partially-written hashes as "seen", compute fresh =
+            # a strict subset, and dynamic-overwrite the COMPLETE
+            # bronze partition with that subset — permanent row loss.
+            ledger = ledger.filter(F.col("epoch_id") < int(epoch_id))
         fresh = dedup_against_ledger(batch, ledger)
         fresh = (
             fresh.withColumn("load_timestamp", F.current_timestamp())
@@ -88,7 +96,9 @@ def make_ingest_sink(bronze_path: str, ledger_path: str):
 
 def start_stream_ingest(spark: SparkSession, input_dir: str,
                         bronze_path: str, ledger_path: str,
-                        checkpoint: str) -> StreamingQuery:
+                        checkpoint: str,
+                        max_files_per_trigger: int | None = None,
+                        ) -> StreamingQuery:
     """foreachBatch replay-idempotent sink: ledger anti-join → write
     bronze → write ledger (write order preserved from the reference,
     ``ingestion.py:118-119,127``).
@@ -101,7 +111,7 @@ def start_stream_ingest(spark: SparkSession, input_dir: str,
     than appending a duplicate copy — at-least-once delivery + per-epoch
     idempotent writes = exactly-once bronze contents."""
     return (
-        read_flights_stream(spark, input_dir)
+        read_flights_stream(spark, input_dir, max_files_per_trigger)
         .writeStream
         .foreachBatch(make_ingest_sink(bronze_path, ledger_path))
         .option("checkpointLocation", checkpoint)

@@ -231,6 +231,7 @@ def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
             batch, text_col, id_col, num_hashes, shingle_n
         )
         sigs.persist()
+        flagged_ids = None
         try:
             vs_corpus = screen_against_ledger(
                 sigs, ledger, threshold=threshold,
@@ -247,6 +248,11 @@ def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
                 (-F.col("matched_id")).alias("neg_id"),
                 F.col("reason"),
             )
+            # persist (r7 review): THREE downstream actions consume
+            # flagged_ids (clean write, flagged write, ledger write) —
+            # unpersisted, each would recompute BOTH LSH screens
+            # including the full corpus-ledger bucket join, tripling
+            # the dominant per-epoch cost
             flagged_ids = (
                 vs_corpus.unionByName(in_batch)
                 .groupBy("id")
@@ -257,7 +263,7 @@ def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
                     F.col("b.est_jaccard").alias("est_jaccard"),
                     F.col("b.reason").alias("reason"),
                 )
-            )
+            ).persist()
             if id_col == "id":
                 flagged = batch.join(flagged_ids, "id")
             else:
@@ -290,6 +296,8 @@ def make_neardup_sink(clean_path: str, flagged_path: str, ledger_path: str,
              .parquet(ledger_path))
         finally:
             sigs.unpersist()
+            if flagged_ids is not None:
+                flagged_ids.unpersist()
 
     return sink
 

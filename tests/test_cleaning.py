@@ -143,3 +143,21 @@ def test_pii_email_redaction_is_case_insensitive(spark):
         [("Contact John.Doe@Corp.COM today",)], "text string")
     out = df.select(pii_redact_expr("text").alias("t")).collect()[0].t
     assert "Corp.COM" not in out and "<EMAIL>" in out
+
+
+def test_row_hash_null_vs_sentinel_literal(spark):
+    """v3 (r7 review): a genuine value equal to the old NULL sentinel
+    must NOT hash like NULL — the n/v tag lives outside the value
+    alphabet, so no value can imitate NULL."""
+    from airflow_project_flight_price_analysis_spark.functions.cleaning import (
+        NULL_SENTINEL,
+        ROW_HASH_VERSION,
+    )
+
+    assert ROW_HASH_VERSION == 3
+    df = spark.createDataFrame(
+        [(NULL_SENTINEL, "x"), (None, "x")], "a string, b string"
+    )
+    hashes = [r.h for r in
+              df.select(row_hash_expr(["a", "b"]).alias("h")).collect()]
+    assert hashes[0] != hashes[1]

@@ -88,9 +88,9 @@ def test_shingle_count_formula(spark, values, n):
 @given(st.lists(TEXT, min_size=1, max_size=30))
 def test_normalize_equals_two_pass_reference(spark, values):
     """The single-regex normalize must equal the classic two-pass
-    strip-punctuation-then-collapse-whitespace form on ANY input."""
-    import re
-
+    strip-punctuation-then-collapse-whitespace form on ANY input —
+    under the r7 UNICODE contract (alnum = \\p{L}+\\p{N}, which Python
+    models char-wise as str.isalnum())."""
     from airflow_project_flight_price_analysis_spark.functions.text import (
         normalize_text_expr,
     )
@@ -98,7 +98,9 @@ def test_normalize_equals_two_pass_reference(spark, values):
     df = spark.createDataFrame([(v,) for v in values], ["text"])
     got = [r.n for r in df.select(normalize_text_expr("text").alias("n")).collect()]
     for v, g in zip(values, got):
-        two_pass = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", v.lower())).strip()
+        two_pass = " ".join(
+            "".join(ch if ch.isalnum() else " " for ch in v.lower()).split()
+        )
         assert g == two_pass, (v, g, two_pass)
 
 

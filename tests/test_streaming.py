@@ -691,3 +691,42 @@ def test_ledger_compaction_validates_against_checkpoint(spark, tmp_path):
     assert n == 1
     led = spark.read.parquet(str(tmp_path / "out"))
     assert {r.epoch_id for r in led.select("epoch_id").collect()} == {0, 1}
+
+
+def test_ingest_replay_survives_partial_ledger_write(spark, tmp_path):
+    """r7 review (data-loss class): a crash MID-ledger-write leaves a
+    partial epoch_id=N ledger partition; the replay of N must dedup
+    against the PRE-epoch ledger only — otherwise fresh becomes a
+    strict subset and the dynamic overwrite deletes the missing rows
+    from bronze permanently."""
+    from airflow_project_flight_price_analysis_spark.sources.flights_csv import (
+        read_flights_csv,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.ingest import (
+        make_ingest_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b.csv").write_text(
+        "\n".join([CSV_HEADER, GOOD_ROW, SECOND_ROW]) + "\n")
+    batch = read_flights_csv(spark, str(landing / "b.csv"))
+    bronze, ledger = str(tmp_path / "bronze"), str(tmp_path / "ledger")
+    sink = make_ingest_sink(bronze, ledger)
+    sink(batch, 0)
+    assert spark.read.parquet(bronze).count() == 2
+    # simulate the partial ledger write: drop ONE of epoch 0's ledger
+    # rows (as if the commit lost a task's file), keep the other
+    import glob
+    import os
+
+    rows = (spark.read.parquet(ledger).filter("epoch_id = 0")
+            .drop("epoch_id").limit(1).collect())
+    for f in glob.glob(os.path.join(ledger, "epoch_id=0", "*")):
+        os.unlink(f)
+    (spark.createDataFrame(rows).write.mode("overwrite")
+     .parquet(os.path.join(ledger, "epoch_id=0")))
+    # replay epoch 0: both rows must survive in bronze
+    sink(batch, 0)
+    assert spark.read.parquet(bronze).filter("epoch_id = 0").count() == 2
+    assert spark.read.parquet(ledger).filter("epoch_id = 0").count() == 2
