@@ -24,13 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 7: EMPTY. No registered query's semantics/plan changed this
-    # round (the ADVICE hardening — bloom reserved column names, neardup
-    # coherence guards, row-hash versioning note — alters internals and
-    # failure modes, never results). Every budget slot therefore goes to
-    # tier 2 (the r7 additions: q80-q85 TPC-H shapes, x103/x104) and
-    # tier 3 stalest-first, which surfaces exactly the 39 r3-stale rows
-    # (q02-q05 KPIs, q06-q17 star spine, ...) the r6 verdict flagged.
+    # round 7: exactly ONE semantics change needs a fresh driver row —
+    # x22 now mirrors corpus_pipeline's real ordering (PII redaction
+    # BEFORE fingerprinting, split keyed on the CONTENT fingerprint
+    # instead of md5(doc_id)); its output VALUES change, so its r6
+    # green row no longer certifies it. Every other r7 edit is either
+    # output-identical hardening on this data (decimal-rounding sweep,
+    # unicode text classes, v3 row-hash — all verified identical by the
+    # local gate) or internal (guards, persists, reserved names).
+    # Remaining slots: tier 2 (r7 additions q80-q85, x103-x105) then
+    # tier 3 stalest-first = the 39 r3-stale rows the r6 verdict
+    # flagged — 49 rows total within the ~50 budget.
+    "x22_curation_stats",
 )
 # Tier 2 (automatic, no green row) as of round-6 close: q66 (r5's only
 # red row, fixed via DECIMAL(38,6) aggregation) plus the 13 round-6

@@ -1054,21 +1054,30 @@ def x51_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq")
         )
     )
-    t1 = F.filter("seq", lambda s: s.getField("event_type") == "signup")[0][
-        "ts"
-    ]
+    # F.get (not [0]): ANSI mode throws INVALID_ARRAY_INDEX on an
+    # empty filtered array — any user with an INCOMPLETE funnel would
+    # crash the query instead of yielding the NULL the oracle computes
+    # (r7 review; latent only because the synthetic funnels happen to
+    # be complete for every user)
+    t1 = F.get(
+        F.filter("seq", lambda s: s.getField("event_type") == "signup"), 0
+    )["ts"]
     per_user = per_user.withColumn("t1", t1)
-    t2 = F.filter(
-        "seq",
-        lambda s: (s.getField("event_type") == "click")
-        & (s.getField("ts") > F.col("t1")),
-    )[0]["ts"]
+    t2 = F.get(
+        F.filter(
+            "seq",
+            lambda s: (s.getField("event_type") == "click")
+            & (s.getField("ts") > F.col("t1")),
+        ), 0,
+    )["ts"]
     per_user = per_user.withColumn("t2", t2)
-    t3 = F.filter(
-        "seq",
-        lambda s: (s.getField("event_type") == "purchase")
-        & (s.getField("ts") > F.col("t2")),
-    )[0]["ts"]
+    t3 = F.get(
+        F.filter(
+            "seq",
+            lambda s: (s.getField("event_type") == "purchase")
+            & (s.getField("ts") > F.col("t2")),
+        ), 0,
+    )["ts"]
     per_user = per_user.withColumn("t3", t3)
     return per_user.agg(
         F.count("*").alias("n_users"),

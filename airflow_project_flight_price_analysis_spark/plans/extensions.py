@@ -1065,19 +1065,31 @@ ORACLE.update({
 
 def x22_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation summary over the exact (SQL-expressible) stages of
-    jobs/corpus_pipeline: token-count gate → fingerprint exact-dedup
-    (min-id survivor) → content-hash split → per-(split, lang) counts.
-    The near-dup stage is sketch-based and therefore lives in the job +
-    its tests, not this oracle."""
+    jobs/corpus_pipeline: token-count gate → PII redaction → fingerprint
+    exact-dedup (min-id survivor) → content-hash split → per-(split,
+    lang) counts. The near-dup stage is sketch-based and therefore
+    lives in the job + its tests, not this oracle. r7 review: the
+    summary now mirrors the pipeline's ACTUAL ordering — redaction
+    BEFORE fingerprinting (so contact-string-only variants collapse)
+    and the split keyed on the CONTENT fingerprint (x19 policy), not
+    on md5(doc_id) which churns on renumbering."""
+    from ..functions.text import pii_redact_expr
+
     docs = scale_out(load_table(spark, sf_dir, "documents"), "doc_id")
     gated = docs.filter(token_count_expr("text") >= 5)
-    with_fp = gated.withColumn("fingerprint", fingerprint_expr("text"))
+    redacted = gated.withColumn("text", pii_redact_expr("text"))
+    with_fp = redacted.withColumn("fingerprint", fingerprint_expr("text"))
     survivors = (
         with_fp.groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(with_fp, ["fingerprint", "doc_id"])
     )
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # CONTENT-hash split (r7 review): the first version hashed doc_id,
+    # which is the exact churn-on-renumbering anti-pattern x19's own
+    # docstring forbids — and diverged from the split corpus_pipeline
+    # actually writes. The fingerprint is already computed upstream;
+    # its first hex digit is the x19 policy.
+    digit = F.substring(F.col("fingerprint"), 1, 1)
     return (
         survivors.withColumn(
             "split",
@@ -1094,20 +1106,31 @@ QUERIES.update({"x22_curation_stats": x22_curation_stats})
 ORACLE.update({
     "x22_curation_stats": r"""
         WITH gated AS (
-            SELECT doc_id, lang, text,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+            SELECT doc_id, lang,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '<PHONE>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                   AS text
             FROM documents
             WHERE CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END >= 5
         ),
+        fp AS (
+            SELECT doc_id, lang,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+            FROM gated
+        ),
         survivors AS (
-            SELECT g.* FROM gated g
+            SELECT g.* FROM fp g
             JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id
-                  FROM gated GROUP BY 1) k
+                  FROM fp GROUP BY 1) k
               ON g.fingerprint = k.fingerprint AND g.doc_id = k.doc_id
         )
-        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        SELECT CASE WHEN substring(fingerprint, 1, 1) < 'c'
                     THEN 'train' ELSE 'test' END AS split,
                lang,
                COUNT(*) AS n_docs

@@ -557,9 +557,13 @@ def q63_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"
     )
+    # DECIMAL accumulation (r7 review, the q66/q83 discipline): the
+    # per-cell sums re-fold the per-(cust, month) partials, a
+    # structurally different double fold than the oracle's raw-row sum
+    # — decimal is exact under ANY fold order
     per_cust_month = orders.groupBy(
         "o_custkey", F.month("o_orderdate").alias("m")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
     dim = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -573,14 +577,16 @@ def q63_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pivoted.select(
         "r_name",
-        *[F.round(F.col(str(m)), 2).alias(f"m{m:02d}") for m in range(1, 13)],
+        *[F.round(F.col(str(m)), 2).cast("double").alias(f"m{m:02d}")
+          for m in range(1, 13)],
     ).orderBy("r_name")
 
 
 QUERIES["q63_pivot_revenue_matrix"] = q63_pivot_revenue_matrix
 
 _PIVOT_CASE_SQL = ",\n           ".join(
-    f"ROUND(SUM(CASE WHEN month(o_orderdate) = {m} THEN o_totalprice END), 2)"
+    f"CAST(ROUND(SUM(CASE WHEN month(o_orderdate) = {m} THEN "
+    f"CAST(o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)"
     f" AS m{m:02d}"
     for m in range(1, 13)
 )
@@ -595,8 +601,6 @@ ORACLE["q63_pivot_revenue_matrix"] = f"""
     ORDER BY r.r_name
 """
 
-
-from ..operators.frontier import PARETO_PRUNE_BUCKETS  # noqa: E402 (q64 doc)
 
 
 def q64_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:

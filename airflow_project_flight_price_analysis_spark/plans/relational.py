@@ -2213,7 +2213,11 @@ def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            # DECIMAL accumulation (r7 review): fold-order-exact, so
+            # both the argmax equality AND the rounded output are
+            # deterministic across engines — not just within one
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(38,6)"))
             .alias("raw_rev")
         )
     )
@@ -2227,7 +2231,7 @@ def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select(
             "s_suppkey", "s_name",
-            F.round("raw_rev", 2).alias("total_revenue"),
+            F.round("raw_rev", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -2238,13 +2242,16 @@ QUERIES.update({"q67_top_supplier": q67_top_supplier})
 ORACLE.update({
     "q67_top_supplier": """
         WITH revenue AS (
-            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS raw_rev
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))) AS raw_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-04-01'
             GROUP BY 1
         )
-        SELECT s.s_suppkey, s.s_name, ROUND(r.raw_rev, 2) AS total_revenue
+        SELECT s.s_suppkey, s.s_name,
+               CAST(ROUND(r.raw_rev, 2) AS DOUBLE) AS total_revenue
         FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
         WHERE r.raw_rev = (SELECT MAX(raw_rev) FROM revenue)
         ORDER BY s.s_suppkey
@@ -2555,10 +2562,16 @@ def q72_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(38,6)"
     )
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev).cast("double").alias("revenue")
+        F.sum(rev).alias("rev_dec")
+    ).select(
+        "l_partkey", "rev_dec", F.col("rev_dec").cast("double").alias("revenue")
     )
+    # total over the EXACT per-part decimals (r7 review): summing the
+    # per-part DOUBLES is fold-order-dependent, and the strict
+    # threshold can then include a boundary part in one engine and not
+    # the other — a row-count mismatch. One decimal sum, one cast.
     totals = per_part.agg(
-        F.sum("revenue").alias("total_rev"),
+        F.sum("rev_dec").cast("double").alias("total_rev"),
         F.count(F.lit(1)).alias("n_parts"),
     )
     return (
@@ -2566,7 +2579,8 @@ def q72_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             2 * F.col("n_parts") * F.col("revenue") > 3 * F.col("total_rev")
         )
-        .select("l_partkey", F.round("revenue", 2).alias("revenue"))
+        .select("l_partkey",
+                F.round("rev_dec", 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_partkey")
     )
 
@@ -2577,15 +2591,17 @@ ORACLE.update({
     "q72_important_parts": """
         WITH per_part AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))) AS rev_dec
             FROM lineitem GROUP BY 1
         ),
-        t AS (SELECT SUM(revenue) AS total_rev, COUNT(*) AS n_parts
+        t AS (SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total_rev,
+                     COUNT(*) AS n_parts
               FROM per_part)
-        SELECT p.l_partkey, ROUND(p.revenue, 2) AS revenue
+        SELECT p.l_partkey,
+               CAST(ROUND(p.rev_dec, 2) AS DOUBLE) AS revenue
         FROM per_part p, t
-        WHERE 2 * t.n_parts * p.revenue > 3 * t.total_rev
+        WHERE 2 * t.n_parts * CAST(p.rev_dec AS DOUBLE) > 3 * t.total_rev
         ORDER BY revenue DESC, l_partkey
     """,
 })

@@ -751,3 +751,46 @@ def test_cdc_regroup_reuses_doc_partitioning(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = cdc_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_x51_funnel_survives_incomplete_funnels(spark, tmp_path):
+    """r7 review: ANSI mode throws on [0] over an empty filtered array,
+    so a single user with an incomplete funnel used to crash the whole
+    query (latent: every synthetic user happens to complete the
+    funnel). Constructed users — complete, click-only, signup-then-
+    nothing, wrong-order — must yield the oracle's NULL semantics."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airflow_project_flight_price_analysis_spark.plans.curation import (
+        QUERIES,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # complete funnel
+        (1, t0, 10, "signup"), (2, t0 + dt.timedelta(minutes=1), 10, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 10, "purchase"),
+        # click only — no signup: must contribute NULLs, not crash
+        (4, t0, 11, "click"),
+        # signup, nothing after
+        (5, t0, 12, "signup"),
+        # purchase BEFORE signup: t3 must stay NULL (ordering enforced)
+        (6, t0, 13, "purchase"), (7, t0 + dt.timedelta(minutes=1), 13, "signup"),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    }), f"{sf}/events.parquet")
+    row = QUERIES["x51_funnel"](spark, sf).collect()[0]
+    assert row.n_users == 4
+    assert row.reached_signup == 3   # users 10, 12, 13
+    assert row.reached_click == 1    # only user 10 clicked after signup
+    assert row.reached_purchase == 1
