@@ -356,7 +356,7 @@ def q21_rollup_fare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # decimal-exact mean (kpi.py::_avg_fare_exact rationale)
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
                 .cast("double") / F.count(F.lit(1)), 2,
             ).alias("avg_price"),
             F.count("*").alias("n"),
@@ -541,7 +541,7 @@ ORACLE = {
     "q21_rollup_fare": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                      / COUNT(*), 2) AS avg_price,
                COUNT(*) AS n
         FROM orders

@@ -14,8 +14,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
 
 def get_spark(
     app_name: str = "flight-price-analysis-spark",
@@ -66,10 +64,18 @@ def scale_out(df, *key_cols: str):
     the same key reuses the exchange.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # JVM-side probe: avoids materializing a Python RDD wrapper (df.rdd
-    # sets up Python serializers); toRdd() is the already-planned internal
-    # RDD, so this reads the partition count off the physical plan.
-    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    # JVM-side probe via sparkPlan() — NOT toRdd()/df.rdd (r7 review):
+    # with AQE on, toRdd() executes AdaptiveSparkPlanExec, which
+    # MATERIALIZES every upstream shuffle stage just to read a
+    # partition count (the classic df.rdd-under-AQE gotcha: the whole
+    # job runs, the result is discarded, and it runs again at the real
+    # action). sparkPlan() is the pre-adaptive physical plan; its
+    # execute() builds the RDD lineage lazily — no job is submitted —
+    # and its partition count (pre-AQE-coalescing) is exactly what
+    # this widening check needs.
+    n_parts = (
+        df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
+    )
     if n_parts >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

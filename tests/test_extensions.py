@@ -426,3 +426,21 @@ def test_bmp_parser_handles_topdown_and_rejects_malformed():
     st.pack_into("<H", bad, 28, 8)  # 8bpp unsupported
     with pytest.raises(ValueError, match="unsupported"):
         _parse_bmp(bytes(bad))
+
+
+def test_scale_out_probe_submits_no_job_under_aqe(spark):
+    """r7 review: the partition-count probe must not execute the
+    upstream plan (the df.rdd-under-AQE gotcha ran every shuffle stage
+    and threw the result away). Building scale_out's decision for an
+    aggregated input must submit ZERO Spark jobs."""
+    from airflow_project_flight_price_analysis_spark.session import scale_out
+
+    df = (spark.range(0, 10000).withColumnRenamed("id", "k")
+          .groupBy((F.col("k") % 100).alias("g"))
+          .agg(F.count("*").alias("n")))  # plan contains an exchange
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = scale_out(df, "g")  # decision + plan build only
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "scale_out probe submitted Spark jobs"
+    assert out.count() == 100  # still computes correctly when asked

@@ -199,3 +199,26 @@ def test_reordered_csv_header_fails_loudly(spark, tmp_path):
                  + ",".join(["x"] * len(cols)) + "\n")
     with pytest.raises(Exception, match="(?i)header|schema"):
         read_flights_csv(spark, str(p)).collect()
+
+
+def test_reconcile_fails_closed_on_inflation_and_phantoms():
+    """r7 review: the gate must fail CLOSED in both directions — row
+    inflation (negative loss) and phantom fact rows over an empty
+    source both fail; the report's loss_ok agrees with its own rounded
+    loss_pct."""
+    from airflow_project_flight_price_analysis_spark.validation import (
+        reconcile,
+    )
+
+    # dim-fanout inflation: MORE fact rows than deduped source
+    r = reconcile(1000, 1000, 1000, 1100)
+    assert r.loss_pct < 0 and not r.loss_ok and not r.passed
+    # phantom fact rows under an empty source
+    r = reconcile(1000, 0, 0, 500)
+    assert not r.passed
+    # legitimate empty no-op run still passes
+    r = reconcile(0, 0, 0, 0)
+    assert r.passed
+    # rounded-value consistency: loss_ok computed on the REPORTED value
+    r = reconcile(10_000_000, 10_000_000, 10_000_000, 9_899_996)
+    assert r.loss_pct == 1.0 and r.loss_ok

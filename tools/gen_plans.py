@@ -153,10 +153,24 @@ the absence of `BatchEvalPython` anywhere in the relational core
 
 
 def main() -> None:
+    # try/finally (r7 review): one failing section used to discard every
+    # already-generated plan AND leak the 8g-driver JVM; now whatever
+    # rendered is written and the session always stops
     spark = get_spark(app_name="gen-plans")
-    queries = all_queries()
     out = io.StringIO()
     out.write(HEADER)
+    try:
+        _render(spark, out)
+    finally:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "PLANS.md"), "w") as f:
+            f.write(out.getvalue())
+        print("wrote PLANS.md:", len(out.getvalue()), "chars")
+        spark.stop()
+
+
+def _render(spark, out: io.StringIO) -> None:
+    queries = all_queries()
     for name, note in SECTIONS:
         df = queries[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(
@@ -172,11 +186,6 @@ def main() -> None:
                 "consumer; run .explain('formatted') for the full text]"
             )
         out.write(f"\n## {name}\n\n{note}\n\n```\n{plan.rstrip()}\n```\n")
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PLANS.md"), "w") as f:
-        f.write(out.getvalue())
-    print("wrote PLANS.md:", len(out.getvalue()), "chars")
-    spark.stop()
 
 
 if __name__ == "__main__":
