@@ -62,10 +62,16 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("vacuum", help="merge-table orphan removal")
     v.add_argument("--root", required=True)
-    v.add_argument("--key", required=True,
-                   help="table key column (manifest layout is key-agnostic "
-                        "but the handle requires it)")
-    v.add_argument("--n-buckets", type=int, default=16)
+    # key/n_buckets are ADOPTED from the table's pinned
+    # table_properties.json — passing them here (and getting them
+    # wrong) was exactly the mis-routing hazard the r7 ADVICE flagged;
+    # legacy pre-properties roots can still supply them explicitly
+    v.add_argument("--key", default=None,
+                   help="only for legacy roots without "
+                        "table_properties.json")
+    v.add_argument("--n-buckets", type=int, default=None,
+                   help="only for legacy roots without "
+                        "table_properties.json")
 
     args = ap.parse_args(argv)
     report: dict = {"cmd": args.cmd}

@@ -76,6 +76,25 @@ def stratified_threshold_sample(
     )
 
 
+def _shard_of(hash_col: Column, n_shards: int) -> Column:
+    """Fixed-width band of the signed-64-bit hash space:
+    ``(h + 2^63) // ceil(2^64 / n)`` — floor semantics, range pinned to
+    ``[0, n-1]`` for every possible long including the endpoints.
+
+    2^63 and the band width exceed a JVM long — carried as decimal
+    literals (py4j ``lit()`` rejects ints past 2^63-1). FLOOR division
+    must be exact BEFORE the cast: decimal/decimal yields decimal(38,6)
+    rounded HALF_UP, so a bare quotient sends hashes within ~5e-7 of a
+    band boundary one shard high and h=2^63-1 to shard == n_shards
+    (r7 ADVICE). Subtracting the remainder first makes the quotient an
+    exact integer — no rounding can occur."""
+    width = 2 ** 64 // int(n_shards) + (2 ** 64 % int(n_shards) > 0)
+    half = F.lit(str(2 ** 63)).cast("decimal(38,0)")
+    width_lit = F.lit(str(width)).cast("decimal(38,0)")
+    num = hash_col.cast("decimal(38,0)") + half
+    return ((num - F.pmod(num, width_lit)) / width_lit).cast("int")
+
+
 def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
                   n_shards: int | None = None) -> DataFrame:
     """Deterministic global training-order shuffle (r7): order rows by
@@ -118,15 +137,7 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
     h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
     out = df.withColumn("__eh", h)
     if n_shards is not None:
-        width = 2 ** 64 // int(n_shards) + (2 ** 64 % int(n_shards) > 0)
-        # 2^63 and the band width exceed a JVM long — carry both as
-        # decimal literals (py4j lit() rejects ints past 2^63-1)
-        half = F.lit(str(2 ** 63)).cast("decimal(38,0)")
-        shard = (
-            (F.col("__eh").cast("decimal(38,0)") + half)
-            / F.lit(str(width)).cast("decimal(38,0)")
-        ).cast("int")
-        out = out.withColumn("epoch_shard", shard)
+        out = out.withColumn("epoch_shard", _shard_of(F.col("__eh"), n_shards))
         return (
             out.repartition(int(n_shards), "epoch_shard")
             .sortWithinPartitions("epoch_shard", "__eh", key_col)

@@ -191,13 +191,71 @@ class BucketedMergeTable:
     class).
     """
 
-    def __init__(self, root: str, key: str, n_buckets: int = 16) -> None:
+    #: bump when the layout/manifest encoding changes incompatibly
+    FORMAT_VERSION = 1
+
+    def __init__(self, root: str, key: str | None = None,
+                 n_buckets: int | None = None) -> None:
         self.root = root
-        self.key = key
-        self.n_buckets = int(n_buckets)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+        # Bucket routing is a pure function of (key, n_buckets) — a
+        # second handle opened with different parameters would read only
+        # SOME of the buckets a merge's keys live in and silently leave
+        # stale duplicates in the rest (r7 ADVICE). Pin the parameters
+        # in a table-properties file on first open and fail loudly on
+        # any mismatch thereafter. Omitting key/n_buckets ADOPTS the
+        # pinned values (the reader/maintenance path — no caller-side
+        # parameter bookkeeping to get wrong).
+        self.key, self.n_buckets = self._pin_properties(
+            key, None if n_buckets is None else int(n_buckets))
+
+    def _pin_properties(self, key: str | None,
+                        n_buckets: int | None) -> tuple[str, int]:
+        import json
+
+        props_path = os.path.join(self.root, "table_properties.json")
+        if not os.path.exists(props_path):
+            if key is None or n_buckets is None:
+                raise ValueError(
+                    f"BucketedMergeTable at {self.root} has no pinned "
+                    "table_properties.json yet — the first open must "
+                    "supply key and n_buckets"
+                )
+            mine = {"key": key, "n_buckets": n_buckets,
+                    "format_version": self.FORMAT_VERSION}
+            # atomic claim via the same tmp+link protocol as commits: two
+            # concurrent first opens race to link; the loser falls through
+            # to validation against whatever the winner pinned
+            tmp = os.path.join(self.root, f".tmp-props-{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(mine, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, props_path)
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(tmp)
+        with open(props_path, encoding="utf-8") as f:
+            pinned = json.load(f)
+        if pinned.get("format_version") != self.FORMAT_VERSION:
+            raise ValueError(
+                f"BucketedMergeTable at {self.root} has format_version "
+                f"{pinned.get('format_version')}; this code reads "
+                f"{self.FORMAT_VERSION}"
+            )
+        if (key is not None and key != pinned["key"]) or (
+                n_buckets is not None and n_buckets != pinned["n_buckets"]):
+            raise ValueError(
+                f"BucketedMergeTable at {self.root} was created with "
+                f"{pinned}; opening it as key={key!r} n_buckets="
+                f"{n_buckets!r} would mis-route buckets — omit the "
+                "parameters to adopt the pinned values"
+            )
+        return pinned["key"], int(pinned["n_buckets"])
 
     # -- bookkeeping (same commit protocol as SnapshotTable) ---------------
 

@@ -62,6 +62,18 @@ def scale_out(df, *key_cols: str):
     100 TB scale inputs already have ≥ parallelism splits and this no-ops.
     Passing key columns hash-partitions so a following groupBy/join on
     the same key reuses the exchange.
+
+    Intended for SCAN-SHAPED inputs (scan → project/filter): the
+    partition probe reads ``sparkPlan()`` — the physical plan BEFORE
+    EnsureRequirements inserts exchanges — so for a plan containing
+    binary nodes (sort-merge join zips two children) RDD construction
+    can throw on unequal child partition counts, and any count it did
+    return would be pre-shuffle. If the probe fails, the plan has
+    binary/exchange structure, which means EnsureRequirements will
+    insert shuffles at execution and parallelism comes from
+    ``spark.sql.shuffle.partitions`` anyway — the under-partitioned-
+    single-file problem this helper exists for cannot apply, so the
+    input is returned unchanged (r7 ADVICE).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     # JVM-side probe via sparkPlan() — NOT toRdd()/df.rdd (r7 review):
@@ -73,9 +85,14 @@ def scale_out(df, *key_cols: str):
     # execute() builds the RDD lineage lazily — no job is submitted —
     # and its partition count (pre-AQE-coalescing) is exactly what
     # this widening check needs.
-    n_parts = (
-        df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
-    )
+    try:
+        n_parts = (
+            df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
+        )
+    except Exception:
+        # binary-node plan (see docstring): exchanges will be inserted
+        # at execution, so the scan-width concern doesn't apply
+        return df
     if n_parts >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

@@ -140,16 +140,23 @@ if HAVE_AIRFLOW:
         )
 
         def _swap(src: str) -> str:
-            # rerun-safe and week-N-safe: drop last week's .old first
-            # (plain `mv X X.old` NESTS into an existing .old and fails
+            # rerun-safe and week-N-safe: the whole swap is guarded on
+            # the staged .compact output existing — a retry after a
+            # partial success (or after the swap already completed) is a
+            # no-op instead of deleting the rollback copy and mv-ing the
+            # LIVE table to .old with nothing to replace it (r7 ADVICE).
+            # Inside the guard: drop last week's .old first (plain
+            # `mv X X.old` NESTS into an existing .old and fails
             # outright by week 3), keep exactly one rollback generation,
             # and the X -> X.old -> X.compact chain leaves at most a
             # rename-wide window without X (object stores flip a
-            # manifest/pointer instead)
+            # manifest/pointer instead).
             return (
+                f"if [ -d {src}.compact ]; then "
                 f"rm -rf {src}.old && "
                 f"mv {src} {src}.old && "
-                f"mv {src}.compact {src}"
+                f"mv {src}.compact {src}; "
+                f"fi"
             )
 
         swap_compacted = BashOperator(

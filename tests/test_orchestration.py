@@ -67,7 +67,8 @@ def test_maintenance_job_cli(spark, tmp_path, capsys):
 
     t = BucketedMergeTable(str(tmp_path / "mt"), "k", n_buckets=4)
     t.merge(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
-    assert main(["vacuum", "--root", str(tmp_path / "mt"),
-                 "--key", "k"]) == 0
+    # no --key/--n-buckets: the CLI adopts the pinned table properties
+    # (passing them wrong was the r7-ADVICE mis-routing hazard)
+    assert main(["vacuum", "--root", str(tmp_path / "mt")]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["cmd"] == "vacuum" and rep["removed"] == 0

@@ -25,6 +25,19 @@ def _shuffle_exchanges(df) -> int:
     )
 
 
+def _drop_managed_table(spark, name: str) -> None:
+    """DROP plus location pre-clean: an interrupted prior run leaves the
+    warehouse directory behind while the (fresh) Derby metastore has no
+    entry, and every saveAsTable then errors with
+    LOCATION_ALREADY_EXISTS (r7 VERDICT). Crash-safe setup removes both."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, tmp_path_factory):
     li = load_table(spark, SF_SMALL, "lineitem").select(
@@ -33,11 +46,13 @@ def bucketed_tables(spark, tmp_path_factory):
     orders = load_table(spark, SF_SMALL, "orders").select(
         "o_orderkey", "o_orderdate"
     )
+    _drop_managed_table(spark, "b_lineitem")
+    _drop_managed_table(spark, "b_orders")
     bucketize(li, "b_lineitem", "l_orderkey", num_buckets=4)
     bucketize(orders, "b_orders", "o_orderkey", num_buckets=4)
     yield "b_lineitem", "b_orders"
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
+    _drop_managed_table(spark, "b_lineitem")
+    _drop_managed_table(spark, "b_orders")
 
 
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):

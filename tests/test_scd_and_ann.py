@@ -339,3 +339,31 @@ def test_temperature_mixture_flattens_small_sources(spark):
     keys30 = {r.k for r in t3.collect()}
     keys15 = {r.k for r in t3_small.collect()}
     assert keys15 <= keys30 and keys15
+
+
+def test_epoch_shard_floor_semantics_at_band_boundaries(spark):
+    """r7 ADVICE: the decimal quotient used to round HALF_UP before the
+    int cast, sending hashes within ~5e-7 of a band boundary one shard
+    high and h = 2^63-1 to shard == n_shards. The exact-floor form pins
+    [0, n-1] at every endpoint and boundary-adjacent value."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        _shard_of,
+    )
+
+    n = 16
+    width = 2 ** 64 // n  # exact: 2^64 divisible by 16
+    lo, hi = -(2 ** 63), 2 ** 63 - 1
+    probes = [lo, hi, -1, 0, 1]
+    expected = {}
+    for b in range(1, n):  # band edges and their neighbours
+        edge = lo + b * width
+        probes += [edge - 1, edge, edge + 1]
+    for h in probes:
+        expected[h] = (h + 2 ** 63) // width
+    df = spark.createDataFrame([(h,) for h in probes], "h long")
+    got = {r.h: r.s for r in
+           df.select("h", _shard_of(F.col("h"), n).alias("s")).collect()}
+    assert got == expected
+    assert all(0 <= s < n for s in got.values())

@@ -301,3 +301,33 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert {r.k for r in t.read(spark, version=1).collect()} == {1}
     assert {r.k for r in t.read(spark, version=2).collect()} == {1, 2}
     shutil.rmtree(t.root)
+
+
+def test_table_properties_pin_and_adopt(spark, tmp_path):
+    """r7 ADVICE: (key, n_buckets) define bucket routing, so they are
+    pinned in table_properties.json on first open; a mismatched reopen
+    fails loudly instead of silently mis-routing, and a parameterless
+    reopen adopts the pinned values."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        BucketedMergeTable,
+    )
+
+    root = str(tmp_path / "bm")
+    t = BucketedMergeTable(root, "k", n_buckets=4)
+    t.merge(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    # mismatched n_buckets → routing would split keys across handles
+    with pytest.raises(ValueError, match="mis-route"):
+        BucketedMergeTable(root, "k", n_buckets=16)
+    # mismatched key → same failure
+    with pytest.raises(ValueError, match="mis-route"):
+        BucketedMergeTable(root, "other", n_buckets=4)
+    # parameterless open adopts the pinned properties
+    t2 = BucketedMergeTable(root)
+    assert (t2.key, t2.n_buckets) == ("k", 4)
+    assert {r.k for r in t2.read(spark).collect()} == {1}
+    # first open of a fresh root must supply the parameters
+    with pytest.raises(ValueError, match="first open"):
+        BucketedMergeTable(str(tmp_path / "fresh"))
