@@ -1,0 +1,66 @@
+"""Order-independent exact aggregation on the cheap long-sum codepath.
+
+The problem (the q66/q83 bug class): AVG/SUM over raw doubles folds in
+partition order, so Spark's partial aggregates and DuckDB's sequential
+fold can differ by an ulp and flip a ROUND at a .xx5 boundary — the
+driver's cross-engine hash gate then reads a correct plan as red. Round
+7 fixed this with a DECIMAL accumulator, which is exact and
+order-independent but leaves Tungsten's long-sum fast path: the
+per-row double→BigDecimal conversion cost 1.8–2.3× on the flagship KPI
+means (r7 VERDICT A/B, reproduced this round: decimal 1.15–1.9× vs
+AVG; this scheme 0.95–1.09× — at the double-AVG floor).
+
+The fix: accumulate in INTEGER micro-units, split across two longs.
+
+    v  = FLOOR(value * 1e6 + 0.5)        -- micro-units, exact long
+    hi = v DIV 1e6  (whole units)        -- SUM(hi) ≤ 1.2e5 · rows
+    lo = v  %  1e6  (fractional part)    -- SUM(lo) <  1e6 · rows
+    mean = (SUM(hi)·1e6 + SUM(lo)) / 1e6 / COUNT(*)
+
+Every per-row op is a codegen'd long/double primitive (no BigDecimal),
+integer sums are order-independent and exact, and the recombination is
+the same IEEE double-op sequence in both engines. The SPLIT is what
+makes it 100 TB-safe: a single micro-unit accumulator overflows int64
+at ~8e7 rows per group (a 3-group seasonality query crosses that around
+sf 20 — silently, since non-ANSI long sums wrap), while the split bounds
+are ~7.7e13 rows/group on the hi word and ~9.2e12 on the lo word —
+15×+ headroom over a 100 TB lineitem landing in ONE group.
+
+Precision: the mean of per-row-half-up-rounded micro-units differs from
+the true mean by < 5e-7, far inside the ROUND(·, 2) grain — and both
+engines evaluate the IDENTICAL expression, which is what the gate pins.
+
+Engine mirroring notes (why the template has one knob):
+- integer division spells ``DIV`` in Spark SQL, ``//`` in DuckDB;
+- Spark's FLOOR(double) already returns BIGINT and DuckDB's returns
+  DOUBLE — the explicit CAST is a no-op in Spark and required in
+  DuckDB (exact: |v| ≤ 1.2e11 ≪ 2^53);
+- ``value * 1e6 + 0.5``: double ops in both engines (0.5 is dyadic, the
+  decimal→double promotion is exact); FLOOR(x + 0.5) is half-up — both
+  engines agree by construction instead of by library rounding law.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _mean_micros_sql(value_sql: str, int_div: str) -> str:
+    v = f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
+    return (
+        f"ROUND((CAST(SUM({v} {int_div} 1000000) AS DOUBLE) * 1e6"
+        f" + CAST(SUM({v} % 1000000) AS DOUBLE)) / 1e6 / COUNT(*), 2)"
+    )
+
+
+def exact_mean(value_sql: str) -> Column:
+    """Spark aggregate Column: order-independent mean of ``value_sql``
+    (a SQL expression over the input columns), rounded to 2 decimals."""
+    return F.expr(_mean_micros_sql(value_sql, "DIV"))
+
+
+def exact_mean_oracle(value_sql: str) -> str:
+    """The DuckDB mirror of :func:`exact_mean` — the IDENTICAL
+    arithmetic, so the driver's value hash pins the whole path."""
+    return _mean_micros_sql(value_sql, "//")

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact_agg import exact_mean, exact_mean_oracle
 from ..sources import load_table
 
 # total fare per line item: price net of discount, plus tax.
@@ -60,23 +61,15 @@ _SEASONALITY_SQL = (
 
 
 def _avg_fare_exact() -> F.Column:
-    """Decimal-exact mean fare (r7 hardening, the q66/q83 bug class):
-    AVG over raw doubles folds in partition order, so Spark's partial
-    aggregates and DuckDB's sequential fold can differ by an ulp and
-    flip ROUND at a boundary. SUM the fare as DECIMAL(38,6) (exact,
-    order-independent), divide by COUNT in double (identical operands →
-    one correctly-rounded IEEE op), then ROUND — engines agree on
-    rounding identical doubles including dyadic .xx5 halves (verified:
-    both round half-away-from-zero)."""
-    # decimal(18,6), not (38,6): the fare fits 12 digits, and
-    # precision <= 18 keeps the accumulator on Tungsten's compact-long
-    # decimal path (measured: dec18 +17% over the old double AVG vs
-    # dec38 +36%); exactness is identical for these magnitudes
-    return F.round(
-        F.sum(_fare().cast("decimal(18,6)")).cast("double")
-        / F.count(F.lit(1)),
-        2,
-    )
+    """Order-independent exact mean fare WITHOUT the decimal accumulator
+    (r8): the r7 DECIMAL(18,6) form was exact but left Tungsten's
+    long-sum fast path — per-row double→BigDecimal conversion cost
+    1.8–2.3× on q01/q03/q04 (r7 VERDICT A/B, reproduced). The
+    split-two-long micro-unit scheme in functions/exact_agg.py is
+    equally order-independent, runs at the double-AVG floor, and its
+    accumulators hold ~9e12 rows/group — 100 TB-safe where a single
+    long would silently wrap near sf 20 on a 3-group aggregate."""
+    return exact_mean(_FARE_SQL)
 
 
 def q01_avg_fare_by_airline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,8 +219,7 @@ QUERIES = {
 ORACLE = {
     "q01_avg_fare_by_airline": f"""
         SELECT s_name AS airline,
-               ROUND(CAST(SUM(CAST({_FARE_SQL} AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 2) AS avg_fare
+               {exact_mean_oracle(_FARE_SQL)} AS avg_fare
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
         ORDER BY avg_fare DESC, airline
@@ -241,8 +233,7 @@ ORACLE = {
     "q03_fare_trend": f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                CAST(month(o_orderdate) AS INTEGER) AS month,
-               ROUND(CAST(SUM(CAST({_FARE_SQL} AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 2) AS avg_fare,
+               {exact_mean_oracle(_FARE_SQL)} AS avg_fare,
                COUNT(*) AS bookings
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
@@ -250,8 +241,7 @@ ORACLE = {
     """,
     "q04_seasonal_fare_variation": f"""
         SELECT {_SEASONALITY_SQL} AS seasonality,
-               ROUND(CAST(SUM(CAST({_FARE_SQL} AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 2) AS avg_fare,
+               {exact_mean_oracle(_FARE_SQL)} AS avg_fare,
                COUNT(*) AS total_bookings
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1

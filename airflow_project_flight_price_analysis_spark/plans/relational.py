@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.cleaning import parse_stopovers_expr, row_hash_expr
+from ..functions.exact_agg import exact_mean, exact_mean_oracle
 from ..session import scale_out
 from ..sources import load_table
 
@@ -354,11 +355,9 @@ def q21_rollup_fare(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.year("o_orderdate").alias("year"), F.quarter("o_orderdate").alias("quarter"), "o_totalprice")
         .rollup("year", "quarter")
         .agg(
-            # decimal-exact mean (kpi.py::_avg_fare_exact rationale)
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-                .cast("double") / F.count(F.lit(1)), 2,
-            ).alias("avg_price"),
+            # order-independent exact mean on the long-sum fast path
+            # (functions/exact_agg.py; kpi.py::_avg_fare_exact rationale)
+            exact_mean("o_totalprice").alias("avg_price"),
             F.count("*").alias("n"),
         )
         .orderBy(F.asc_nulls_first("year"), F.asc_nulls_first("quarter"))
@@ -538,11 +537,10 @@ ORACLE = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         FROM orders GROUP BY 1 ORDER BY 1
     """,
-    "q21_rollup_fare": """
+    "q21_rollup_fare": f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 2) AS avg_price,
+               {exact_mean_oracle("o_totalprice")} AS avg_price,
                COUNT(*) AS n
         FROM orders
         GROUP BY ROLLUP(year, quarter)
@@ -3130,12 +3128,18 @@ def q80_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # region- and part-restricted bridge: every observed
     # (part, supplier, price) sale; the window min is duplicate-
     # insensitive, so dedup waits until after the min filter
+    # the filtered part and EUROPE-supplier sets are sf-PROPORTIONAL
+    # (a fixed fraction of their tables, not fixed-size dims like
+    # nation/region above) — no explicit broadcast hint: AQE picks BHJ
+    # while the filtered side fits the threshold and falls back to a
+    # shuffled join at cluster scale instead of forcing a multi-GB
+    # broadcast (the kpi.py customer discipline; r7 verdict item 5)
     bridge = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey",
                 F.col("l_extendedprice").alias("price"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
                 "price")
     )
@@ -3282,9 +3286,13 @@ def q82_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
+    # `heavy` is ~1.5% of orders BY CONSTRUCTION of the qty threshold —
+    # sf-proportional, hundreds of millions of rows at 100 TB — so no
+    # explicit broadcast hint: AQE broadcasts it only while its runtime
+    # size fits the threshold (r7 verdict item 5; the kpi.py customer
+    # discipline)
     return (
-        orders.join(F.broadcast(heavy),
-                    F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.join(heavy, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd")
@@ -3501,5 +3509,77 @@ ORACLE.update({
           AND l.l_shipdate < DATE '1998-01-01'
         GROUP BY 1
         ORDER BY 1
+    """,
+})
+
+
+def q86_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``BucketedMergeTable.merge`` (r7 verdict missing
+    #1) — the q70 sink-roundtrip pattern applied to the bucket-granular
+    copy-on-write MERGE: seed the table with the supplier dim, MERGE a
+    source that UPDATES a matched slice (suppkey % 10 == 3 gets a
+    +1000.00 balance adjustment) and INSERTS unmatched keys (shadow
+    suppliers at suppkey + 1000000 for suppkey % 10 == 7), then read the
+    committed table BACK through the manifest and return its rows. The
+    DuckDB oracle computes the expected post-merge state directly from
+    the source table — a merge that dropped a bucket, double-applied an
+    update, missed an insert, or resurrected a pre-merge row shows up as
+    a value mismatch. Balances travel as CENTS (exact integers — both
+    engines round identical doubles half-away-from-zero) so the compare
+    is bit-exact.
+
+    Scale posture is the operator's: only buckets containing source
+    keys rewrite; everything else carries by reference in the manifest.
+    The table root lives under the repo's gitignored ``.sink_roundtrip``
+    and is wiped per run, so gate/bench reruns are idempotent and
+    version history never accumulates across runs.
+    """
+    import os
+    import re
+    import shutil
+
+    from ..operators.transactional import BucketedMergeTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint")
+        .alias("acctbal_cents"),
+    )
+    sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_",
+                    os.path.basename(sf_dir.rstrip("/")))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".sink_roundtrip", f"merge_table_{sf_tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = BucketedMergeTable(root, "s_suppkey", n_buckets=8)
+    t.merge(spark, sup)                                   # v1: seed
+    updates = sup.filter(F.col("s_suppkey") % 10 == 3).withColumn(
+        "acctbal_cents", F.col("acctbal_cents") + F.lit(100000)
+    )
+    inserts = sup.filter(F.col("s_suppkey") % 10 == 7).select(
+        (F.col("s_suppkey") + F.lit(1000000)).alias("s_suppkey"),
+        "s_nationkey", "acctbal_cents",
+    )
+    t.merge(spark, updates.unionByName(inserts))          # v2: MERGE
+    return t.read(spark).orderBy("s_suppkey")
+
+
+QUERIES.update({"q86_merge_roundtrip": q86_merge_roundtrip})
+
+ORACLE.update({
+    "q86_merge_roundtrip": """
+        SELECT s_suppkey, s_nationkey,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT)
+                 + CASE WHEN s_suppkey % 10 = 3 THEN 100000 ELSE 0 END
+                   AS acctbal_cents
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM supplier
+        WHERE s_suppkey % 10 = 7
+        ORDER BY s_suppkey
     """,
 })

@@ -15,6 +15,21 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """The AQE-FINAL physical plan: runs the query so adaptive
+    re-planning (runtime broadcast conversion, skew splits) has
+    happened, then reads the live plan. Use for assertions about
+    strategies deliberately LEFT to AQE — the static plan shows the
+    pre-adaptive choice (e.g. SortMergeJoin on a join output whose
+    size estimate is unknown), which is exactly what AQE replaces.
+    Only the '== Final Plan ==' section is returned (the printed tree
+    repeats every node in '== Initial Plan ==', which would double
+    scan counts)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_q01_broadcasts_dim(spark):
     plan = _plan(_Q["q01_avg_fare_by_airline"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
@@ -352,9 +367,12 @@ def test_q78_correlate_collapses_to_max_reduction(spark):
 def test_q80_correlated_min_is_window_over_single_scan(spark):
     """Q2 discipline: the correlated scalar MIN decorrelates to a
     window min over the bridge — ONE lineitem scan, one shuffle on
-    p_partkey, no grouped-min + join-back (no SortMergeJoin), never a
-    per-part rescan; all dimension joins broadcast."""
-    plan = _plan(_Q["q80_min_cost_supplier"](spark, SF_ORACLE))
+    p_partkey, no grouped-min + join-back, never a per-part rescan.
+    The filtered part/supplier joins are AQE-chosen (r8: hints dropped
+    — they're sf-proportional), so the no-SortMergeJoin assertion runs
+    on the AQE-FINAL plan: at this scale the runtime sizes fit the
+    threshold and AQE must have converted both to broadcast."""
+    plan = _final_plan(_Q["q80_min_cost_supplier"](spark, SF_ORACLE))
     assert plan.count("lineitem.parquet") == 1, plan
     assert "Window" in plan and "min(price" in plan, plan
     assert "SortMergeJoin" not in plan, plan
@@ -432,3 +450,22 @@ def test_x103_x105_payloads_never_shuffle(spark):
         scan = next(l for l in plan.splitlines() if "documents.parquet" in l)
         assert "ReadSchema: struct<doc_id:bigint>" in scan, scan
         assert "partial_sum" in plan, plan  # map-side combine on stats
+
+
+def test_q80_q82_scaling_sides_left_to_aqe(spark):
+    """r7 verdict item 5: q82's `heavy` set (~1.5% of orders) and q80's
+    filtered part / EUROPE-supplier sets are sf-PROPORTIONAL — their
+    join strategy must be AQE-chosen, never hint-forced. With the
+    auto-broadcast threshold disabled, only q80's fixed-size dimension
+    hints (region into nation, nation⋈region into supplier) may
+    broadcast; q82 must show none."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(_Q["q82_large_volume_customers"](spark, SF_ORACLE))
+        n = plan.count("BroadcastExchange")
+        assert n == 0, f"q82: {n} BroadcastExchange (heavy/cust forced)"
+        plan = _plan(_Q["q80_min_cost_supplier"](spark, SF_ORACLE))
+        n = plan.count("BroadcastExchange")
+        assert n == 2, f"q80: {n} BroadcastExchange (want 2 fixed dims)"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
