@@ -96,7 +96,8 @@ def _shard_of(hash_col: Column, n_shards: int) -> Column:
 
 
 def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
-                  n_shards: int | None = None) -> DataFrame:
+                  n_shards: int | None = None,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Deterministic global training-order shuffle (r7): order rows by
     ``xxhash64(key, seed)`` — a different ``seed`` per training epoch
     gives an independent-looking permutation that is REPRODUCIBLE
@@ -126,6 +127,15 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
     defined relative order — dedup first. The hash column is dropped —
     callers get the input schema back (plus ``epoch_shard`` in the
     sharded form) in shuffled order.
+
+    ``hash_fn``: ``"xxhash64"`` (default — the JVM-intrinsic scale
+    path) or ``"md5"`` (``content_hash64`` of ``key:seed`` — the
+    engine-REPLAYABLE variant: any engine with md5 can reproduce the
+    exact permutation and shard ids, which is what the driver's DuckDB
+    gate certifies; the x66 precedent — same plan shape, the hash
+    choice trades intrinsic speed for replayability). Both share every
+    other code path: ordering, tie-break, band sharding, column
+    hygiene.
     """
     reserved = ("__eh", "epoch_shard") if n_shards is not None else ("__eh",)
     clash = [c for c in df.columns if c in reserved]
@@ -134,10 +144,26 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
             f"input columns {clash} collide with epoch_shuffle's "
             "internals — rename them first (bloom.py reserved-name rule)"
         )
-    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
+    elif hash_fn == "md5":
+        h = content_hash64(
+            F.concat_ws(":", F.col(key_col).cast("string"),
+                        F.lit(str(int(seed))))
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     out = df.withColumn("__eh", h)
     if n_shards is not None:
-        out = out.withColumn("epoch_shard", _shard_of(F.col("__eh"), n_shards))
+        if hash_fn == "md5":
+            # content_hash64 spans [0, 2^60): band with plain long
+            # arithmetic (width fits a long; DIV is exact floor for
+            # non-negative hashes — no decimal rounding to guard)
+            width = 2 ** 60 // int(n_shards) + (2 ** 60 % int(n_shards) > 0)
+            shard = F.expr(f"__eh DIV {width}L").cast("int")
+        else:
+            shard = _shard_of(F.col("__eh"), n_shards)
+        out = out.withColumn("epoch_shard", shard)
         return (
             out.repartition(int(n_shards), "epoch_shard")
             .sortWithinPartitions("epoch_shard", "__eh", key_col)

@@ -24,26 +24,30 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 7: exactly ONE semantics change needs a fresh driver row —
-    # x22 now mirrors corpus_pipeline's real ordering (PII redaction
-    # BEFORE fingerprinting, split keyed on the CONTENT fingerprint
-    # instead of md5(doc_id)); its output VALUES change, so its r6
-    # green row no longer certifies it. Every other r7 edit is either
-    # output-identical hardening on this data (decimal-rounding sweep,
-    # unicode text classes, v3 row-hash — all verified identical by the
-    # local gate) or internal (guards, persists, reserved names).
-    # Remaining slots: tier 2 (r7 additions q80-q85, x103-x105) then
-    # tier 3 stalest-first = the 39 r3-stale rows the r6 verdict
-    # flagged — 49 rows total within the ~50 budget.
-    "x22_curation_stats",
+    # round 8: the four KPI means moved from the DECIMAL(18,6)
+    # accumulator to the split-two-long micro-unit scheme
+    # (functions/exact_agg.py — the r7 verdict's only weak item: the
+    # decimal path cost 1.8-2.3x on the flagship). Values are verified
+    # identical on this data by the local gate, but the rounding law
+    # differs at quarter-micro boundaries, so each needs a fresh
+    # driver-certified row. Every other r8 edit is internal (ADVICE
+    # guards, fixture hygiene) or lands as a NEW query (tier 2: the r7
+    # library operators' driver faces — x106/x107/x108/q86). Tier 1+2
+    # stay at ~9 so the 44-row r4-stale cohort (q19, q24, q30-q34,
+    # q43, q52-q56, x17/x24/x25/x29, x40-x77) rotates through the
+    # remaining ~41 slots (r7 verdict item 4).
+    "q01_avg_fare_by_airline",
+    "q03_fare_trend",
+    "q04_seasonal_fare_variation",
+    "q21_rollup_fare",
 )
-# Tier 2 (automatic, no green row) as of round-6 close: q66 (r5's only
-# red row, fixed via DECIMAL(38,6) aggregation) plus the 13 round-6
-# additions (q70-q78, x67b, x100-x102) — 14 names. With tier 1 at 5,
-# ~31 tier-3 slots remain of the 50-slot budget for the 29 r1/r2-stale
-# rows (q40/q42/q44-q46, x01-x16, x18-x33 minus those already rotated
-# in r5) — the stalest land this round; any residue (later x2x
-# entries) sorts first next round by construction.
+# Tier 2 (automatic, no green row) as of round-8: the five new driver
+# faces for the r7 library operators — x106_epoch_shuffle_shards,
+# x107_temperature_mixture, x108_stratified_threshold (sampling),
+# q86_merge_roundtrip (BucketedMergeTable), and
+# x109_ledger_compaction_fold (compact_sig_ledger). With tier 1 at 4,
+# ~41 tier-3 slots remain of the ~50 budget for the 44-row r4-stale
+# cohort; the ~3-row residue sorts first in r9 by construction.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)

@@ -3338,3 +3338,174 @@ ORACLE["x104_cdc_span_dedup"] = r"""
                AS dup_ratio
     FROM ranked GROUP BY source ORDER BY source
 """
+
+
+# --- r8: driver faces for the r7 sampling operators (operators/sampling.py) -
+
+#: md5-band width for the x106 shard check: ceil(2^60 / 8). The md5
+#: variant of epoch_shuffle spans [0, 2^60) (content_hash64 = 15 hex
+#: chars), so the band arithmetic stays in exact long range.
+_X106_SHARDS = 8
+_X106_WIDTH = (2 ** 60) // _X106_SHARDS
+
+
+def x106_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``epoch_shuffle`` (r7 verdict missing #1): the
+    deterministic training-order shuffle's SHARD MAPPING, certified
+    value-exact against DuckDB. Uses the operator's engine-replayable
+    ``hash_fn="md5"`` variant (the x66 precedent: same plan shape as the
+    xxhash64 scale path — ordering, tie-break, band sharding — with the
+    hash swapped for one any engine can replay; xxhash64 itself is not
+    computable in the oracle). ``epoch_shard`` is the operator's
+    persistent contract (the ``partitionBy`` write key), a pure function
+    of (key, seed, n_shards); per-shard count/min/max/sum pin the full
+    assignment without hashing row order (the driver compare sorts rows
+    anyway — order reproducibility is pinned by
+    tests/test_scd_and_ann.py's permutation-invariance tests).
+
+    Scale shape: the shuffle is one hash projection + one clustered
+    sort; the face adds a map-side-combined 8-row aggregate.
+    """
+    from ..operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = epoch_shuffle(docs, "doc_id", seed=7, n_shards=_X106_SHARDS,
+                        hash_fn="md5")
+    return (
+        out.groupBy("epoch_shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("epoch_shard")
+    )
+
+
+QUERIES["x106_epoch_shuffle_shards"] = x106_epoch_shuffle_shards
+
+ORACLE["x106_epoch_shuffle_shards"] = f"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                  1, 15))::BIGINT AS eh
+        FROM documents
+    )
+    SELECT CAST(eh // {_X106_WIDTH} AS INTEGER) AS epoch_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM h
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+def x107_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``temperature_mixture_sample`` (r7 verdict missing
+    #1): the p^(1/T) multilingual-rebalancing sample at T=2 over the
+    SKEWED ``lang`` column (en holds ~44% of docs; ``source`` is uniform
+    by construction, which would make the temperature a no-op), returning
+    the kept rows THEMSELVES — the oracle replays the whole path
+    arithmetically: per-lang shares, the min(1, 0.5·share^(-0.5)) keep
+    fraction, the md5 content hash, and the truncate-to-long threshold.
+    A pow() divergence between engines could only flip a row whose
+    60-bit hash lands within ~1 ulp of the threshold (~2e-16/row — the
+    x66 precedent for accepting libm-pow across engines).
+
+    Scale shape unchanged from the operator: one |langs|-row broadcast
+    aggregate + a map-side hash filter; no sort, no rank.
+    """
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    kept = temperature_mixture_sample(
+        docs, "lang", "doc_id", temperature=2.0, base_fraction=0.5
+    )
+    return kept.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+QUERIES["x107_temperature_mixture"] = x107_temperature_mixture
+
+ORACLE["x107_temperature_mixture"] = """
+    WITH shares AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM shares),
+    plan AS (
+        SELECT lang,
+               LEAST(1.0, 0.5 * POWER(n / t, -0.5)) AS keep
+        FROM shares, tot
+    ),
+    h AS (
+        SELECT lang, doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS eh
+        FROM documents
+    )
+    SELECT h.lang, h.doc_id
+    FROM h JOIN plan USING (lang)
+    WHERE eh <= CAST(TRUNC(keep * 1152921504606846976.0) AS BIGINT)
+    ORDER BY lang, doc_id
+"""
+
+
+def x108_stratified_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``stratified_threshold_sample`` (r7 verdict
+    missing #1) — the x102-style capped certification, because the
+    threshold comes from ``percentile_approx``, whose merged-sketch
+    value passes through doubles (the 60-bit hashes exceed 2^53) and is
+    NOT bit-replayable by the oracle; the driver's weaker-rows-only
+    alternative would certify nothing, so instead the face verifies the
+    operator's two CONTRACTS in-engine and pins them with
+    oracle-checkable values:
+
+    - ``n_rows`` per stratum — REAL value check (stratum discovery and
+      null handling);
+    - ``size_ok`` — TRUE iff the 10% sample's per-stratum share is
+      within ±0.05 of the target (quantile-sketch + small-stratum
+      granularity bound: strata here are 64–218 rows, so the kept
+      share quantizes in steps of ~1/64);
+    - ``nested_ok`` — TRUE iff the 10% sample is a SUBSET of the 25%
+      sample on the same data — the property (thresholds monotone in
+      the fraction, row hashes fixed) that lets a pipeline carve
+      nested eval sets.
+    """
+    from ..operators.sampling import stratified_threshold_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    k10 = stratified_threshold_sample(docs, "lang", "doc_id", 0.10)
+    k25 = stratified_threshold_sample(docs, "lang", "doc_id", 0.25)
+    tot = docs.groupBy("lang").agg(F.count("*").alias("n_rows"))
+    n10 = k10.groupBy("lang").agg(F.count("*").alias("__n10"))
+    viol = (
+        k10.join(k25, ["lang", "doc_id"], "left_anti")
+        .groupBy("lang").agg(F.count("*").alias("__nv"))
+    )
+    return (
+        tot.join(n10, "lang", "left")
+        .join(viol, "lang", "left")
+        .select(
+            "lang",
+            "n_rows",
+            (F.abs(F.coalesce("__n10", F.lit(0)) / F.col("n_rows") - 0.10)
+             <= 0.05).alias("size_ok"),
+            (F.coalesce("__nv", F.lit(0)) == 0).alias("nested_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["x108_stratified_threshold"] = x108_stratified_threshold
+
+ORACLE["x108_stratified_threshold"] = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS size_ok,
+           TRUE AS nested_ok
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+"""

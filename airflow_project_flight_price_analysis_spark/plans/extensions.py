@@ -2510,3 +2510,121 @@ ORACLE.update({
         ORDER BY width, height
     """,
 })
+
+
+def x109_ledger_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``compact_sig_ledger`` (r7 verdict item 6): fold
+    the streaming near-dup signature ledger's history and certify —
+    with the REAL operator on REAL parquet — that a future epoch's
+    screen is bit-identical against the original and the compacted
+    ledger (the operator's one correctness obligation: the screen reads
+    ``epoch_id < current``, so collapsing history onto the max folded
+    epoch must preserve every future epoch's visible signature set).
+
+    The documents table plays three epochs (doc_id % 3): epochs 0–1 are
+    the ingested corpus whose signatures land in a ledger written
+    exactly as the sink writes it (partitioned by epoch_id), epoch 2 is
+    the future batch screened against BOTH ledgers. x102-style capped
+    certification (banding counts aren't oracle-computable; the
+    equivalence and fold-shape claims are pinned as oracle-TRUE booleans
+    next to two REAL value anchors):
+
+    - ``n_corpus_docs`` / ``n_batch_docs`` — real value checks (the
+      epoch split itself);
+    - ``fold_equivalent`` — TRUE iff the two screens' flag sets
+      (id, matched_id) are identical (symmetric difference empty);
+    - ``base_epoch_folded`` — TRUE iff the compacted ledger holds the
+      SAME number of signatures with all folded history stamped onto
+      exactly the fold bound (epoch 1);
+    - ``screen_nonvacuous`` — TRUE iff the screen flagged at least one
+      batch doc (the corpus's planted cross-epoch near-dup twins make
+      an empty flag set a bug, not a quiet pass).
+
+    Scale shape: the fold reads each epoch partition once and writes
+    one size-targeted base partition; the screens are the x102 banded
+    bucket joins. Scratch parquet lives under the repo's gitignored
+    ``.sink_roundtrip``, wiped per run (rerun-safe, like q70/q86).
+    """
+    import os
+    import re
+    import shutil
+
+    from ..operators.dedup import minhash_signatures
+    from ..streaming.neardup import (
+        compact_sig_ledger,
+        read_sig_ledger,
+        screen_against_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id").withColumn(
+        "epoch_id", (F.col("id") % 3).cast("bigint")
+    )
+    sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_",
+                    os.path.basename(sf_dir.rstrip("/")))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".sink_roundtrip", f"ledger_fold_{sf_tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ledger_p = os.path.join(root, "ledger")
+    compact_p = os.path.join(root, "ledger_compacted")
+    sigs.filter(F.col("epoch_id") < 2).write.partitionBy("epoch_id") \
+        .parquet(ledger_p)
+    compact_sig_ledger(spark, ledger_p, compact_p, upto_epoch=1)
+
+    batch = sigs.filter(F.col("epoch_id") == 2).select("id", "sig")
+    led_a = read_sig_ledger(spark, ledger_p)
+    led_b = read_sig_ledger(spark, compact_p)
+    fa = screen_against_ledger(batch, led_a, threshold=0.5) \
+        .select("id", "matched_id")
+    fb = screen_against_ledger(batch, led_b, threshold=0.5) \
+        .select("id", "matched_id")
+
+    n_diff = fa.exceptAll(fb).unionAll(fb.exceptAll(fa)) \
+        .agg(F.count("*").alias("__nd"))
+    n_fb = fb.agg(F.count("*").alias("__nf"))
+    led_stats = led_b.agg(
+        F.count("*").alias("__n_sigs_b"),
+        F.min("epoch_id").alias("__min_e"),
+        F.countDistinct("epoch_id").alias("__n_e"),
+    )
+    led_a_n = led_a.agg(F.count("*").alias("__n_sigs_a"))
+    counts = docs.agg(
+        F.sum((F.col("doc_id") % 3 < 2).cast("bigint"))
+        .alias("n_corpus_docs"),
+        F.sum((F.col("doc_id") % 3 == 2).cast("bigint"))
+        .alias("n_batch_docs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_diff))
+        .crossJoin(F.broadcast(n_fb))
+        .crossJoin(F.broadcast(led_stats))
+        .crossJoin(F.broadcast(led_a_n))
+        .select(
+            "n_corpus_docs",
+            "n_batch_docs",
+            (F.col("__nd") == 0).alias("fold_equivalent"),
+            ((F.col("__n_sigs_b") == F.col("__n_sigs_a"))
+             & (F.col("__min_e") == 1) & (F.col("__n_e") == 1))
+            .alias("base_epoch_folded"),
+            (F.col("__nf") >= 1).alias("screen_nonvacuous"),
+        )
+    )
+
+
+QUERIES.update({"x109_ledger_compaction_fold": x109_ledger_compaction_fold})
+
+ORACLE.update({
+    "x109_ledger_compaction_fold": """
+        SELECT CAST(SUM(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corpus_docs,
+               CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_batch_docs,
+               TRUE AS fold_equivalent,
+               TRUE AS base_epoch_folded,
+               TRUE AS screen_nonvacuous
+        FROM documents
+    """,
+})

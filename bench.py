@@ -119,6 +119,16 @@ HEADLINE = [
     "q82_large_volume_customers",
     "x103_wav_decode_stats",
     "x104_cdc_span_dedup",
+    # round-8: the r7 library operators' new driver faces carry perf
+    # accountability from day one — the two filesystem-roundtrip faces
+    # (q86 MERGE, x109 ledger fold: real parquet writes + the x102
+    # banded screens) and the three sampling faces (map-side hash
+    # filters + one clustered sort for the shuffle)
+    "x106_epoch_shuffle_shards",
+    "x107_temperature_mixture",
+    "x108_stratified_threshold",
+    "q86_merge_roundtrip",
+    "x109_ledger_compaction_fold",
 ]
 
 
