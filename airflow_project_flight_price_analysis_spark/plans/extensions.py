@@ -2556,10 +2556,16 @@ def x109_ledger_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         screen_against_ledger,
     )
 
+    from ..cache import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
+    # ONE sketch pass shared by the ledger write, the batch side of
+    # both screens, and the count aggregates — unpersisted, every
+    # consumer re-shingles and re-hashes the whole corpus (the
+    # dominant cost: measured ~1.5 s/pass at sf0.1, 4+ passes)
     sigs = minhash_signatures(docs, "text", "doc_id").withColumn(
         "epoch_id", (F.col("id") % 3).cast("bigint")
-    )
+    ).transform(track_persist)
     sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_",
                     os.path.basename(sf_dir.rstrip("/")))
     root = os.path.join(
@@ -2577,10 +2583,13 @@ def x109_ledger_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = sigs.filter(F.col("epoch_id") == 2).select("id", "sig")
     led_a = read_sig_ledger(spark, ledger_p)
     led_b = read_sig_ledger(spark, compact_p)
+    # both flag sets feed the symmetric difference TWICE (exceptAll in
+    # each direction) plus the nonvacuous count — persist, or each
+    # consumer re-runs the full LSH bucket join
     fa = screen_against_ledger(batch, led_a, threshold=0.5) \
-        .select("id", "matched_id")
+        .select("id", "matched_id").transform(track_persist)
     fb = screen_against_ledger(batch, led_b, threshold=0.5) \
-        .select("id", "matched_id")
+        .select("id", "matched_id").transform(track_persist)
 
     n_diff = fa.exceptAll(fb).unionAll(fb.exceptAll(fa)) \
         .agg(F.count("*").alias("__nd"))
