@@ -3342,11 +3342,13 @@ ORACLE["x104_cdc_span_dedup"] = r"""
 
 # --- r8: driver faces for the r7 sampling operators (operators/sampling.py) -
 
-#: md5-band width for the x106 shard check: ceil(2^60 / 8). The md5
-#: variant of epoch_shuffle spans [0, 2^60) (content_hash64 = 15 hex
+#: md5-band width for the x106 shard check: ceil(2^60 / n), the SAME
+#: expression epoch_shuffle's md5 path computes (exact for 8, but kept
+#: as ceil so changing the shard count can't silently desync the
+#: oracle). The md5 variant spans [0, 2^60) (content_hash64 = 15 hex
 #: chars), so the band arithmetic stays in exact long range.
 _X106_SHARDS = 8
-_X106_WIDTH = (2 ** 60) // _X106_SHARDS
+_X106_WIDTH = (2 ** 60) // _X106_SHARDS + ((2 ** 60) % _X106_SHARDS > 0)
 
 
 def x106_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
