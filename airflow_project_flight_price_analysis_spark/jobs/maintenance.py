@@ -21,7 +21,10 @@ Usage:
         compact --path /wh/bronze --out /wh/bronze_c [--target-mb 128]
     python -m ... maintenance ledger --path /wh/sig_ledger \
         --out /wh/sig_ledger_c --upto-epoch 41
-    python -m ... maintenance vacuum --root /wh/merge_table --key k
+    python -m ... maintenance vacuum --root /wh/merge_table
+    # (key/n_buckets are adopted from the root's table_properties.json;
+    #  only a legacy pre-properties root needs BOTH --key and
+    #  --n-buckets passed explicitly)
 
 Emits one JSON report line to stdout (the flight_pipeline convention).
 """

@@ -197,9 +197,6 @@ class BucketedMergeTable:
     def __init__(self, root: str, key: str | None = None,
                  n_buckets: int | None = None) -> None:
         self.root = root
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
         # Bucket routing is a pure function of (key, n_buckets) — a
         # second handle opened with different parameters would read only
         # SOME of the buckets a merge's keys live in and silently leave
@@ -208,8 +205,17 @@ class BucketedMergeTable:
         # any mismatch thereafter. Omitting key/n_buckets ADOPTS the
         # pinned values (the reader/maintenance path — no caller-side
         # parameter bookkeeping to get wrong).
+        # Validation runs BEFORE the skeleton makedirs (r8 review): a
+        # parameterless open of a mistyped root must raise WITHOUT
+        # fabricating an empty table there — a later parameterful open
+        # of the fabricated path would pin fresh properties and hide
+        # the typo, splitting the table across two roots (the r7
+        # vacuum-CLI hazard, now closed at the constructor).
         self.key, self.n_buckets = self._pin_properties(
             key, None if n_buckets is None else int(n_buckets))
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
 
     def _pin_properties(self, key: str | None,
                         n_buckets: int | None) -> tuple[str, int]:
@@ -225,6 +231,9 @@ class BucketedMergeTable:
                 )
             mine = {"key": key, "n_buckets": n_buckets,
                     "format_version": self.FORMAT_VERSION}
+            # genuine first open WITH parameters: now (and only now) is
+            # materializing the root legitimate
+            os.makedirs(self.root, exist_ok=True)
             # atomic claim via the same tmp+link protocol as commits: two
             # concurrent first opens race to link; the loser falls through
             # to validation against whatever the winner pinned

@@ -3448,10 +3448,15 @@ ORACLE["x107_temperature_mixture"] = """
         FROM documents
     )
     SELECT h.lang, h.doc_id
-    FROM h JOIN plan USING (lang)
+    FROM h JOIN plan ON h.lang IS NOT DISTINCT FROM plan.lang
     WHERE eh <= CAST(TRUNC(keep * 1152921504606846976.0) AS BIGINT)
-    ORDER BY lang, doc_id
+    ORDER BY h.lang, h.doc_id
 """
+# ^ the join mirrors the operator's eqNullSafe (IS NOT DISTINCT FROM):
+#   a USING join would null-reject a NULL-lang stratum that the
+#   operator deliberately samples (r8 review; no NULL langs exist in
+#   the current fixtures, but the oracle must mirror the operator's
+#   semantics, not the fixture's accidents)
 
 
 def x108_stratified_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:

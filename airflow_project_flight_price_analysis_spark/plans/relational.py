@@ -3519,7 +3519,8 @@ def q86_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-on-write MERGE: seed the table with the supplier dim, MERGE a
     source that UPDATES a matched slice (suppkey % 10 == 3 gets a
     +1000.00 balance adjustment) and INSERTS unmatched keys (shadow
-    suppliers at suppkey + 1000000 for suppkey % 10 == 7), then read the
+    suppliers at suppkey + max(suppkey) + 1 for suppkey % 10 == 7 — a
+    keyspace disjoint from the real keys at ANY sf), then read the
     committed table BACK through the manifest and return its rows. The
     DuckDB oracle computes the expected post-merge state directly from
     the source table — a merge that dropped a bucket, double-applied an
@@ -3558,8 +3559,15 @@ def q86_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = sup.filter(F.col("s_suppkey") % 10 == 3).withColumn(
         "acctbal_cents", F.col("acctbal_cents") + F.lit(100000)
     )
+    # shadow-insert keyspace DERIVED from the data, not a constant:
+    # supplier has sf·10k rows, so any fixed offset collides with real
+    # keys at a large enough sf and the intended INSERT silently
+    # becomes a matched UPDATE (r8 review). max+1 is provably disjoint
+    # at every sf; one scalar collect, mirrored as a subquery in the
+    # oracle.
+    off = sup.agg(F.max("s_suppkey")).first()[0] + 1
     inserts = sup.filter(F.col("s_suppkey") % 10 == 7).select(
-        (F.col("s_suppkey") + F.lit(1000000)).alias("s_suppkey"),
+        (F.col("s_suppkey") + F.lit(off)).alias("s_suppkey"),
         "s_nationkey", "acctbal_cents",
     )
     t.merge(spark, updates.unionByName(inserts))          # v2: MERGE
@@ -3576,7 +3584,9 @@ ORACLE.update({
                    AS acctbal_cents
         FROM supplier
         UNION ALL
-        SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey,
+        SELECT s_suppkey + (SELECT MAX(s_suppkey) + 1 FROM supplier)
+                   AS s_suppkey,
+               s_nationkey,
                CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
         FROM supplier
         WHERE s_suppkey % 10 = 7

@@ -85,13 +85,24 @@ def scale_out(df, *key_cols: str):
     # execute() builds the RDD lineage lazily — no job is submitted —
     # and its partition count (pre-AQE-coalescing) is exactly what
     # this widening check needs.
+    from py4j.protocol import Py4JJavaError
+
     try:
         n_parts = (
             df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
         )
-    except Exception:
-        # binary-node plan (see docstring): exchanges will be inserted
-        # at execution, so the scan-width concern doesn't apply
+    except Py4JJavaError as e:
+        # JVM-side RDD-construction failure ⇒ binary-node plan (see
+        # docstring): exchanges will be inserted at execution, so the
+        # scan-width concern doesn't apply. Catch ONLY the JVM throw —
+        # a py4j connection error or a Python-side bug must surface,
+        # not silently skip the widening (r8 review). Logged so a
+        # mis-shaped call site is visible.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "scale_out: partition probe failed (binary-node plan?); "
+            "leaving input unchanged: %s", str(e).splitlines()[0])
         return df
     if n_parts >= target:
         return df

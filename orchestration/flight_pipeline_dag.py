@@ -140,21 +140,29 @@ if HAVE_AIRFLOW:
         )
 
         def _swap(src: str) -> str:
-            # rerun-safe and week-N-safe: the whole swap is guarded on
-            # the staged .compact output existing — a retry after a
-            # partial success (or after the swap already completed) is a
-            # no-op instead of deleting the rollback copy and mv-ing the
-            # LIVE table to .old with nothing to replace it (r7 ADVICE).
-            # Inside the guard: drop last week's .old first (plain
-            # `mv X X.old` NESTS into an existing .old and fails
-            # outright by week 3), keep exactly one rollback generation,
-            # and the X -> X.old -> X.compact chain leaves at most a
-            # rename-wide window without X (object stores flip a
-            # manifest/pointer instead).
+            # Rerun-safe at EVERY crash point, not just after complete
+            # success (r7 ADVICE + r8 review):
+            # - outer guard on the staged .compact: a retry after the
+            #   swap already completed (or where compaction never
+            #   produced output) is a no-op instead of deleting the
+            #   rollback and mv-ing the LIVE table away with nothing to
+            #   replace it;
+            # - the rollback rotation (drop last week's .old, move the
+            #   live table to .old) is additionally guarded on the live
+            #   table existing: a retry after a crash BETWEEN the two
+            #   mv steps (X already at X.old, X.compact still staged)
+            #   skips straight to publishing X.compact and PRESERVES
+            #   the rollback — the unguarded form re-ran `rm -rf
+            #   {src}.old` first, destroying the only pre-compaction
+            #   copy and then failing forever at `mv {src}`.
+            # Plain `mv X X.old` against an existing .old would NEST
+            # and fail by week 3, hence the rm inside the inner guard.
+            # Object stores flip a manifest/pointer instead of renames.
             return (
                 f"if [ -d {src}.compact ]; then "
-                f"rm -rf {src}.old && "
-                f"mv {src} {src}.old && "
+                f"if [ -d {src} ]; then "
+                f"rm -rf {src}.old && mv {src} {src}.old; "
+                f"fi && "
                 f"mv {src}.compact {src}; "
                 f"fi"
             )

@@ -288,6 +288,7 @@ def test_x60_prefix_postings_not_allpairs(spark):
     # free to shuffle-join gfreq (auto-broadcast from small size stats
     # stays legitimate, which is why the threshold must be pulled to
     # isolate the hint)
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.graft.prefix.broadcastGramFreq", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -298,8 +299,11 @@ def test_x60_prefix_postings_not_allpairs(spark):
         assert not g_bhj, plan2
         assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2, plan2
     finally:
+        # the graft conf's unset restores the code-side default; the
+        # THRESHOLD must restore the session's value — unset falls back
+        # to Spark's 10MB built-in, leaking into later tests (r8 review)
         spark.conf.unset("spark.graft.prefix.broadcastGramFreq")
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
 
 
 def test_x61_replication_is_mapside_explode(spark):

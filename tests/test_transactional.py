@@ -331,3 +331,22 @@ def test_table_properties_pin_and_adopt(spark, tmp_path):
     # first open of a fresh root must supply the parameters
     with pytest.raises(ValueError, match="first open"):
         BucketedMergeTable(str(tmp_path / "fresh"))
+
+
+def test_parameterless_open_of_missing_root_fabricates_nothing(tmp_path):
+    """r8 review: validation must run BEFORE the skeleton makedirs — a
+    parameterless open of a mistyped root raises without planting an
+    empty table there (a later parameterful open of the fabricated path
+    would pin fresh properties and hide the typo)."""
+    import os
+
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        BucketedMergeTable,
+    )
+
+    bad = str(tmp_path / "merge_tabel")  # the typo
+    with pytest.raises(ValueError, match="first open"):
+        BucketedMergeTable(bad)
+    assert not os.path.exists(bad)
