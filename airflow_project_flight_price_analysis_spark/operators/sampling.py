@@ -76,6 +76,14 @@ def stratified_threshold_sample(
     )
 
 
+def md5_band_width(n_shards: int) -> int:
+    """ceil(2^60 / n) — the exact band width ``epoch_shuffle``'s md5
+    path shards with (``content_hash64`` spans [0, 2^60): 15 hex
+    chars). Exported so an oracle replaying the shard assignment uses
+    THE SAME expression instead of a copy that can desync."""
+    return 2 ** 60 // int(n_shards) + (2 ** 60 % int(n_shards) > 0)
+
+
 def _shard_of(hash_col: Column, n_shards: int) -> Column:
     """Fixed-width band of the signed-64-bit hash space:
     ``(h + 2^63) // ceil(2^64 / n)`` — floor semantics, range pinned to
@@ -159,8 +167,8 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
             # content_hash64 spans [0, 2^60): band with plain long
             # arithmetic (width fits a long; DIV is exact floor for
             # non-negative hashes — no decimal rounding to guard)
-            width = 2 ** 60 // int(n_shards) + (2 ** 60 % int(n_shards) > 0)
-            shard = F.expr(f"__eh DIV {width}L").cast("int")
+            shard = F.expr(
+                f"__eh DIV {md5_band_width(n_shards)}L").cast("int")
         else:
             shard = _shard_of(F.col("__eh"), n_shards)
         out = out.withColumn("epoch_shard", shard)

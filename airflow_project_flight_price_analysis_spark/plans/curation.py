@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.text import tokens_expr
+from ..operators.sampling import md5_band_width
 from ..sources import load_table
 
 QUERIES: dict = {}
@@ -3342,13 +3343,12 @@ ORACLE["x104_cdc_span_dedup"] = r"""
 
 # --- r8: driver faces for the r7 sampling operators (operators/sampling.py) -
 
-#: md5-band width for the x106 shard check: ceil(2^60 / n), the SAME
-#: expression epoch_shuffle's md5 path computes (exact for 8, but kept
-#: as ceil so changing the shard count can't silently desync the
-#: oracle). The md5 variant spans [0, 2^60) (content_hash64 = 15 hex
-#: chars), so the band arithmetic stays in exact long range.
+#: md5-band width for the x106 shard check — THE operator's own width
+#: function, so the oracle can never desync from the sharding it
+#: certifies (band arithmetic stays in exact long range: the md5
+#: variant spans [0, 2^60), content_hash64 = 15 hex chars).
 _X106_SHARDS = 8
-_X106_WIDTH = (2 ** 60) // _X106_SHARDS + ((2 ** 60) % _X106_SHARDS > 0)
+_X106_WIDTH = md5_band_width(_X106_SHARDS)
 
 
 def x106_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2546,17 +2546,16 @@ def x109_ledger_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``.sink_roundtrip``, wiped per run (rerun-safe, like q70/q86).
     """
     import os
-    import re
     import shutil
 
+    from ..cache import track_persist
     from ..operators.dedup import minhash_signatures
     from ..streaming.neardup import (
         compact_sig_ledger,
         read_sig_ledger,
         screen_against_ledger,
     )
-
-    from ..cache import track_persist
+    from ._scratch import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE sketch pass shared by the ledger write, the batch side of
@@ -2566,13 +2565,7 @@ def x109_ledger_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, "text", "doc_id").withColumn(
         "epoch_id", (F.col("id") % 3).cast("bigint")
     ).transform(track_persist)
-    sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_",
-                    os.path.basename(sf_dir.rstrip("/")))
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".sink_roundtrip", f"ledger_fold_{sf_tag}",
-    )
+    root = scratch_dir("ledger_fold", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     ledger_p = os.path.join(root, "ledger")
     compact_p = os.path.join(root, "ledger_compacted")

@@ -2433,8 +2433,7 @@ def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink lives under the repo's scratch dir, keyed by sf so gate and
     bench runs never collide.
     """
-    import os
-    import re
+    from ._scratch import scratch_dir
 
     base = (
         load_table(spark, sf_dir, "orders")
@@ -2446,12 +2445,7 @@ def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("total_price"),
         )
     )
-    sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".sink_roundtrip", f"orders_by_priority_{sf_tag}",
-    )
+    path = scratch_dir("orders_by_priority", sf_dir)
     stamped = base.withColumn("loaded_at", F.current_timestamp())
     # null-SAFE complement: a NULL priority must land in exactly one
     # side (the ADVICE-r5 null-unsafe-complement class — ~(NULL < "3")
@@ -3535,24 +3529,17 @@ def q86_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is wiped per run, so gate/bench reruns are idempotent and
     version history never accumulates across runs.
     """
-    import os
-    import re
     import shutil
 
     from ..operators.transactional import BucketedMergeTable
+    from ._scratch import scratch_dir
 
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey",
         F.round(F.col("s_acctbal") * 100).cast("bigint")
         .alias("acctbal_cents"),
     )
-    sf_tag = re.sub(r"[^A-Za-z0-9_.]", "_",
-                    os.path.basename(sf_dir.rstrip("/")))
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".sink_roundtrip", f"merge_table_{sf_tag}",
-    )
+    root = scratch_dir("merge_table", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     t = BucketedMergeTable(root, "s_suppkey", n_buckets=8)
     t.merge(spark, sup)                                   # v1: seed

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from airflow_project_flight_price_analysis_spark.plans import all_queries
 from airflow_project_flight_price_analysis_spark.sources import load_table
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, session_conf
 
 _Q = all_queries()
 
@@ -288,22 +288,22 @@ def test_x60_prefix_postings_not_allpairs(spark):
     # free to shuffle-join gfreq (auto-broadcast from small size stats
     # stays legitimate, which is why the threshold must be pulled to
     # isolate the hint)
-    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # session_conf restores the session's threshold (unset would fall
+    # back to Spark's 10MB built-in — r8 review); the graft conf's
+    # unset correctly restores its code-side default
     try:
         spark.conf.set("spark.graft.prefix.broadcastGramFreq", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.catalog.clearCache()
-        plan2 = _plan(_Q["x60_prefix_filtered_jaccard"](spark, SF_SMALL))
-        g_bhj = [ln for ln in plan2.splitlines()
-                 if "BroadcastHashJoin" in ln and "[g#" in ln]
-        assert not g_bhj, plan2
-        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2, plan2
+        with session_conf(spark, "spark.sql.autoBroadcastJoinThreshold",
+                          "-1"):
+            spark.catalog.clearCache()
+            plan2 = _plan(_Q["x60_prefix_filtered_jaccard"](spark, SF_SMALL))
+            g_bhj = [ln for ln in plan2.splitlines()
+                     if "BroadcastHashJoin" in ln and "[g#" in ln]
+            assert not g_bhj, plan2
+            assert ("SortMergeJoin" in plan2
+                    or "ShuffledHashJoin" in plan2), plan2
     finally:
-        # the graft conf's unset restores the code-side default; the
-        # THRESHOLD must restore the session's value — unset falls back
-        # to Spark's 10MB built-in, leaking into later tests (r8 review)
         spark.conf.unset("spark.graft.prefix.broadcastGramFreq")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
 
 
 def test_x61_replication_is_mapside_explode(spark):

@@ -6,7 +6,7 @@ checks but fails here."""
 from __future__ import annotations
 
 from airflow_project_flight_price_analysis_spark.plans import all_queries
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, session_conf
 
 _Q = all_queries()
 
@@ -99,18 +99,11 @@ def test_customer_join_strategy_left_to_aqe(spark):
     the explicitly-hinted fixed-size dims (supplier + 2× nation role-playing
     views) may broadcast — a forced customer hint would survive the
     disabled threshold and show a 4th BroadcastExchange."""
-    # restore the SESSION's value, not Spark's 10MB built-in default:
-    # conf.unset falls back to the hardcoded default, silently leaking
-    # a changed broadcast threshold into every later test (r8 review)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    with session_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
         for name in ("q05_top_routes", "q16_fact_flights"):
             plan = _plan(_Q[name](spark, SF_ORACLE))
             n_bcast = plan.count("BroadcastExchange")
             assert n_bcast == 3, f"{name}: {n_bcast} BroadcastExchange (want 3 hinted dims)"
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_x16_broadcast_is_size_gated(spark):
@@ -463,15 +456,10 @@ def test_q80_q82_scaling_sides_left_to_aqe(spark):
     auto-broadcast threshold disabled, only q80's fixed-size dimension
     hints (region into nation, nation⋈region into supplier) may
     broadcast; q82 must show none."""
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    with session_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
         plan = _plan(_Q["q82_large_volume_customers"](spark, SF_ORACLE))
         n = plan.count("BroadcastExchange")
         assert n == 0, f"q82: {n} BroadcastExchange (heavy/cust forced)"
         plan = _plan(_Q["q80_min_cost_supplier"](spark, SF_ORACLE))
         n = plan.count("BroadcastExchange")
         assert n == 2, f"q80: {n} BroadcastExchange (want 2 fixed dims)"
-    finally:
-        # restore the session value, not the 10MB built-in (r8 review)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
