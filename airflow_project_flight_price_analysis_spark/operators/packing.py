@@ -1,16 +1,32 @@
 """Sequence packing for LLM pretraining (SURVEY.md §2.9 X4 family).
 
-Concat-then-split packing: documents are concatenated in a deterministic
-order and cut every ``seq_len`` tokens; each document belongs to the pack
-where it STARTS. Implemented as a window cumulative sum — no iterative
-driver loop, no UDF.
+Two packing disciplines, picked by what the training loader needs:
 
-Scale posture: a single ``partitionBy(source)`` window sorts each source
-on ONE reducer, which serializes for giant sources. ``shards > 1`` salts
-the window key with a deterministic doc-hash shard — each (source, shard)
-packs independently and in parallel, at the cost of at most one
-underfilled pack per shard (the classic throughput/packing-efficiency
-trade; negligible when shards ≪ corpus_tokens / seq_len).
+- :func:`pack_sequences` (r2, x34's operator) — per-(source, shard)
+  concat-then-split where each document belongs to the pack it STARTS
+  in: one window cumulative sum, documents never split, packs may
+  overrun ``seq_len`` by up to one document. Right when the loader
+  re-chunks anyway and packing only needs locality per source.
+  Scale posture: a single ``partitionBy(source)`` window sorts each
+  source on ONE reducer, which serializes for giant sources;
+  ``shards > 1`` salts the window key with a deterministic doc-hash
+  shard — each (source, shard) packs independently and in parallel, at
+  the cost of at most one underfilled pack per shard.
+
+- :func:`pack_concat_chunks` (r8) — EXACT corpus-global GPT-style
+  packing: documents ordered by content hash, the concatenated token
+  stream cut every ``budget`` tokens, documents STRADDLE cut points and
+  contribute a (doc, pack) SEGMENT per pack they overlap. Every pack
+  except the last is exactly full; the output carries in-doc and
+  in-pack offsets so the loader can slice without re-deriving anything.
+  The global prefix sum is a two-phase distributed scan (range-cluster
+  → |partitions|-row offsets window → PARTITIONED running sum) — never
+  a single-partition ``Window.orderBy`` funnel — and its VALUES are
+  independent of the sampled range bounds, so the assignment is a pure
+  function of (ids, token counts, budget, seed). All integer
+  arithmetic over md5-derived hashes: an oracle can replay the exact
+  assignment (window cumsum + generate_series), unlike the xxhash64
+  default sharding of :func:`pack_sequences`.
 """
 
 from __future__ import annotations
@@ -18,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+from .sampling import content_hash64
 
 
 def pack_sequences(df: DataFrame, id_col: str, source_col: str,
@@ -50,3 +68,124 @@ def pack_sequences(df: DataFrame, id_col: str, source_col: str,
         F.floor((F.sum(n_tokens_col).over(w) - F.col(n_tokens_col))
                 / F.lit(seq_len)),
     )
+
+
+def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
+                       budget: int, seed: int = 0,
+                       validate: bool = True) -> DataFrame:
+    """Assign every document its (pack, segment) spans under
+    concat-then-chunk packing with ``budget`` tokens per pack.
+
+    Documents with NULL or non-positive token counts are rejected
+    loudly — silently dropping them would shift every later document's
+    global offset and re-cut every pack downstream of the bad row
+    (count tokens first; zero-token docs should be filtered by the
+    caller as a curation decision, not vanish inside the packer).
+    ``validate=True`` runs that check as an eager column-pruned pass;
+    pass ``False`` only when the input provably satisfies the contract
+    (e.g. it just came out of a quality filter that floors n_tokens).
+
+    Returns ``id_col, pack_id, seg_start, seg_len, pack_offset`` with
+    one row per (document, pack) segment, ordered arbitrarily (sort by
+    (pack_id, pack_offset) to materialize training order).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    reserved = {"__ph", "__pid", "__n", "__start", "__poff", "__p0",
+                "__p1", "pack_id", "seg_start", "seg_len", "pack_offset"}
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with pack_concat_chunks "
+            "internals — rename them first (bloom.py reserved-name rule)"
+        )
+
+    h = content_hash64(
+        F.concat_ws(":", F.col(id_col).cast("string"),
+                    F.lit(str(int(seed))))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("bigint").alias("__n"),
+    ).withColumn("__ph", h)
+
+    # fail-loud contract on token counts (see docstring)
+    bad = base.filter(F.col("__n").isNull() | (F.col("__n") <= 0))
+    if validate and bad.take(1):
+        raise ValueError(
+            f"pack_concat_chunks: {n_tokens_col} must be a positive "
+            "token count for every row — found NULL or <= 0; filter or "
+            "fix upstream (a silent drop would shift every later "
+            "document's pack assignment)"
+        )
+
+    # phase 1: cluster into hash-ordered ranges. Bounds are SAMPLED but
+    # only move rows between partitions — the global prefix sum below
+    # is bound-independent, so output VALUES stay deterministic.
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    clustered = (
+        base.repartitionByRange(parts, "__ph", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    # phase 2: per-partition totals → exclusive partition offsets. The
+    # totals table is |partitions| rows — the single-partition window
+    # over it is a few KB, then broadcast back.
+    offsets = (
+        clustered.groupBy("__pid")
+        .agg(F.sum("__n").alias("__ptot"))
+        .withColumn(
+            "__poff",
+            F.coalesce(
+                F.sum("__ptot").over(
+                    W.orderBy("__pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__poff")
+    )
+
+    # phase 3: within-partition running sum (parallel — partitioned
+    # window), plus the partition offset ⇒ exclusive global start.
+    w_in = W.partitionBy("__pid").orderBy("__ph", id_col)
+    spans = (
+        clustered.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__start",
+            F.col("__poff")
+            + F.coalesce(
+                F.sum("__n").over(
+                    w_in.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(id_col, "__n", "__start")
+    )
+
+    # segment fan-out: doc spans [start, start+n) → one row per pack it
+    # overlaps; pure long arithmetic, identical in any engine.
+    b = F.lit(int(budget))
+    seg = (
+        spans
+        .withColumn("__p0", F.expr(f"__start DIV {int(budget)}"))
+        .withColumn("__p1", F.expr(f"(__start + __n - 1) DIV {int(budget)}"))
+        .withColumn("pack_id", F.explode(F.sequence("__p0", "__p1")))
+        .withColumn(
+            "seg_start",
+            F.greatest(F.lit(0), F.col("pack_id") * b - F.col("__start")),
+        )
+        .withColumn(
+            "seg_len",
+            F.least(F.col("__n"),
+                    (F.col("pack_id") + 1) * b - F.col("__start"))
+            - F.col("seg_start"),
+        )
+        .withColumn(
+            "pack_offset",
+            F.col("__start") + F.col("seg_start") - F.col("pack_id") * b,
+        )
+    )
+    return seg.select(id_col, "pack_id", "seg_start", "seg_len",
+                      "pack_offset")
