@@ -137,12 +137,9 @@ def test_no_single_partition_window_funnel(spark):
     seg = pack_concat_chunks(_docs(spark, n=500), "doc_id", "n_tokens",
                              BUDGET, seed=3)
     plan = seg._jdf.queryExecution().executedPlan().toString()
-    # the row-level running sum is partitioned by __pid
-    assert "partitionBy" not in plan  # toString never prints this token
     assert "Window" in plan
-    # row-level window spec carries the partition column
-    import re
-
+    # every row-level window (ordered by the doc hash) must carry the
+    # physical-partition key — an unpartitioned one would be the funnel
     row_windows = [ln for ln in plan.splitlines()
                    if "Window" in ln and "__ph" in ln]
     assert row_windows, plan
