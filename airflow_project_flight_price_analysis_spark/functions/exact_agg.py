@@ -62,9 +62,17 @@ def _micros_total_sql(value_sql: str, int_div: str) -> str:
 
 
 def _mean_micros_sql(value_sql: str, int_div: str) -> str:
+    # denominator = COUNT of the per-row micro value, whose nullness
+    # equals value_sql's (FLOOR/CAST propagate NULL) — AVG semantics:
+    # NULL rows are skipped by numerator AND denominator. Dividing by
+    # COUNT(*) instead would deflate the mean on nullable inputs while
+    # both engines agree (the r8 ADVICE trap: gate-green but not the
+    # mean the name promises). All-NULL groups: SUM is NULL, so the
+    # expression is NULL — same as AVG.
+    v = f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
     return (
         f"ROUND({_micros_total_sql(value_sql, int_div)}"
-        f" / 1e6 / COUNT(*), 2)"
+        f" / 1e6 / COUNT({v}), 2)"
     )
 
 
@@ -74,7 +82,9 @@ def _sum_micros_sql(value_sql: str, int_div: str) -> str:
 
 def exact_mean(value_sql: str) -> Column:
     """Spark aggregate Column: order-independent mean of ``value_sql``
-    (a SQL expression over the input columns), rounded to 2 decimals."""
+    (a SQL expression over the input columns), rounded to 2 decimals.
+    NULL values are skipped like AVG's (numerator and denominator both
+    count only non-NULL rows; an all-NULL group yields NULL)."""
     return F.expr(_mean_micros_sql(value_sql, "DIV"))
 
 
@@ -104,3 +114,80 @@ def exact_sum(value_sql: str) -> Column:
 def exact_sum_oracle(value_sql: str) -> str:
     """The DuckDB mirror of :func:`exact_sum`."""
     return _sum_micros_sql(value_sql, "//")
+
+
+# --- composable pieces (r9): ratios, argmax, and two-level re-folds ---------
+#
+# exact_sum/exact_mean cover the plain "one aggregate, rounded output"
+# shape. Three relational shapes need the raw accumulator instead:
+#
+# - RATIOS (q66/q76): ROUND(total_a / total_b, n) needs both totals
+#   UNROUNDED — take the recombined micro totals; the 1e6 scale cancels
+#   and both engines divide the identical pair of doubles.
+# - ARGMAX/THRESHOLD on the accumulator (q67/q72): equality and
+#   comparison on the recombined micro totals is deterministic because
+#   both engines compute bit-identical doubles (below 2^53 micros the
+#   double is the exact integer; above, both round identically).
+# - TWO-LEVEL RE-FOLDS (q63/q72): when per-group sums are re-aggregated
+#   (pivot cells re-fold per-customer partials; a global total re-folds
+#   per-part sums), keep the (hi, lo) LONG pair through the first
+#   level and SUM the parts at the second — long sums are associative
+#   and exact under ANY fold order, which is precisely what the double
+#   re-fold of per-group partials is not.
+
+
+def micros_val_sql(value_sql: str) -> str:
+    """Per-row micro-unit value — engine-neutral (FLOOR/CAST spell the
+    same in Spark SQL and DuckDB; only the integer-division split
+    differs, which is why the hi/lo helpers take the knob)."""
+    return f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
+
+
+def _hi_lo_sqls(value_sql: str, int_div: str) -> tuple[str, str]:
+    v = micros_val_sql(value_sql)
+    return (f"SUM({v} {int_div} 1000000)", f"SUM({v} % 1000000)")
+
+
+def exact_parts(value_sql: str) -> tuple[Column, Column]:
+    """Spark aggregate Columns ``(hi, lo)`` — the split long pair.
+    Alias and carry both when a second aggregation level re-folds the
+    group sums; recombine at the END with the *_from_parts helpers."""
+    hi, lo = _hi_lo_sqls(value_sql, "DIV")
+    return F.expr(hi), F.expr(lo)
+
+
+def exact_parts_oracle(value_sql: str) -> tuple[str, str]:
+    """The DuckDB mirror of :func:`exact_parts` (CAST to BIGINT: DuckDB
+    SUM(BIGINT) returns HUGEINT, which would leak into schema compares
+    if the parts themselves were ever output)."""
+    hi, lo = _hi_lo_sqls(value_sql, "//")
+    return f"CAST({hi} AS BIGINT)", f"CAST({lo} AS BIGINT)"
+
+
+def micros_from_parts_sql(hi_sql: str, lo_sql: str) -> str:
+    """Recombined micro total (a double) from hi/lo part sums —
+    engine-neutral, the same IEEE op sequence everywhere. Use for
+    ratios, argmax equality, and threshold comparisons."""
+    return (f"(CAST(({hi_sql}) AS DOUBLE) * 1e6"
+            f" + CAST(({lo_sql}) AS DOUBLE))")
+
+
+def rounded_from_parts_sql(hi_sql: str, lo_sql: str,
+                           ndigits: int = 2) -> str:
+    """Money output from hi/lo part sums: recombine, descale, ROUND —
+    engine-neutral (both engines round the identical double). NULL
+    parts (empty/all-NULL group) propagate to a NULL result, matching
+    SUM's empty-group convention."""
+    return (f"ROUND({micros_from_parts_sql(hi_sql, lo_sql)}"
+            f" / 1e6, {int(ndigits)})")
+
+
+def exact_micros(value_sql: str) -> Column:
+    """Spark aggregate Column: the recombined micro total as a double —
+    the UNROUNDED accumulator for ratio/argmax shapes."""
+    return F.expr(_micros_total_sql(value_sql, "DIV"))
+
+
+def exact_micros_oracle(value_sql: str) -> str:
+    """The DuckDB mirror of :func:`exact_micros`."""
+    return _micros_total_sql(value_sql, "//")

@@ -135,7 +135,7 @@ def lang_id_expr(col: Column | str) -> Column:
 
 
 def normalize_text_expr(col: Column | str) -> Column:
-    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    r"""Canonical form for fingerprinting: lowercase, strip punctuation,
     collapse whitespace — one regex pass: any run of non-word characters
     (punctuation AND whitespace) becomes a single space, which equals the
     two-pass strip-then-collapse form on every input (verified 0

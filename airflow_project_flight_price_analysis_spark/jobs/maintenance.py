@@ -92,7 +92,16 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {args.root} is not a merge-table root "
                   "(no commits/ dir)", file=sys.stderr)
             return 2
-        t = BucketedMergeTable(args.root, args.key, n_buckets=args.n_buckets)
+        # legacy pre-properties roots (no table_properties.json) with a
+        # missing/mismatched --key/--n-buckets raise ValueError — report
+        # it in the CLI's stderr-message + exit-2 convention (like the
+        # missing-commits check above), not as a raw traceback
+        try:
+            t = BucketedMergeTable(args.root, args.key,
+                                   n_buckets=args.n_buckets)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         removed = t.vacuum()
         report.update(root=args.root, removed=len(removed))
     else:

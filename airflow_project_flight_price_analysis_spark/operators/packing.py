@@ -84,6 +84,15 @@ def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
     ``validate=True`` runs that check as an eager column-pruned pass;
     pass ``False`` only when the input provably satisfies the contract
     (e.g. it just came out of a quality filter that floors n_tokens).
+    With ``validate=False`` a contract-violating row degrades to a
+    SILENT DROP — never corrupt output: NULL/non-positive counts
+    contribute nothing to the prefix sum (SUM skips NULL, zero adds
+    zero), so dropping them before the segment fan-out leaves every
+    other document's pack assignment exactly as if the bad rows had
+    been pre-filtered. (Without the guard, a zero-token row whose
+    global start lands on a pack boundary would make ``__p1 < __p0``
+    and ``sequence()`` fan out a DESCENDING range — bogus
+    negative-length segments, r8 ADVICE.)
 
     Returns ``id_col, pack_id, seg_start, seg_len, pack_offset`` with
     one row per (document, pack) segment, ordered arbitrarily (sort by
@@ -165,10 +174,13 @@ def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
     )
 
     # segment fan-out: doc spans [start, start+n) → one row per pack it
-    # overlaps; pure long arithmetic, identical in any engine.
+    # overlaps; pure long arithmetic, identical in any engine. The
+    # __n > 0 guard makes validate=False degrade to a silent drop of
+    # contract-violating rows instead of emitting corrupt descending
+    # sequences (see docstring); under validate=True it matches no row.
     b = F.lit(int(budget))
     seg = (
-        spans
+        spans.filter(F.col("__n") > 0)
         .withColumn("__p0", F.expr(f"__start DIV {int(budget)}"))
         .withColumn("__p1", F.expr(f"(__start + __n - 1) DIV {int(budget)}"))
         .withColumn("pack_id", F.explode(F.sequence("__p0", "__p1")))

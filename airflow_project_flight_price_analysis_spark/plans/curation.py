@@ -3516,3 +3516,95 @@ ORACLE["x108_stratified_threshold"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# --- r9: driver face for the r8 exact global sequence packer ----------------
+
+#: pack budget for the x110 face — small enough that sf0.01's corpus
+#: cuts dozens of packs (straddles at every boundary), large enough
+#: that most packs hold several whole documents, exercising both
+#: branches of the segment arithmetic.
+_X110_BUDGET = 2048
+
+
+def x110_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``pack_concat_chunks`` (r8 verdict missing #1):
+    the FULL exact concat-then-chunk packing assignment — every
+    (doc_id, pack_id, seg_start, seg_len, pack_offset) segment row —
+    certified value-exact against DuckDB. The operator was designed
+    md5-replayable for exactly this: document order is
+    ``content_hash64(doc_id:seed)`` (the x106 precedent — a hash any
+    engine can compute, same plan shape as an xxhash64 production
+    seed), and everything downstream of the hash is pure long
+    arithmetic, so the oracle replays the whole pipeline with one
+    window cumsum + ``generate_series`` and must agree on every cell.
+
+    Scale shape (what the certification pins): the global prefix sum is
+    the operator's two-phase distributed scan — range-cluster on the
+    hash, a |partitions|-row offsets window, then a PARTITIONED running
+    sum — never a single-partition ``Window.orderBy`` funnel
+    (tests/test_packing.py pins the plan shape; this face pins the
+    values). The oracle's single-partition window is the sf0.01 luxury
+    the distributed plan exists to avoid.
+
+    Token counts are the whitespace ``token_count_expr`` over lowered
+    text (the x31/x34 convention, identical split in both engines);
+    zero-token documents are pre-filtered per the operator's contract,
+    so ``validate=False`` skips the redundant eager check.
+    """
+    from ..functions.text import token_count_expr
+    from ..operators.packing import pack_concat_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        token_count_expr(F.lower(F.col("text"))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    seg = pack_concat_chunks(toks, "doc_id", "n_tokens",
+                             budget=_X110_BUDGET, seed=7, validate=False)
+    return seg.orderBy("pack_id", "pack_offset")
+
+
+QUERIES["x110_pack_concat_chunks"] = x110_pack_concat_chunks
+
+ORACLE["x110_pack_concat_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+        FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                  1, 15))::BIGINT AS ph
+        FROM toks WHERE n > 0
+    ),
+    s AS (
+        -- exclusive global prefix sum in hash order: the value the
+        -- operator computes with its two-phase distributed scan
+        -- (SUM OVER returns HUGEINT in DuckDB — pin back to BIGINT)
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY ph, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS gstart
+        FROM h
+    ),
+    fan AS (
+        SELECT doc_id, n, gstart,
+               unnest(generate_series(gstart // {_X110_BUDGET},
+                                      (gstart + n - 1) // {_X110_BUDGET}))
+                   AS pack_id
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(GREATEST(0, pack_id * {_X110_BUDGET} - gstart) AS BIGINT)
+               AS seg_start,
+           CAST(LEAST(n, (pack_id + 1) * {_X110_BUDGET} - gstart)
+                - GREATEST(0, pack_id * {_X110_BUDGET} - gstart) AS BIGINT)
+               AS seg_len,
+           CAST(gstart + GREATEST(0, pack_id * {_X110_BUDGET} - gstart)
+                - pack_id * {_X110_BUDGET} AS BIGINT) AS pack_offset
+    FROM fan
+    ORDER BY pack_id, pack_offset
+"""

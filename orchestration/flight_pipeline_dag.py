@@ -158,12 +158,25 @@ if HAVE_AIRFLOW:
             # Plain `mv X X.old` against an existing .old would NEST
             # and fail by week 3, hence the rm inside the inner guard.
             # Object stores flip a manifest/pointer instead of renames.
+            # The no-.compact branch distinguishes 'already swapped'
+            # (live table present — a benign retry) from 'nothing ever
+            # staged' (NEITHER present — no state a completed swap can
+            # leave, so a compaction that silently produced no output
+            # fails HERE instead of being masked by a green no-op; r8
+            # ADVICE).
             return (
                 f"if [ -d {src}.compact ]; then "
                 f"if [ -d {src} ]; then "
                 f"rm -rf {src}.old && mv {src} {src}.old; "
                 f"fi && "
                 f"mv {src}.compact {src}; "
+                f"elif [ -d {src} ]; then "
+                f"echo 'swap: {src} already live, no staged .compact "
+                f"(retry no-op)'; "
+                f"else "
+                f"echo 'swap: neither {src}.compact nor {src} exists "
+                f"— upstream compaction produced no output' >&2; "
+                f"exit 1; "
                 f"fi"
             )
 

@@ -82,6 +82,32 @@ def test_grouped_mirror_with_negative_groups(spark):
     assert list(sdf["m"]) == list(odf["m"])
 
 
+def test_null_values_follow_avg_semantics(spark):
+    # r8 ADVICE: the mean must divide by the NON-NULL count (AVG
+    # semantics), not COUNT(*) — a NULL row deflated the old form. The
+    # sum skips NULLs; an all-NULL group yields NULL for both; and the
+    # DuckDB mirror agrees bit-for-bit throughout.
+    rows = [("a", 10.0), ("a", None), ("a", 20.0),
+            ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sdf = (
+        df.groupBy("g").agg(
+            exact_sum("v").alias("s"), exact_mean("v").alias("m"),
+            F.round(F.avg("v"), 2).alias("plain_avg"),
+        ).orderBy("g").toPandas()
+    )
+    assert sdf.loc[0, "m"] == 15.0 == sdf.loc[0, "plain_avg"]
+    assert pd.isna(sdf.loc[1, "m"]) and pd.isna(sdf.loc[1, "s"])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v"]))
+    odf = con.execute(
+        f"SELECT g, {exact_sum_oracle('v')} AS s, {exact_mean_oracle('v')} AS m"
+        " FROM t GROUP BY g ORDER BY g"
+    ).fetchdf()
+    assert list(sdf["s"].fillna(-1)) == list(odf["s"].fillna(-1))
+    assert list(sdf["m"].fillna(-1)) == list(odf["m"].fillna(-1))
+
+
 def test_values_match_plain_aggregates_away_from_boundaries(spark):
     # sanity: on values without sub-cent precision the exact forms equal
     # the plain double aggregates rounded to 2 dp

@@ -128,6 +128,29 @@ def test_rejects_bad_token_counts_and_reserved_columns(spark):
         pack_concat_chunks(_docs(spark), "doc_id", "n_tokens", 0)
 
 
+def test_validate_false_drops_bad_rows_instead_of_corrupting(spark):
+    # r8 ADVICE: with validate=False a zero-token row whose global start
+    # lands on a pack boundary made __p1 < __p0 and sequence() fanned
+    # out a DESCENDING range — corrupt negative-length segments. The
+    # guard must degrade it to a silent drop: the packing of the good
+    # rows is EXACTLY the packing with the bad rows pre-filtered.
+    good = _docs(spark, n=60)
+    with_bad = good.union(
+        spark.createDataFrame([(1001, 0), (1002, None)],
+                              "doc_id long, n_tokens long")
+    )
+    want = {
+        tuple(r)
+        for r in pack_concat_chunks(good, "doc_id", "n_tokens", BUDGET,
+                                    seed=3).collect()
+    }
+    got_rows = pack_concat_chunks(with_bad, "doc_id", "n_tokens", BUDGET,
+                                  seed=3, validate=False).collect()
+    assert {tuple(r) for r in got_rows} == want
+    assert all(r.seg_len > 0 for r in got_rows)
+    assert not any(r.doc_id in (1001, 1002) for r in got_rows)
+
+
 def test_no_single_partition_window_funnel(spark):
     """The global prefix sum must be the two-phase scan, not a bare
     Window.orderBy over the data (which funnels everything to ONE
