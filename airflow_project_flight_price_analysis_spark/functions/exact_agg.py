@@ -30,8 +30,32 @@ Precision: the mean of per-row-half-up-rounded micro-units differs from
 the true mean by < 5e-7, far inside the ROUND(·, 2) grain — and both
 engines evaluate the IDENTICAL expression, which is what the gate pins.
 
-Engine mirroring notes (why the template has one knob):
-- integer division spells ``DIV`` in Spark SQL, ``//`` in DuckDB;
+Rounding to cents happens in INTEGER space (r9 — the q83 lesson): the
+r8 form did ``ROUND(recombined_double / 1e6, 2)``, and ``ROUND(double,
+n)`` is the ONE op the engines disagree on — Spark rounds the shortest
+decimal representation HALF_UP (307843.595 → .60) while DuckDB rounds
+the binary value (307843.59499999997 → .59). Sums of 2-4-decimal money
+hit exact .xx5 halves at ~1% of groups, so q83's driver gate caught it
+at sf0.01. The law here never rounds a double: the group total
+recombines into one WIDE integer (DECIMAL(38,0) in Spark — one decimal
+op per GROUP, not per row, so the r8 perf win stands; native HUGEINT in
+DuckDB — its DECIMAL ``//`` detours through doubles), and half-away-
+from-zero division happens on integers: cents = sign(t) · (|t| + 5000)
+intdiv 10⁴. The divided operand is always non-negative, which sidesteps
+the one integer-division divergence (DuckDB ``//`` floors, Spark
+``DIV`` truncates — identical on non-negatives). The final
+``CAST(cents AS DOUBLE)/100`` maps equal integers to equal doubles at
+any magnitude. Exactness bound: cents fit int64 to ±$9.2e16 per group
+(a 100 TB lineitem summed into ONE group is ~$2.3e16 — 4× headroom;
+the r8 double recombination was already cent-lossy past $9e9).
+
+Engine mirroring notes (why the template has two knobs):
+- integer division spells ``DIV`` in Spark SQL, ``//`` in DuckDB; the
+  wide type spells ``DECIMAL(38,0)`` in Spark, ``HUGEINT`` in DuckDB;
+- per-row hi/lo splits may differ between engines on NEGATIVE values
+  (floor-mod vs trunc-mod) — the divmod identity v = hi·1e6 + lo holds
+  either way, so recombined totals are identical; only the raw part
+  values are engine-local;
 - Spark's FLOOR(double) already returns BIGINT and DuckDB's returns
   DOUBLE — the explicit CAST is a no-op in Spark and required in
   DuckDB (exact: |v| ≤ 1.2e11 ≪ 2^53);
@@ -46,19 +70,56 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _micros_total_sql(value_sql: str, int_div: str) -> str:
-    """Exact micro-unit total recombined in double: ``SUM(hi)·1e6 +
-    SUM(lo)`` — per-row ``v = FLOOR(value·1e6 + 0.5)`` (half-up; for
-    negative values FLOOR(x+0.5) rounds toward +inf — a DEFINED law,
-    mirrored bit-for-bit, which is the actual contract), split with
-    truncate-toward-zero DIV/% so ``v = hi·1e6 + lo`` holds exactly for
-    either sign. The double recombination is the same IEEE op sequence
-    in both engines; above 2^53 it rounds, identically."""
-    v = f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
-    return (
-        f"(CAST(SUM({v} {int_div} 1000000) AS DOUBLE) * 1e6"
-        f" + CAST(SUM({v} % 1000000) AS DOUBLE))"
-    )
+def micros_val_sql(value_sql: str) -> str:
+    """Per-row micro-unit value — engine-neutral (FLOOR/CAST spell the
+    same in Spark SQL and DuckDB; only the integer-division split and
+    the wide recombination type differ, which is why the aggregate
+    helpers take the ``int_div`` knob)."""
+    return f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
+
+
+def _hi_lo_sqls(value_sql: str, int_div: str) -> tuple[str, str]:
+    v = micros_val_sql(value_sql)
+    return (f"SUM({v} {int_div} 1000000)", f"SUM({v} % 1000000)")
+
+
+def _wide(int_div: str) -> str:
+    """The engine's exact wide-integer type for the once-per-group
+    recombination: Spark DECIMAL(38,0) (its DIV is exact on decimals);
+    DuckDB native HUGEINT (its DECIMAL ``//`` detours through doubles,
+    verified — HUGEINT ``//`` is exact)."""
+    return "DECIMAL(38,0)" if int_div == "DIV" else "HUGEINT"
+
+
+def _wide_total_sql(hi_sql: str, lo_sql: str, int_div: str) -> str:
+    """EXACT group total in micro-units as one wide integer:
+    hi·1e6 + lo. One wide op per GROUP — the per-row path stays on
+    Tungsten's long fast path. NULL parts (empty/all-NULL group)
+    propagate to a NULL total, matching SUM's convention."""
+    w = _wide(int_div)
+    return (f"(CAST(({hi_sql}) AS {w}) * 1000000"
+            f" + CAST(({lo_sql}) AS {w}))")
+
+
+def _cents_sql(t_sql: str, int_div: str, cnt_sql: str | None = None) -> str:
+    """Half-away-from-zero cents from an exact wide micro total (and
+    optionally a count, for means): sign(t) · (|t| + 5000·n) intdiv
+    (10000·n). Pure integer arithmetic — the .xx5 half resolves BEFORE
+    any double exists (the q83 r9 lesson: ROUND(double, 2) is the one
+    op Spark and DuckDB disagree on). The divided operand is
+    non-negative, where DuckDB's floor-`//` and Spark's trunc-`DIV`
+    coincide. NULL t (empty group) → NULL; n = 0 (all-NULL group)
+    divides by zero → NULL in both engines (non-ANSI Spark, DuckDB)."""
+    adj = "5000" if cnt_sql is None else f"(5000 * {cnt_sql})"
+    den = "10000" if cnt_sql is None else f"(10000 * {cnt_sql})"
+    return (f"((CASE WHEN {t_sql} < 0 THEN -1 ELSE 1 END)"
+            f" * CAST((ABS({t_sql}) + {adj}) {int_div} {den} AS BIGINT))")
+
+
+def _sum_micros_sql(value_sql: str, int_div: str) -> str:
+    hi, lo = _hi_lo_sqls(value_sql, int_div)
+    t = _wide_total_sql(hi, lo, int_div)
+    return f"(CAST({_cents_sql(t, int_div)} AS DOUBLE) / 100)"
 
 
 def _mean_micros_sql(value_sql: str, int_div: str) -> str:
@@ -67,23 +128,21 @@ def _mean_micros_sql(value_sql: str, int_div: str) -> str:
     # NULL rows are skipped by numerator AND denominator. Dividing by
     # COUNT(*) instead would deflate the mean on nullable inputs while
     # both engines agree (the r8 ADVICE trap: gate-green but not the
-    # mean the name promises). All-NULL groups: SUM is NULL, so the
-    # expression is NULL — same as AVG.
-    v = f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
-    return (
-        f"ROUND({_micros_total_sql(value_sql, int_div)}"
-        f" / 1e6 / COUNT({v}), 2)"
-    )
-
-
-def _sum_micros_sql(value_sql: str, int_div: str) -> str:
-    return f"ROUND({_micros_total_sql(value_sql, int_div)} / 1e6, 2)"
+    # mean the name promises). All-NULL groups: the wide total is NULL
+    # and the count-scaled division hits zero — NULL in both engines,
+    # same as AVG.
+    cnt = f"COUNT({micros_val_sql(value_sql)})"
+    hi, lo = _hi_lo_sqls(value_sql, int_div)
+    t = _wide_total_sql(hi, lo, int_div)
+    return f"(CAST({_cents_sql(t, int_div, cnt)} AS DOUBLE) / 100)"
 
 
 def exact_mean(value_sql: str) -> Column:
     """Spark aggregate Column: order-independent mean of ``value_sql``
-    (a SQL expression over the input columns), rounded to 2 decimals.
-    NULL values are skipped like AVG's (numerator and denominator both
+    (a SQL expression over the input columns), half-away-rounded to
+    cents in exact integer space (the true rational mean of the
+    micro-unit values — no intermediate double ever rounds). NULL
+    values are skipped like AVG's (numerator and denominator both
     count only non-NULL rows; an all-NULL group yields NULL)."""
     return F.expr(_mean_micros_sql(value_sql, "DIV"))
 
@@ -97,17 +156,14 @@ def exact_mean_oracle(value_sql: str) -> str:
 def exact_sum(value_sql: str) -> Column:
     """Spark aggregate Column: order-independent SUM of ``value_sql``
     rounded to 2 decimals — the long-fast-path replacement for the
-    DECIMAL(38,6) money sums (r7's q66-class hardening). Measured on
+    DECIMAL(38,6) money sums (r7's q66-class hardening; measured on
     the q63/q67 revenue shapes at sf0.1: DECIMAL(38,6) costs
-    1.39-2.61× over a plain double sum; this form measures 0.78-0.88×
-    (long sums beat double sums) with bit-identical rounded output.
-    Unlike the decimal path there is no decimal→double double-rounding
-    hazard: both engines round the SAME recombined double. Negative
-    values are safe (see _micros_total_sql; DuckDB's ``//``/``%``
-    truncate toward zero exactly like Spark's ``DIV``/``%`` — verified
-    on negatives). Wired into queries in r9 (each conversion takes a
-    tier-1 recertification slot; this round's budget is reserved for
-    the stale-cohort rotation)."""
+    1.39-2.61× over a plain double sum, this form 0.78-0.88×). The
+    cents are computed by integer half-away division of the exact wide
+    micro total (see module docstring: ROUND(double, 2) diverges
+    between engines on exact .xx5 halves — q83's r9 driver red row);
+    negatives are safe (the divided operand is non-negative by
+    construction). Exact to ±$9.2e16 per group."""
     return F.expr(_sum_micros_sql(value_sql, "DIV"))
 
 
@@ -123,29 +179,22 @@ def exact_sum_oracle(value_sql: str) -> str:
 #
 # - RATIOS (q66/q76): ROUND(total_a / total_b, n) needs both totals
 #   UNROUNDED — take the recombined micro totals; the 1e6 scale cancels
-#   and both engines divide the identical pair of doubles.
+#   and both engines divide the identical pair of doubles. (A ROUND of
+#   the QUOTIENT can still diverge at a shortest-repr .xx…5 boundary,
+#   but a quotient of two large sums landing exactly there is the
+#   ~2e-16/row class of risk already accepted for x107's pow — unlike
+#   money SUMS, which hit exact halves at ~1% of groups.)
 # - ARGMAX/THRESHOLD on the accumulator (q67/q72): equality and
 #   comparison on the recombined micro totals is deterministic because
 #   both engines compute bit-identical doubles (below 2^53 micros the
-#   double is the exact integer; above, both round identically).
+#   double is the exact integer; above, both round identically — but
+#   see the negative-values caveat on micros_from_parts_sql).
 # - TWO-LEVEL RE-FOLDS (q63/q72): when per-group sums are re-aggregated
 #   (pivot cells re-fold per-customer partials; a global total re-folds
 #   per-part sums), keep the (hi, lo) LONG pair through the first
 #   level and SUM the parts at the second — long sums are associative
 #   and exact under ANY fold order, which is precisely what the double
 #   re-fold of per-group partials is not.
-
-
-def micros_val_sql(value_sql: str) -> str:
-    """Per-row micro-unit value — engine-neutral (FLOOR/CAST spell the
-    same in Spark SQL and DuckDB; only the integer-division split
-    differs, which is why the hi/lo helpers take the knob)."""
-    return f"CAST(FLOOR(({value_sql}) * 1e6 + 0.5) AS BIGINT)"
-
-
-def _hi_lo_sqls(value_sql: str, int_div: str) -> tuple[str, str]:
-    v = micros_val_sql(value_sql)
-    return (f"SUM({v} {int_div} 1000000)", f"SUM({v} % 1000000)")
 
 
 def exact_parts(value_sql: str) -> tuple[Column, Column]:
@@ -159,7 +208,9 @@ def exact_parts(value_sql: str) -> tuple[Column, Column]:
 def exact_parts_oracle(value_sql: str) -> tuple[str, str]:
     """The DuckDB mirror of :func:`exact_parts` (CAST to BIGINT: DuckDB
     SUM(BIGINT) returns HUGEINT, which would leak into schema compares
-    if the parts themselves were ever output)."""
+    if the parts themselves were ever output). On negative inputs the
+    raw part values are engine-local (floor-mod vs trunc-mod splits) —
+    identical after recombination, per the divmod identity."""
     hi, lo = _hi_lo_sqls(value_sql, "//")
     return f"CAST({hi} AS BIGINT)", f"CAST({lo} AS BIGINT)"
 
@@ -167,27 +218,35 @@ def exact_parts_oracle(value_sql: str) -> tuple[str, str]:
 def micros_from_parts_sql(hi_sql: str, lo_sql: str) -> str:
     """Recombined micro total (a double) from hi/lo part sums —
     engine-neutral, the same IEEE op sequence everywhere. Use for
-    ratios, argmax equality, and threshold comparisons."""
+    ratios, argmax equality, and threshold comparisons. Caveat: on
+    NEGATIVE inputs the per-engine hi/lo splits differ (see
+    exact_parts_oracle), so the pre-rounding doubles are only
+    guaranteed identical when |total| < 2^53 micros (±$9e9/group) OR
+    the input is sign-uniform; the money-output path
+    (rounded_from_parts_sql) recombines in wide integers and has no
+    such bound."""
     return (f"(CAST(({hi_sql}) AS DOUBLE) * 1e6"
             f" + CAST(({lo_sql}) AS DOUBLE))")
 
 
-def rounded_from_parts_sql(hi_sql: str, lo_sql: str,
-                           ndigits: int = 2) -> str:
-    """Money output from hi/lo part sums: recombine, descale, ROUND —
-    engine-neutral (both engines round the identical double). NULL
-    parts (empty/all-NULL group) propagate to a NULL result, matching
-    SUM's empty-group convention."""
-    return (f"ROUND({micros_from_parts_sql(hi_sql, lo_sql)}"
-            f" / 1e6, {int(ndigits)})")
+def rounded_from_parts_sql(hi_sql: str, lo_sql: str, int_div: str) -> str:
+    """Money output from hi/lo part sums: exact wide-integer
+    recombination, integer half-away cents, then the cents→double map
+    (equal integers → equal doubles; no double ever rounds — the q83
+    law). ``int_div`` picks the engine: ``"DIV"`` Spark,
+    ``"//"`` DuckDB. NULL parts (empty/all-NULL group) propagate to a
+    NULL result, matching SUM's empty-group convention."""
+    t = _wide_total_sql(hi_sql, lo_sql, int_div)
+    return f"(CAST({_cents_sql(t, int_div)} AS DOUBLE) / 100)"
 
 
 def exact_micros(value_sql: str) -> Column:
     """Spark aggregate Column: the recombined micro total as a double —
-    the UNROUNDED accumulator for ratio/argmax shapes."""
-    return F.expr(_micros_total_sql(value_sql, "DIV"))
+    the UNROUNDED accumulator for ratio/argmax shapes (see the
+    micros_from_parts_sql caveat on negative inputs)."""
+    return F.expr(micros_from_parts_sql(*_hi_lo_sqls(value_sql, "DIV")))
 
 
 def exact_micros_oracle(value_sql: str) -> str:
     """The DuckDB mirror of :func:`exact_micros`."""
-    return _micros_total_sql(value_sql, "//")
+    return micros_from_parts_sql(*_hi_lo_sqls(value_sql, "//"))

@@ -19,14 +19,24 @@ Two packing disciplines, picked by what the training loader needs:
   contribute a (doc, pack) SEGMENT per pack they overlap. Every pack
   except the last is exactly full; the output carries in-doc and
   in-pack offsets so the loader can slice without re-deriving anything.
-  The global prefix sum is a two-phase distributed scan (range-cluster
-  → |partitions|-row offsets window → PARTITIONED running sum) — never
-  a single-partition ``Window.orderBy`` funnel — and its VALUES are
-  independent of the sampled range bounds, so the assignment is a pure
-  function of (ids, token counts, budget, seed). All integer
-  arithmetic over md5-derived hashes: an oracle can replay the exact
-  assignment (window cumsum + generate_series), unlike the xxhash64
-  default sharding of :func:`pack_sequences`.
+  The global prefix sum is a two-phase distributed scan over fixed
+  HASH BANDS of the ordering key (per-band running sum under a
+  partitioned window + a |bands|-row exclusive band-offset table
+  broadcast back) — never a single-partition ``Window.orderBy``
+  funnel. Hash bands rather than ``repartitionByRange`` (r9): the
+  range partitioner costs a separate SAMPLING pass over the input and
+  a full-data shuffle for BOTH consumers of the clustered frame
+  (column pruning makes the two subtrees non-identical, so the
+  exchange is not reused — the r8 form paid the scan+shuffle twice);
+  a band computed as ``hash DIV width`` is a pure projection, so the
+  offsets side collapses to a map-side-combined partial aggregate
+  (only |bands| rows shuffle) and the data shuffles exactly once, for
+  the per-band window. The assignment is a pure function of (ids,
+  token counts, budget, seed) — band count and cluster layout cannot
+  change a single output value. All integer arithmetic over
+  md5-derived hashes: an oracle can replay the exact assignment
+  (window cumsum + generate_series), unlike the xxhash64 default
+  sharding of :func:`pack_sequences`.
 """
 
 from __future__ import annotations
@@ -100,8 +110,9 @@ def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
     """
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
-    reserved = {"__ph", "__pid", "__n", "__start", "__poff", "__p0",
-                "__p1", "pack_id", "seg_start", "seg_len", "pack_offset"}
+    reserved = {"__ph", "__band", "__n", "__start", "__boff", "__btot",
+                "__p0", "__p1", "pack_id", "seg_start", "seg_len",
+                "pack_offset"}
     clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
@@ -128,42 +139,49 @@ def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
             "document's pack assignment)"
         )
 
-    # phase 1: cluster into hash-ordered ranges. Bounds are SAMPLED but
-    # only move rows between partitions — the global prefix sum below
-    # is bound-independent, so output VALUES stay deterministic.
+    # phase 1: assign each row a fixed-width HASH BAND of the ordering
+    # key — a pure projection (no range partitioner, no sampling pass;
+    # see module docstring). Band widths follow the epoch_shuffle md5
+    # band arithmetic (content_hash64 spans [0, 2^60)); any band count
+    # yields the identical output, so it only tunes parallelism.
+    from .sampling import md5_band_width
+
     parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    clustered = (
-        base.repartitionByRange(parts, "__ph", id_col)
-        .withColumn("__pid", F.spark_partition_id())
+    n_bands = parts * 4
+    width = md5_band_width(n_bands)
+    banded = base.withColumn(
+        "__band", F.expr(f"__ph DIV {width}").cast("int")
     )
 
-    # phase 2: per-partition totals → exclusive partition offsets. The
-    # totals table is |partitions| rows — the single-partition window
-    # over it is a few KB, then broadcast back.
+    # phase 2: per-band totals → exclusive band offsets. The partial
+    # aggregate combines map-side, so only |bands| rows shuffle; the
+    # single-partition window over them is a few KB, then broadcast
+    # back.
     offsets = (
-        clustered.groupBy("__pid")
-        .agg(F.sum("__n").alias("__ptot"))
+        banded.groupBy("__band")
+        .agg(F.sum("__n").alias("__btot"))
         .withColumn(
-            "__poff",
+            "__boff",
             F.coalesce(
-                F.sum("__ptot").over(
-                    W.orderBy("__pid")
+                F.sum("__btot").over(
+                    W.orderBy("__band")
                     .rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("__pid", "__poff")
+        .select("__band", "__boff")
     )
 
-    # phase 3: within-partition running sum (parallel — partitioned
-    # window), plus the partition offset ⇒ exclusive global start.
-    w_in = W.partitionBy("__pid").orderBy("__ph", id_col)
+    # phase 3: within-band running sum (parallel — partitioned window,
+    # the ONE full-data shuffle), plus the band offset ⇒ exclusive
+    # global start.
+    w_in = W.partitionBy("__band").orderBy("__ph", id_col)
     spans = (
-        clustered.join(F.broadcast(offsets), "__pid")
+        banded.join(F.broadcast(offsets), "__band")
         .withColumn(
             "__start",
-            F.col("__poff")
+            F.col("__boff")
             + F.coalesce(
                 F.sum("__n").over(
                     w_in.rowsBetween(W.unboundedPreceding, -1)),

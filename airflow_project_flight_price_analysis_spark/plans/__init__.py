@@ -24,34 +24,64 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 8: the four KPI means moved from the DECIMAL(18,6)
-    # accumulator to the split-two-long micro-unit scheme
-    # (functions/exact_agg.py — the r7 verdict's only weak item: the
-    # decimal path cost 1.8-2.3x on the flagship). Values are verified
-    # identical on this data by the local gate, but the rounding law
-    # differs at quarter-micro boundaries, so each needs a fresh
-    # driver-certified row. Every other r8 edit is internal (ADVICE
-    # guards, fixture hygiene) or lands as a NEW query (tier 2: the r7
-    # library operators' driver faces — x106/x107/x108/q86). Tier 1+2
-    # stay at ~9 so the 44-row r4-stale cohort (q19, q24, q30-q34,
-    # q43, q52-q56, x17/x24/x25/x29, x40-x77) rotates through the
-    # remaining ~41 slots (r7 verdict item 4).
+    # round 9: the eight DECIMAL(38,6) revenue/money accumulators moved
+    # to the split-two-long micro-unit scheme (functions/exact_agg.py —
+    # r8 verdict item 2/4, the q01 story applied to the sums: the
+    # decimal path cost a measured 1.39-2.61x on these shapes), AND the
+    # scheme's final rounding moved from ROUND(double, 2) to integer
+    # half-away cents — the r9 gate caught q83's group summing to an
+    # exact .xx5 half, where Spark rounds the shortest decimal repr and
+    # DuckDB the binary value (the ONE op the engines disagree on; see
+    # exact_agg.py's module docstring). Money values still recombine to
+    # the same cents on <= 4-decimal inputs away from halves, but the
+    # rounding law changed for every exact_agg consumer, so the four
+    # KPI means (r8-certified under the double-ROUND law) re-queue
+    # alongside the eight conversions.
     "q01_avg_fare_by_airline",
     "q03_fare_trend",
     "q04_seasonal_fare_variation",
     "q21_rollup_fare",
+    "q63_pivot_revenue_matrix",
+    "q66_market_share",
+    "q67_top_supplier",
+    "q72_important_parts",
+    "q75_disjunctive_pushdown",
+    "q76_promo_revenue_share",
+    "q81_profit_by_nation_year",
+    "q83_returned_item_customers",
 )
-# Tier 2 (automatic, no green row) as of round-8: the five new driver
-# faces for the r7 library operators — x106_epoch_shuffle_shards,
-# x107_temperature_mixture, x108_stratified_threshold (sampling),
-# q86_merge_roundtrip (BucketedMergeTable), and
-# x109_ledger_compaction_fold (compact_sig_ledger). With tier 1 at 4,
-# ~41 tier-3 slots remain of the ~50 budget for the 44-row r4-stale
-# cohort; the ~3-row residue sorts first in r9 by construction.
+# Tier 2 (automatic, no green row) as of round-9: the two new driver
+# faces — x110_pack_concat_chunks (the r8 exact packer, r8 verdict
+# item 1) and x111_stateful_sessions (streaming/stateful.py, r8
+# verdict item 7). With tier 1 at 8, ~40 tier-3 slots remain of the
+# ~50 budget; the 3-row r4 residue (x74/x75/x76) sorts first among
+# them by construction (r8 verdict item 3).
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
 _BUDGET_OVERFLOW_OK: tuple[str, ...] = ()
+
+# Certification families (r8 verdict item 6): the registry grows ~5
+# queries/round while the driver budget stays ~50, so the freshness
+# floor was heading for 5 rounds by r10. Queries that re-certify the
+# SAME operator or harness are grouped; within tier 3, only the
+# STALEST member of each family keeps its stale-first slot per round —
+# the rest defer to the end of the schedule (still registered, still
+# run by the local all-196 gate every session, still certified by the
+# driver whenever budget reaches them; the family members alternate
+# round-robin across rounds because certifying one makes a different
+# member the stalest next time). Tiers 1-2 are never suppressed: a
+# semantics change or a new face always gets its row.
+_CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
+    # containment operator: auto crossover path + forced prefix path
+    ("x67_containment_pairs", "x67b_containment_prefix"),
+    # parquet/catalog sink round-trip harness (S7/S8/S9 + MERGE + fold
+    # all write, re-read, and compare through the same scratch kit)
+    ("q70_sink_roundtrip", "q74_catalog_roundtrip",
+     "q86_merge_roundtrip", "x109_ledger_compaction_fold"),
+    # concat-then-split approximate packer: unsharded + sharded twin
+    ("x31_sequence_packing", "x34_sequence_packing_sharded"),
+)
 
 
 def _latest_green_round() -> dict[str, int]:
@@ -139,12 +169,29 @@ def _prioritized_order() -> list[str]:
         # first (ties in registration order) — the budget slots left
         # after tiers 1-2 automatically re-certify whatever the driver
         # has not seen longest, replacing the hand-maintained per-round
-        # rotation lists.
+        # rotation lists. Family suppression (r9): the first member of
+        # each _CERT_FAMILIES group encountered in stale order keeps
+        # its slot; later members defer to the end so one family never
+        # spends multiple budget rows re-certifying the same operator
+        # in one round.
         reg_pos = {k: i for i, k in enumerate(out)}
-        ordered += sorted(
+        tier3 = sorted(
             (k for k in out if k not in seen),
             key=lambda k: (latest.get(k, 0), reg_pos[k]),
         )
+        family_of = {m: i for i, fam in enumerate(_CERT_FAMILIES)
+                     for m in fam}
+        fam_seen: set[int] = set()
+        kept, deferred = [], []
+        for k in tier3:
+            fam = family_of.get(k)
+            if fam is not None and fam in fam_seen:
+                deferred.append(k)
+            else:
+                if fam is not None:
+                    fam_seen.add(fam)
+                kept.append(k)
+        ordered += kept + deferred
         _ORDER_CACHE = ordered
     return _ORDER_CACHE
 

@@ -2630,3 +2630,71 @@ ORACLE.update({
         FROM documents
     """,
 })
+
+
+# --- r9: driver face for the custom-state streaming operator ----------------
+
+def x111_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — ``applyInPandasWithState`` custom state through the real
+    streaming engine (r8 verdict item 7: the one streaming module whose
+    operator was pytest-only — x25 certifies the built-in
+    ``session_window``, not the user-managed-state path). Per-user
+    lifetime running totals accumulate in the executor state store
+    across micro-batches and emit once per batch-with-data; the face
+    runs the backlog to completion (availableNow), keeps each user's
+    FINAL emission (n_events strictly increases per emit), and the
+    oracle recomputes the lifetime totals from the batch table.
+
+    Replay-exactness is the operator's design, not luck: state carries
+    the value total in integer MICRO-UNITS (streaming/stateful.py — the
+    exact_agg discipline), so the result is independent of how
+    availableNow splits the backlog into micro-batches, and DuckDB
+    derives the identical double from the identical integer. The TTL
+    eviction path (processing-time timeout) stays pytest-certified —
+    a timeout-armed stream never reports caught-up under availableNow
+    (see user_running_totals's docstring).
+
+    Scale shape: one shuffle per micro-batch on user_id; state is
+    O(active users); the Arrow-batched update fn is the sanctioned
+    non-JVM escape hatch (§2.7c) for semantics no built-in windowed
+    aggregate expresses (unbounded lifetime accumulation with optional
+    per-group TTL).
+    """
+    import uuid
+
+    from ..streaming.stateful import user_running_totals
+
+    totals = user_running_totals(_events_nanostream(spark, sf_dir))
+    name = "x111_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES.update({"x111_stateful_running_totals": x111_stateful_running_totals})
+
+ORACLE.update({
+    "x111_stateful_running_totals": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+})

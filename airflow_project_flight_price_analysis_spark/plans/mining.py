@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..cache import track_persist
+from ..functions.exact_agg import (
+    exact_parts,
+    exact_parts_oracle,
+    rounded_from_parts_sql,
+)
 from ..functions.text import tokens_expr
 from ..sources import load_table
 
@@ -557,13 +562,18 @@ def q63_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"
     )
-    # DECIMAL accumulation (r7 review, the q66/q83 discipline): the
-    # per-cell sums re-fold the per-(cust, month) partials, a
-    # structurally different double fold than the oracle's raw-row sum
-    # — decimal is exact under ANY fold order
+    # Micro-unit accumulation in split (hi, lo) LONG parts (r9, the
+    # q66/q83 discipline without the decimal tax): the per-cell sums
+    # re-fold the per-(cust, month) partials — a structurally
+    # different fold than the oracle's raw-row sum — and LONG part
+    # sums are associative and exact under ANY fold order, so the two
+    # levels recombine to the identical total. The pivot carries the
+    # pair and the final select recombines + rounds with the same op
+    # sequence in both engines (functions/exact_agg.py).
+    hi, lo = exact_parts("o_totalprice")
     per_cust_month = orders.groupBy(
         "o_custkey", F.month("o_orderdate").alias("m")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+    ).agg(hi.alias("hi"), lo.alias("lo"))
     dim = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -573,11 +583,12 @@ def q63_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         joined.groupBy("r_name")
         .pivot("m", list(range(1, 13)))
-        .agg(F.sum("rev"))
+        .agg(F.sum("hi").alias("hi"), F.sum("lo").alias("lo"))
     )
     return pivoted.select(
         "r_name",
-        *[F.round(F.col(str(m)), 2).cast("double").alias(f"m{m:02d}")
+        *[F.expr(rounded_from_parts_sql(f"`{m}_hi`", f"`{m}_lo`", "DIV"))
+          .alias(f"m{m:02d}")
           for m in range(1, 13)],
     ).orderBy("r_name")
 
@@ -585,9 +596,14 @@ def q63_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q63_pivot_revenue_matrix"] = q63_pivot_revenue_matrix
 
 _PIVOT_CASE_SQL = ",\n           ".join(
-    f"CAST(ROUND(SUM(CASE WHEN month(o_orderdate) = {m} THEN "
-    f"CAST(o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)"
-    f" AS m{m:02d}"
+    "CAST({r} AS DOUBLE) AS m{m:02d}".format(
+        r=rounded_from_parts_sql(
+            *exact_parts_oracle(
+                f"CASE WHEN month(o_orderdate) = {m} "
+                f"THEN o_totalprice END"),
+            "//"),
+        m=m,
+    )
     for m in range(1, 13)
 )
 ORACLE["q63_pivot_revenue_matrix"] = f"""

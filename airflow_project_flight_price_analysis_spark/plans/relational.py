@@ -18,7 +18,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.cleaning import parse_stopovers_expr, row_hash_expr
-from ..functions.exact_agg import exact_mean, exact_mean_oracle
+from ..functions.exact_agg import (
+    exact_mean,
+    exact_mean_oracle,
+    exact_micros,
+    exact_micros_oracle,
+    exact_parts,
+    exact_parts_oracle,
+    exact_sum,
+    exact_sum_oracle,
+    micros_from_parts_sql,
+    rounded_from_parts_sql,
+)
 from ..session import scale_out
 from ..sources import load_table
 
@@ -2126,18 +2137,18 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    # Decimal-cast BEFORE the SUM so the aggregate is exact and
-    # order-independent: double summation order differs between Spark's
-    # partial aggregates and DuckDB's single-threaded fold, and with only
-    # a handful of output rows one value landing near a rounding boundary
-    # flips the cross-engine hash (the r5 red row). DECIMAL(38,6) sums are
-    # bit-stable on both engines; and ROUND the DECIMAL, not its double
-    # image (r7): an exact .xx5 sum (e.g. 307843.595) casts to a double
-    # just BELOW the half, so double-rounding is engine-dependent while
-    # decimal HALF_UP matches bit-for-bit (verified incl. negatives).
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
-    )
+    # Exact, order-independent sums WITHOUT the decimal accumulator
+    # (r9, the q01 story): the r5-r8 DECIMAL(38,6) form was exact but
+    # paid a measured 1.39-2.61x per-row double→BigDecimal tax on the
+    # revenue shapes; the split-two-long micro-unit scheme
+    # (functions/exact_agg.py) keeps the accumulation on Tungsten's
+    # long-sum fast path, is exact under ANY fold order, and the ratio
+    # divides the identical recombined doubles in both engines (the
+    # 1e6 scale cancels), so the cross-engine hash still pins the
+    # whole path bit-for-bit.
+    rev_sql = "l_extendedprice * (1 - l_discount)"
+    cond_sql = (f"CASE WHEN supp_nation = '{target}' THEN {rev_sql} "
+                f"ELSE 0 END")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
@@ -2146,16 +2157,15 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == target, rev).otherwise(
-                        F.lit(0).cast("decimal(38,6)")
-                    )
-                ).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            exact_micros(cond_sql).alias("__n_mu"),
+            exact_micros(rev_sql).alias("__d_mu"),
+            exact_sum(rev_sql).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__n_mu") / F.col("__d_mu"), 6)
+            .alias("mkt_share"),
+            "total_revenue",
         )
         .orderBy("o_year")
     )
@@ -2163,18 +2173,15 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"q66_market_share": q66_market_share})
 
+_Q66_REV = "l.l_extendedprice * (1 - l.l_discount)"
+_Q66_COND = f"CASE WHEN ns.n_name = 'NATION_5' THEN {_Q66_REV} ELSE 0 END"
 ORACLE.update({
-    "q66_market_share": """
+    "q66_market_share": f"""
         SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-               ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
-                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                        AS DECIMAL(38,6))
-                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-                     / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                     AS DECIMAL(38,6))) AS DOUBLE), 6)
+               ROUND({exact_micros_oracle(_Q66_COND)}
+                     / {exact_micros_oracle(_Q66_REV)}, 6)
                    AS mkt_share,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
+               CAST({exact_sum_oracle(_Q66_REV)} AS DOUBLE)
                    AS total_revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2208,28 +2215,31 @@ def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
+    hi, lo = exact_parts("l_extendedprice * (1 - l_discount)")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(
-            # DECIMAL accumulation (r7 review): fold-order-exact, so
-            # both the argmax equality AND the rounded output are
-            # deterministic across engines — not just within one
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                  .cast("decimal(38,6)"))
-            .alias("raw_rev")
-        )
+        .agg(hi.alias("hi"), lo.alias("lo"))
+        # micro-unit accumulation (r9, was DECIMAL(38,6) since r7):
+        # the recombined micro total is fold-order-exact, so both the
+        # argmax equality AND the cents output are deterministic
+        # across engines — per-supplier micro totals sit far below
+        # 2^53 (and revenue is sign-uniform), so the recombined double
+        # IS the exact integer; the money output rounds in integer
+        # space (functions/exact_agg.py, the q83 law)
+        .withColumn("raw_mu", F.expr(micros_from_parts_sql("hi", "lo")))
     )
-    mx = rev.agg(F.max("raw_rev").alias("mx"))
+    mx = rev.agg(F.max("raw_mu").alias("mx"))
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("raw_rev") == F.col("mx"))
+        .filter(F.col("raw_mu") == F.col("mx"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select(
             "s_suppkey", "s_name",
-            F.round("raw_rev", 2).cast("double").alias("total_revenue"),
+            F.expr(rounded_from_parts_sql("hi", "lo", "DIV"))
+            .alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -2238,20 +2248,28 @@ def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"q67_top_supplier": q67_top_supplier})
 
 ORACLE.update({
-    "q67_top_supplier": """
-        WITH revenue AS (
+    "q67_top_supplier": f"""
+        WITH parts AS (
             SELECT l_suppkey,
-                   SUM(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(38,6))) AS raw_rev
+                   {exact_parts_oracle(
+                       'l_extendedprice * (1 - l_discount)')[0]} AS hi,
+                   {exact_parts_oracle(
+                       'l_extendedprice * (1 - l_discount)')[1]} AS lo
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-04-01'
             GROUP BY 1
+        ),
+        revenue AS (
+            SELECT l_suppkey, hi, lo,
+                   {micros_from_parts_sql('hi', 'lo')} AS raw_mu
+            FROM parts
         )
         SELECT s.s_suppkey, s.s_name,
-               CAST(ROUND(r.raw_rev, 2) AS DOUBLE) AS total_revenue
+               {rounded_from_parts_sql('r.hi', 'r.lo', '//')}
+                   AS total_revenue
         FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
-        WHERE r.raw_rev = (SELECT MAX(raw_rev) FROM revenue)
+        WHERE r.raw_mu = (SELECT MAX(raw_mu) FROM revenue)
         ORDER BY s.s_suppkey
     """,
 })
@@ -2542,37 +2560,37 @@ def q72_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     above 1.5× the mean per-part revenue, i.e. the group-vs-GLOBAL-
     SCALAR threshold pattern (Q11's HAVING SUM > SELECT-fraction).
 
-    Cross-engine determinism (the q66 lesson): all sums aggregate as
-    DECIMAL(38,6) — exact, order-independent — and the threshold
-    comparison is done on doubles derived from those exact decimals
-    (2·n·rev > 3·total avoids a decimal AVG, whose result type differs
-    between engines). Scale shape: one shuffle of lineitem on partkey;
-    the (total, n) scalar rides back as a broadcast one-row cross join.
+    Cross-engine determinism (the q66 lesson, micro-unit form since
+    r9): per-part sums keep the split (hi, lo) LONG pair — exact,
+    order-independent, on Tungsten's long-sum fast path instead of the
+    1.39-2.61x DECIMAL(38,6) tax — and the global total RE-FOLDS those
+    long parts (long sums are associative under any fold order; summing
+    per-part DOUBLES instead is fold-order-dependent and can flip a
+    strict-threshold boundary part between engines, the r7 review bug
+    class). The threshold compares recombined micro doubles that both
+    engines derive with the identical op sequence (2·n·rev > 3·total
+    avoids an AVG, whose result type differs between engines). Scale
+    shape: one shuffle of lineitem on partkey; the (total, n) scalar
+    rides back as a broadcast one-row cross join.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
-    )
+    hi, lo = exact_parts("l_extendedprice * (1 - l_discount)")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev).alias("rev_dec")
-    ).select(
-        "l_partkey", "rev_dec", F.col("rev_dec").cast("double").alias("revenue")
-    )
-    # total over the EXACT per-part decimals (r7 review): summing the
-    # per-part DOUBLES is fold-order-dependent, and the strict
-    # threshold can then include a boundary part in one engine and not
-    # the other — a row-count mismatch. One decimal sum, one cast.
+        hi.alias("hi"), lo.alias("lo")
+    ).withColumn("rev_mu", F.expr(micros_from_parts_sql("hi", "lo")))
     totals = per_part.agg(
-        F.sum("rev_dec").cast("double").alias("total_rev"),
+        F.expr(micros_from_parts_sql("SUM(hi)", "SUM(lo)"))
+        .alias("tot_mu"),
         F.count(F.lit(1)).alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(totals))
         .filter(
-            2 * F.col("n_parts") * F.col("revenue") > 3 * F.col("total_rev")
+            2 * F.col("n_parts") * F.col("rev_mu") > 3 * F.col("tot_mu")
         )
         .select("l_partkey",
-                F.round("rev_dec", 2).cast("double").alias("revenue"))
+                F.expr(rounded_from_parts_sql("hi", "lo", "DIV"))
+                .alias("revenue"))
         .orderBy(F.desc("revenue"), "l_partkey")
     )
 
@@ -2580,20 +2598,26 @@ def q72_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"q72_important_parts": q72_important_parts})
 
 ORACLE.update({
-    "q72_important_parts": """
+    "q72_important_parts": f"""
         WITH per_part AS (
             SELECT l_partkey,
-                   SUM(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(38,6))) AS rev_dec
+                   {exact_parts_oracle('l_extendedprice * (1 - l_discount)')[0]}
+                       AS hi,
+                   {exact_parts_oracle('l_extendedprice * (1 - l_discount)')[1]}
+                       AS lo
             FROM lineitem GROUP BY 1
         ),
-        t AS (SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total_rev,
+        pp AS (SELECT l_partkey, hi, lo,
+                      {micros_from_parts_sql('hi', 'lo')} AS rev_mu
+               FROM per_part),
+        t AS (SELECT {micros_from_parts_sql('SUM(hi)', 'SUM(lo)')}
+                         AS tot_mu,
                      COUNT(*) AS n_parts
               FROM per_part)
         SELECT p.l_partkey,
-               CAST(ROUND(p.rev_dec, 2) AS DOUBLE) AS revenue
-        FROM per_part p, t
-        WHERE 2 * t.n_parts * CAST(p.rev_dec AS DOUBLE) > 3 * t.total_rev
+               {rounded_from_parts_sql('p.hi', 'p.lo', '//')} AS revenue
+        FROM pp p, t
+        WHERE 2 * t.n_parts * p.rev_mu > 3 * t.tot_mu
         ORDER BY revenue DESC, l_partkey
     """,
 })
@@ -2809,12 +2833,7 @@ def q75_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.agg(
         F.count("*").alias("n_lineitems"),
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(38,6)")
-            ), 2
-        ).cast("double").alias("revenue"),
+        exact_sum("l_extendedprice * (1 - l_discount)").alias("revenue"),
     )
 
 
@@ -2823,9 +2842,10 @@ def q76_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped revenue coming from PROMO-type parts — one pass over the
     date-pruned lineitem⋈part join computing both the conditional and
     the unconditional sum (no second scan, no self-join), then the
-    scalar division. Both sums follow the q66 decimal discipline
-    (DECIMAL(38,6) accumulate → cast double → round) so the ratio is
-    order-independent and bit-stable across engines.
+    scalar division. Both sums follow the q66 micro-unit discipline
+    (split-two-long exact accumulate, functions/exact_agg.py) so the
+    ratio divides identical recombined doubles in both engines —
+    order-independent and bit-stable, without the decimal per-row tax.
 
     Scale shape: the shipdate filter prunes at the scan; part
     broadcasts; a single partial-aggregable projection produces one
@@ -2836,24 +2856,26 @@ def q76_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-01-01")
     ).select("l_partkey", "l_extendedprice", "l_discount")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
-    )
+    rev_sql = "l_extendedprice * (1 - l_discount)"
+    promo_sql = f"CASE WHEN p_type = 'PROMO' THEN {rev_sql} ELSE 0 END"
+    p_hi, p_lo = exact_parts(promo_sql)
+    t_hi, t_lo = exact_parts(rev_sql)
     agg = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev)
-                  .otherwise(F.lit(0).cast("decimal(38,6)")))
-            .alias("__promo"),
-            F.sum(rev).alias("__total"),
+            p_hi.alias("__phi"), p_lo.alias("__plo"),
+            t_hi.alias("__thi"), t_lo.alias("__tlo"),
         )
     )
     return agg.select(
-        F.round(F.col("__promo"), 2).cast("double").alias("promo_revenue"),
-        F.round(F.col("__total"), 2).cast("double").alias("total_revenue"),
+        F.expr(rounded_from_parts_sql("__phi", "__plo", "DIV"))
+        .alias("promo_revenue"),
+        F.expr(rounded_from_parts_sql("__thi", "__tlo", "DIV"))
+        .alias("total_revenue"),
         F.round(
-            (F.lit(100.0) * F.col("__promo").cast("double")
-             / F.col("__total").cast("double")),
+            F.lit(100.0)
+            * F.expr(micros_from_parts_sql("__phi", "__plo"))
+            / F.expr(micros_from_parts_sql("__thi", "__tlo")),
             4,
         ).alias("promo_share_pct"),
     )
@@ -2911,11 +2933,10 @@ QUERIES.update({
 })
 
 ORACLE.update({
-    "q75_disjunctive_pushdown": """
+    "q75_disjunctive_pushdown": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
-                   AS revenue
+               CAST({exact_sum_oracle('l_extendedprice * (1 - l_discount)')}
+                    AS DOUBLE) AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
                AND l_quantity BETWEEN 1 AND 11)
@@ -2924,24 +2945,34 @@ ORACLE.update({
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
                AND l_quantity BETWEEN 20 AND 30)
     """,
-    "q76_promo_revenue_share": """
+    "q76_promo_revenue_share": f"""
         WITH j AS (
-            SELECT CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(38,6)) AS rev,
-                   p_type
+            SELECT l_extendedprice, l_discount, p_type
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
+        ),
+        parts AS (
+            SELECT {exact_parts_oracle(
+                "CASE WHEN p_type = 'PROMO' THEN "
+                "l_extendedprice * (1 - l_discount) ELSE 0 END")[0]} AS phi,
+                   {exact_parts_oracle(
+                "CASE WHEN p_type = 'PROMO' THEN "
+                "l_extendedprice * (1 - l_discount) ELSE 0 END")[1]} AS plo,
+                   {exact_parts_oracle(
+                'l_extendedprice * (1 - l_discount)')[0]} AS thi,
+                   {exact_parts_oracle(
+                'l_extendedprice * (1 - l_discount)')[1]} AS tlo
+            FROM j
         )
-        SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                   ELSE CAST(0 AS DECIMAL(38,6)) END),
-                     2) AS DOUBLE) AS promo_revenue,
-               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
-               ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                           ELSE CAST(0 AS DECIMAL(38,6)) END)
-                                  AS DOUBLE)
-                     / CAST(SUM(rev) AS DOUBLE), 4) AS promo_share_pct
-        FROM j
+        SELECT {rounded_from_parts_sql('phi', 'plo', '//')}
+                   AS promo_revenue,
+               {rounded_from_parts_sql('thi', 'tlo', '//')}
+                   AS total_revenue,
+               ROUND(100.0 * {micros_from_parts_sql('phi', 'plo')}
+                     / {micros_from_parts_sql('thi', 'tlo')}, 4)
+                   AS promo_share_pct
+        FROM parts
     """,
     "q77_qualified_suppliers": """
         SELECT s_suppkey, s_name
@@ -3193,8 +3224,10 @@ def q81_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the orders join (pinned in test_plan_shapes.py: the
     Like/Contains filter sits under the join, not above it). supplier
     ⋈nation rides in as a broadcast attribute. One partial aggregate
-    over |nations|×|years| groups; sums follow the q66 DECIMAL(38,6)
-    discipline for cross-engine bit-stability.
+    over |nations|×|years| groups; sums follow the q66 micro-unit
+    discipline (exact_agg.py — long-fast-path, exact under any fold
+    order, negatives safe: profit can be negative and FLOOR(x+0.5)
+    half-up is a defined law mirrored bit-for-bit in both engines).
     """
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
@@ -3215,17 +3248,14 @@ def q81_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount",
     )
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
-    ).cast("decimal(38,6)")
+    amount_sql = ("l_extendedprice * (1 - l_discount)"
+                  " - p_retailprice * l_quantity * CAST(0.1 AS DOUBLE)")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
-        # decimal-space rounding, then cast — see q83's boundary note
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(exact_sum(amount_sql).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -3233,13 +3263,13 @@ def q81_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"q81_profit_by_nation_year": q81_profit_by_nation_year})
 
 ORACLE.update({
-    "q81_profit_by_nation_year": """
+    "q81_profit_by_nation_year": f"""
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-               CAST(ROUND(SUM(CAST(
-                   l.l_extendedprice * (1 - l.l_discount)
-                   - p.p_retailprice * l.l_quantity * 0.1
-               AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_profit
+               CAST({exact_sum_oracle(
+                   'l.l_extendedprice * (1 - l.l_discount)'
+                   ' - p.p_retailprice * l.l_quantity'
+                   ' * CAST(0.1 AS DOUBLE)')} AS DOUBLE) AS sum_profit
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -3333,8 +3363,8 @@ def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributes to the aggregate OUTPUT (not to every lineitem — the
     attribute join after the groupBy keeps the shuffle narrow).
     TakeOrderedAndProject caps at 20; revenue follows the q66
-    DECIMAL(38,6) discipline and the tie-break on c_custkey makes the
-    cutoff total.
+    micro-unit discipline (exact_agg.py) and the tie-break on
+    c_custkey makes the cutoff total.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -3343,17 +3373,14 @@ def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
-    )
     per_cust = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        # round IN DECIMAL SPACE, then cast: rounding the double image
-        # of an exact .xx5 decimal (e.g. 307843.595) is engine-dependent
-        # (the nearest double sits below the half), while HALF_UP on the
-        # decimal itself is bit-identical in Spark and DuckDB
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        # exact integer micro-units, recombined and rounded with the
+        # identical op sequence in both engines — the same .xx5-half
+        # safety the decimal form bought, minus its per-row tax
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)")
+             .alias("revenue"))
     )
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -3377,11 +3404,11 @@ def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"q83_returned_item_customers": q83_returned_item_customers})
 
 ORACLE.update({
-    "q83_returned_item_customers": """
+    "q83_returned_item_customers": f"""
         SELECT c.c_custkey, c.c_name,
                ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
+               CAST({exact_sum_oracle(
+                   'l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE)
                    AS revenue
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -37,32 +38,51 @@ RUNNING_TOTALS_OUTPUT = StructType([
     StructField("total_value", DoubleType()),
 ])
 
+# state carries the value total in INTEGER MICRO-UNITS (the repo-wide
+# exact-money discipline, functions/exact_agg.py): a double running
+# total folds in micro-batch arrival order, so replaying the same
+# events through a different batch split could flip the last ulp —
+# long micro sums are exact and order-independent, which is what makes
+# the operator's output replay-exact (and x111 oracle-checkable).
 RUNNING_TOTALS_STATE = StructType([
     StructField("n", LongType()),
-    StructField("total", DoubleType()),
+    StructField("total_micros", LongType()),
 ])
+
+
+def _micros(values: pd.Series) -> int:
+    """Exact micro-unit total of a batch: FLOOR(v·1e6 + 0.5) per row
+    (the exact_agg half-up law — identical IEEE ops in numpy, Spark
+    SQL, and DuckDB), summed. NaNs are skipped like SUM's."""
+    v = values.dropna().to_numpy(dtype=np.float64)
+    return int(np.floor(v * 1e6 + 0.5).sum())
 
 
 def _make_update_fn(idle_timeout_ms: int | None):
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        """Accumulate per-user (count, sum(value)) across micro-batches
-        and emit the updated running totals once per batch-with-data."""
+        """Accumulate per-user (count, micro-unit sum(value)) across
+        micro-batches and emit the updated running totals once per
+        batch-with-data."""
         if state.hasTimedOut:
             # idle user: emit nothing, drop the state (bounded state size)
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_micros = state.get if state.exists else (0, 0)
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_micros += _micros(pdf["value"])
+        state.update((n, total_micros))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
-        )
+        # float(micros)/1e6 is the same double both SQL engines derive
+        # from the same integer — emitted unrounded, exact to 1e-6
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [float(total_micros) / 1e6],
+        })
 
     return update
 

@@ -129,6 +129,21 @@ HEADLINE = [
     "x108_stratified_threshold",
     "q86_merge_roundtrip",
     "x109_ledger_compaction_fold",
+    # round-9: the new faces carry perf accountability from day one —
+    # the exact global packer (two-phase prefix scan + segment explode)
+    # and the applyInPandasWithState running totals (per-micro-batch
+    # Arrow round-trip through the state store); plus the converted
+    # decimal-sum shapes so the micro-unit speedup is visible in the
+    # round-over-round record (q63 two-level pivot re-fold, q66 ratio,
+    # q67 argmax, q72 threshold, q76 scalar ratio, q83 top-20)
+    "x110_pack_concat_chunks",
+    "x111_stateful_running_totals",
+    "q63_pivot_revenue_matrix",
+    "q66_market_share",
+    "q67_top_supplier",
+    "q72_important_parts",
+    "q76_promo_revenue_share",
+    "q83_returned_item_customers",
 ]
 
 

@@ -108,6 +108,26 @@ def test_null_values_follow_avg_semantics(spark):
     assert list(sdf["m"].fillna(-1)) == list(odf["m"].fillna(-1))
 
 
+def test_exact_half_sums_round_identically(spark):
+    # the q83 r9 driver red row: a group summing to 307843.595 —
+    # Spark's ROUND(double, 2) rounds the shortest decimal repr
+    # (→ .60) while DuckDB rounds the binary value (→ .59). The cents
+    # law resolves the half in integer space, so both engines must
+    # emit the SAME value, and it must be the half-away answer.
+    halves = [("a", 307843.595), ("b", 100000.0), ("b", 207843.595),
+              ("c", 0.005), ("d", -0.005), ("e", -307843.595)]
+    df = spark.createDataFrame(halves, "g string, v double")
+    sdf = (df.groupBy("g").agg(exact_sum("v").alias("s"))
+           .orderBy("g").toPandas())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(halves, columns=["g", "v"]))
+    odf = con.execute(
+        f"SELECT g, {exact_sum_oracle('v')} AS s FROM t GROUP BY g ORDER BY g"
+    ).fetchdf()
+    assert list(sdf["s"]) == list(odf["s"])
+    assert list(sdf["s"]) == [307843.6, 307843.6, 0.01, -0.01, -307843.6]
+
+
 def test_values_match_plain_aggregates_away_from_boundaries(spark):
     # sanity: on values without sub-cent precision the exact forms equal
     # the plain double aggregates rounded to 2 dp

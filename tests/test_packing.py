@@ -162,8 +162,12 @@ def test_no_single_partition_window_funnel(spark):
     plan = seg._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     # every row-level window (ordered by the doc hash) must carry the
-    # physical-partition key — an unpartitioned one would be the funnel
+    # hash-band key — an unpartitioned one would be the funnel
     row_windows = [ln for ln in plan.splitlines()
                    if "Window" in ln and "__ph" in ln]
     assert row_windows, plan
-    assert all("__pid" in ln for ln in row_windows), plan
+    assert all("__band" in ln for ln in row_windows), plan
+    # r9: the band is a projection, not a range partitioner — no
+    # sampling pass, and the full data shuffles exactly once (for the
+    # per-band window; the offsets side is a map-side partial agg)
+    assert "RangePartitioning" not in plan, plan

@@ -60,15 +60,47 @@ def test_green_tier_orders_stalest_first():
     """Tier 3 (already driver-certified queries) must order by the
     round of their LATEST green row ascending — the freed budget slots
     automatically re-certify whatever the driver has not seen longest,
-    with no hand-maintained rotation list."""
+    with no hand-maintained rotation list. Since r9, certification
+    FAMILIES are the exception: after the stalest member of each
+    ``_CERT_FAMILIES`` group, the remaining members defer to the end
+    of the schedule (one family never spends multiple budget rows per
+    round re-certifying the same operator)."""
     names = list(entrymod.queries())
     latest = plans._latest_green_round()
+    fam_members = {m for fam in plans._CERT_FAMILIES for m in fam}
     tier3 = [
         n for n in names
         if n not in plans._DRIVER_PRIORITY and n in latest
     ]
-    rounds = [latest[n] for n in tier3]
-    assert rounds == sorted(rounds), (
-        "green tier not stalest-first: "
-        f"{[(n, latest[n]) for n in tier3[:10]]} ..."
+    # the deferred family members form a contiguous TAIL; everything
+    # before it is stalest-first
+    first_kept_by_fam: dict[int, str] = {}
+    fam_of = {m: i for i, fam in enumerate(plans._CERT_FAMILIES)
+              for m in fam}
+    kept, deferred = [], []
+    for n in tier3:
+        f = fam_of.get(n)
+        if f is not None and f in first_kept_by_fam:
+            deferred.append(n)
+        else:
+            if f is not None:
+                first_kept_by_fam[f] = n
+            kept.append(n)
+    assert tier3 == kept + deferred, (
+        "deferred family members must trail the schedule: "
+        f"{tier3[-8:]}"
     )
+    rounds = [latest[n] for n in kept]
+    assert rounds == sorted(rounds), (
+        "green tier (family-deduped) not stalest-first: "
+        f"{[(n, latest[n]) for n in kept[:10]]} ..."
+    )
+    # each deferred name is a family member whose kept representative
+    # is at least as stale
+    for n in deferred:
+        rep = first_kept_by_fam[fam_of[n]]
+        assert latest[rep] <= latest[n], (n, rep)
+    # and the deferred tail itself stays stalest-first, so budget that
+    # reaches it still certifies the oldest family residue first
+    drounds = [latest[n] for n in deferred]
+    assert drounds == sorted(drounds), deferred

@@ -159,9 +159,12 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
                         ORDER BY n_events DESC) rn FROM {name})
             WHERE rn = 1"""
     )
+    # the operator accumulates exact integer micro-units (replay-exact,
+    # order-independent) and emits micros/1e6 — mirror that arithmetic
     expected = batch.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        (F.expr("CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) "
+                "AS DOUBLE)") / F.lit(1e6)).alias("total_value"),
     )
     g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
     e = {r.user_id: (r.n_events, r.total_value) for r in expected.collect()}

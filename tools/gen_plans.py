@@ -125,7 +125,7 @@ SECTIONS = [
     ("q81_profit_by_nation_year",
      "Q9 shape: p_name LIKE filter at the part scan prunes lineitem "
      "via broadcast BEFORE the orders join; one 2-key aggregate with "
-     "decimal-exact sums"),
+     "micro-unit exact sums on the long fast path"),
     ("q82_large_volume_customers",
      "Q18 shape: grouped-HAVING subquery and per-order quantity from "
      "ONE lineitem aggregate (single scan); heavy-order survivors "
@@ -138,6 +138,17 @@ SECTIONS = [
      "content-defined chunking: boundary flags prefix-summed in ONE "
      "doc_id window shuffle; the (doc, span) regroup reuses that "
      "partitioning (subset-of-keys), cross-doc rank on xxhash64(span)"),
+    ("x110_pack_concat_chunks",
+     "exact global packing: hash-band two-phase prefix scan — band is "
+     "a pure projection (no RangePartitioning, no sampling job), "
+     "offsets side is a map-side partial agg (|bands| rows shuffle), "
+     "data shuffles ONCE for the per-band window; segment explode "
+     "via Generate(sequence)"),
+    ("q63_pivot_revenue_matrix",
+     "pivot with exact money cells: per-(cust,month) hi/lo LONG part "
+     "sums below the customer join; pivot re-folds the parts (long "
+     "sums associative under any fold order); cents materialize once "
+     "per cell in the final Project"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
