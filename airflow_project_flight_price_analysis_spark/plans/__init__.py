@@ -49,6 +49,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q76_promo_revenue_share",
     "q81_profit_by_nation_year",
     "q83_returned_item_customers",
+    # the proactive sweep of the same exact-half class: raw double
+    # sums of 4-/6-decimal derived money rounded to cents (2-decimal
+    # input sums are safe — they cannot land near a cent half and keep
+    # the plain double path)
+    "q37_pricing_summary",
+    "q38_shipping_priority",
+    "q39_forecast_revenue",
+    "q41_local_supplier_volume",
 )
 # Tier 2 (automatic, no green row) as of round-9: the two new driver
 # faces — x110_pack_concat_chunks (the r8 exact packer, r8 verdict

@@ -861,8 +861,14 @@ def q37_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            # 4- and 6-decimal derived money rounded to cents — the
+            # exact-half class q83 reddened on (r9); the 2-decimal
+            # inputs above cannot land near a cent half, so their
+            # plain double sums stay
+            exact_sum("l_extendedprice * (1 - l_discount)")
+            .alias("sum_disc_price"),
+            exact_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+            .alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -882,7 +888,8 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)")
+             .alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -900,8 +907,7 @@ def q39_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-            .alias("revenue"),
+            exact_sum("l_extendedprice * l_discount").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -918,8 +924,8 @@ ORACLE.update({
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               {SUM_DISC} AS sum_disc_price,
+               {SUM_CHARGE} AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -927,7 +933,7 @@ ORACLE.update({
     """,
     "q38_shipping_priority": """
         SELECT o_orderkey, o_orderdate, o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {REV} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > TIMESTAMP '1998-06-01'
           AND o_orderdate < TIMESTAMP '1998-06-01'
@@ -936,7 +942,7 @@ ORACLE.update({
         LIMIT 10
     """,
     "q39_forecast_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT {REV_DISC} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -945,6 +951,21 @@ ORACLE.update({
           AND l_quantity < 24
     """,
 })
+
+# 4-/6-decimal derived-money sums rounded to cents take the exact
+# micro-unit cents law (the q83 r9 exact-half class); 2-decimal input
+# sums above keep plain doubles (cannot land near a cent half)
+ORACLE["q37_pricing_summary"] = ORACLE["q37_pricing_summary"].format(
+    SUM_DISC=exact_sum_oracle("l_extendedprice * (1 - l_discount)"),
+    SUM_CHARGE=exact_sum_oracle(
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+)
+ORACLE["q38_shipping_priority"] = ORACLE["q38_shipping_priority"].format(
+    REV=exact_sum_oracle("l_extendedprice * (1 - l_discount)"),
+)
+ORACLE["q39_forecast_revenue"] = ORACLE["q39_forecast_revenue"].format(
+    REV_DISC=exact_sum_oracle("l_extendedprice * l_discount"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1006,7 +1027,8 @@ def q41_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               (nation.n_regionkey == region.r_regionkey)
               & (region.r_name == "ASIA"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)")
+             .alias("revenue"),
              F.count("*").alias("n_lines"))
         .orderBy(F.desc("revenue"), "nation")
     )
@@ -1017,7 +1039,7 @@ QUERIES.update({"q41_local_supplier_volume": q41_local_supplier_volume})
 ORACLE.update({
     "q41_local_supplier_volume": """
         SELECT n_name AS nation,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {REV} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -1029,6 +1051,12 @@ ORACLE.update({
         ORDER BY revenue DESC, nation
     """,
 })
+
+ORACLE["q41_local_supplier_volume"] = (
+    ORACLE["q41_local_supplier_volume"].format(
+        REV=exact_sum_oracle("l_extendedprice * (1 - l_discount)"),
+    )
+)
 
 
 def q42_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
