@@ -163,7 +163,15 @@ def exact_sum(value_sql: str) -> Column:
     micro total (see module docstring: ROUND(double, 2) diverges
     between engines on exact .xx5 halves — q83's r9 driver red row);
     negatives are safe (the divided operand is non-negative by
-    construction). Exact to ±$9.2e16 per group."""
+    construction). Exact to ±$9.2e16 per group.
+
+    FEW-GROUP outputs only (r9 A/B): the wide recombination runs once
+    per GROUP, so when |groups| ~ |rows| (per-order, per-customer
+    aggregates) it is effectively per-row — q38 measured 2.0× over a
+    plain double sum that way. For many-group shapes carry
+    :func:`exact_parts` through the aggregate and round late with
+    ``rounded_from_parts_sql`` on the (few) surviving rows — the q38
+    top-k / q63 pivot / q67 argmax discipline."""
     return F.expr(_sum_micros_sql(value_sql, "DIV"))
 
 

@@ -877,10 +877,23 @@ def q37_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped orders by revenue — selective
-    filters on both join sides reach the scans; top-k is TakeOrdered."""
+    filters on both join sides reach the scans; top-k is TakeOrdered.
+
+    Exact-money discipline, LATE-CENTS form (r9 A/B): unlike the other
+    converted sums, this aggregate has ~|orders| GROUPS, so exact_sum's
+    once-per-group wide recombination runs effectively per-row — the
+    interleaved A/B measured 2.0× over the old double sum (the only
+    conversion regression; the few-group shapes were 0.4-0.9×). The
+    groups therefore carry only the split (hi, lo) LONG pair, the
+    top-10 ranks on the recombined micro total (exact: per-order
+    totals are sign-uniform and far below 2^53 micros), and the cents
+    law materializes for the 10 SURVIVORS only. Ranking on unrounded
+    micros refines the old rounded-cents order — a cutoff tie in cents
+    now resolves by exact total first, then o_orderkey; both engines
+    replay the identical rule."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    hi, lo = exact_parts("l_extendedprice * (1 - l_discount)")
     return (
         li.filter(F.col("l_shipdate") > F.lit("1998-06-01"))
         .join(
@@ -888,10 +901,15 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(exact_sum("l_extendedprice * (1 - l_discount)")
-             .alias("revenue"))
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .agg(hi.alias("__hi"), lo.alias("__lo"))
+        .withColumn("__mu", F.expr(micros_from_parts_sql("__hi", "__lo")))
+        .orderBy(F.desc("__mu"), "o_orderkey")
         .limit(10)
+        .select(
+            "o_orderkey", "o_orderdate", "o_orderpriority",
+            F.expr(rounded_from_parts_sql("__hi", "__lo", "DIV"))
+            .alias("revenue"),
+        )
     )
 
 
@@ -932,13 +950,18 @@ ORACLE.update({
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q38_shipping_priority": """
+        WITH per_order AS (
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   {HI} AS hi, {LO} AS lo
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > TIMESTAMP '1998-06-01'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+        )
         SELECT o_orderkey, o_orderdate, o_orderpriority,
                {REV} AS revenue
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate > TIMESTAMP '1998-06-01'
-          AND o_orderdate < TIMESTAMP '1998-06-01'
-        GROUP BY 1, 2, 3
-        ORDER BY revenue DESC, o_orderkey
+        FROM per_order
+        ORDER BY {MU} DESC, o_orderkey
         LIMIT 10
     """,
     "q39_forecast_revenue": """
@@ -960,8 +983,12 @@ ORACLE["q37_pricing_summary"] = ORACLE["q37_pricing_summary"].format(
     SUM_CHARGE=exact_sum_oracle(
         "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
 )
+_Q38_PARTS = exact_parts_oracle("l_extendedprice * (1 - l_discount)")
 ORACLE["q38_shipping_priority"] = ORACLE["q38_shipping_priority"].format(
-    REV=exact_sum_oracle("l_extendedprice * (1 - l_discount)"),
+    HI=_Q38_PARTS[0],
+    LO=_Q38_PARTS[1],
+    MU=micros_from_parts_sql("hi", "lo"),
+    REV=rounded_from_parts_sql("hi", "lo", "//"),
 )
 ORACLE["q39_forecast_revenue"] = ORACLE["q39_forecast_revenue"].format(
     REV_DISC=exact_sum_oracle("l_extendedprice * l_discount"),

@@ -53,9 +53,13 @@ RUNNING_TOTALS_STATE = StructType([
 def _micros(values: pd.Series) -> int:
     """Exact micro-unit total of a batch: FLOOR(v·1e6 + 0.5) per row
     (the exact_agg half-up law — identical IEEE ops in numpy, Spark
-    SQL, and DuckDB), summed. NaNs are skipped like SUM's."""
+    SQL, and DuckDB), summed. NaNs are skipped like SUM's. The per-row
+    floors convert to int64 BEFORE summing: a float64 fold of exact
+    integer doubles rounds once the partial total passes 2^53 micros
+    (~$9e9 in one user-batch), while the int64 sum is exact to the
+    state word's own ±9.2e18 bound."""
     v = values.dropna().to_numpy(dtype=np.float64)
-    return int(np.floor(v * 1e6 + 0.5).sum())
+    return int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
 
 
 def _make_update_fn(idle_timeout_ms: int | None):
