@@ -3417,9 +3417,16 @@ def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |customers| groups, then broadcast customer⋈nation attaches
     attributes to the aggregate OUTPUT (not to every lineitem — the
     attribute join after the groupBy keeps the shuffle narrow).
-    TakeOrderedAndProject caps at 20; revenue follows the q66
-    micro-unit discipline (exact_agg.py) and the tie-break on
-    c_custkey makes the cutoff total.
+    TakeOrderedAndProject caps at 20; revenue follows the q38
+    LATE-CENTS discipline (the q66 micro-unit exactness with the wide
+    recombination deferred past the top-k): the per-customer aggregate
+    — |customers| groups, the many-group shape where exact_sum's
+    once-per-group wide op is effectively per-row — carries only the
+    split (hi, lo) long pair, ranks on the recombined micro double
+    (exact: sign-uniform, far below 2^53 micros per customer), and
+    materializes cents for the 20 SURVIVORS only. A cutoff tie in
+    cents resolves by exact total first, then c_custkey — both
+    engines replay the identical rule.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -3428,14 +3435,12 @@ def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
+    hi, lo = exact_parts("l_extendedprice * (1 - l_discount)")
     per_cust = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        # exact integer micro-units, recombined and rounded with the
-        # identical op sequence in both engines — the same .xx5-half
-        # safety the decimal form bought, minus its per-row tax
-        .agg(exact_sum("l_extendedprice * (1 - l_discount)")
-             .alias("revenue"))
+        .agg(hi.alias("__hi"), lo.alias("__lo"))
+        .withColumn("__mu", F.expr(micros_from_parts_sql("__hi", "__lo")))
     )
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -3448,32 +3453,38 @@ def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("__mu"), "c_custkey")
+        .limit(20)
         .select("c_custkey", "c_name",
                 F.round("c_acctbal", 2).alias("c_acctbal"),
-                "n_name", "revenue")
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
+                "n_name",
+                F.expr(rounded_from_parts_sql("__hi", "__lo", "DIV"))
+                .alias("revenue"))
     )
 
 
 QUERIES.update({"q83_returned_item_customers": q83_returned_item_customers})
 
+_Q83_PARTS = exact_parts_oracle("l.l_extendedprice * (1 - l.l_discount)")
 ORACLE.update({
     "q83_returned_item_customers": f"""
-        SELECT c.c_custkey, c.c_name,
-               ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name,
-               CAST({exact_sum_oracle(
-                   'l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE)
-                   AS revenue
-        FROM customer c
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderdate >= DATE '1996-01-01'
-          AND o.o_orderdate < DATE '1996-04-01'
-          AND l.l_returnflag = 'R'
-        GROUP BY 1, 2, 3, 4
-        ORDER BY revenue DESC, c.c_custkey
+        WITH per_cust AS (
+            SELECT c.c_custkey, c.c_name,
+                   ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name,
+                   {_Q83_PARTS[0]} AS hi, {_Q83_PARTS[1]} AS lo
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {rounded_from_parts_sql('hi', 'lo', '//')} AS revenue
+        FROM per_cust
+        ORDER BY {micros_from_parts_sql('hi', 'lo')} DESC, c_custkey
         LIMIT 20
     """,
 })

@@ -138,6 +138,10 @@ HEADLINE = [
     # q67 argmax, q72 threshold, q76 scalar ratio, q83 top-20)
     "x110_pack_concat_chunks",
     "x111_stateful_running_totals",
+    # q38 carries the LATE-CENTS many-group discipline (exact_parts
+    # through the aggregate, cents for the top-k survivors only — the
+    # form that erased the one conversion regression the r9 A/B found)
+    "q38_shipping_priority",
     "q63_pivot_revenue_matrix",
     "q66_market_share",
     "q67_top_supplier",

@@ -463,3 +463,17 @@ def test_q80_q82_scaling_sides_left_to_aqe(spark):
         plan = _plan(_Q["q80_min_cost_supplier"](spark, SF_ORACLE))
         n = plan.count("BroadcastExchange")
         assert n == 2, f"q80: {n} BroadcastExchange (want 2 fixed dims)"
+
+
+def test_late_cents_topk_stays_take_ordered(spark):
+    """q38/q83 (r9 late-cents rework): ranking on the recombined micro
+    double and projecting cents AFTER the limit must still compile to
+    TakeOrderedAndProject — a global Sort before the limit would mean
+    the projection-through-limit pushout broke and the many-group
+    aggregate is paying a full cluster sort for a top-k."""
+    for name in ("q38_shipping_priority", "q83_returned_item_customers"):
+        plan = _plan(_Q[name](spark, SF_ORACLE))
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), (
+            f"{name} pays a global sort:\n{plan}"
+        )
