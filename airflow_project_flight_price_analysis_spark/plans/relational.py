@@ -2266,9 +2266,9 @@ def q67_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back with a crossJoin filter; the supplier name attaches via
     broadcast at the end, to |argmax| rows only.
     """
-    lo, hi = "1997-01-01", "1997-04-01"
+    d_lo, d_hi = "1997-01-01", "1997-04-01"
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        (F.col("l_shipdate") >= d_lo) & (F.col("l_shipdate") < d_hi)
     )
     hi, lo = exact_parts("l_extendedprice * (1 - l_discount)")
     rev = (
