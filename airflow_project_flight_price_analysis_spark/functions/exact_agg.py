@@ -41,9 +41,12 @@ recombines into one WIDE integer (DECIMAL(38,0) in Spark — one decimal
 op per GROUP, not per row, so the r8 perf win stands; native HUGEINT in
 DuckDB — its DECIMAL ``//`` detours through doubles), and half-away-
 from-zero division happens on integers: cents = sign(t) · (|t| + 5000)
-intdiv 10⁴. The divided operand is always non-negative, which sidesteps
-the one integer-division divergence (DuckDB ``//`` floors, Spark
-``DIV`` truncates — identical on non-negatives). The final
+intdiv 10⁴. The divided operand is always non-negative, where every
+integer-division semantics (floor, truncate) coincides — so the law
+holds even if either engine's ``//``/``DIV``/``%`` rounding convention
+changes across versions (current DuckDB ``//`` and ``%`` truncate like
+Spark's, but only the non-negative-operand invariant is relied on). The
+final
 ``CAST(cents AS DOUBLE)/100`` maps equal integers to equal doubles at
 any magnitude. Exactness bound: cents fit int64 to ±$9.2e16 per group
 (a 100 TB lineitem summed into ONE group is ~$2.3e16 — 4× headroom;
@@ -52,10 +55,11 @@ the r8 double recombination was already cent-lossy past $9e9).
 Engine mirroring notes (why the template has two knobs):
 - integer division spells ``DIV`` in Spark SQL, ``//`` in DuckDB; the
   wide type spells ``DECIMAL(38,0)`` in Spark, ``HUGEINT`` in DuckDB;
-- per-row hi/lo splits may differ between engines on NEGATIVE values
-  (floor-mod vs trunc-mod) — the divmod identity v = hi·1e6 + lo holds
-  either way, so recombined totals are identical; only the raw part
-  values are engine-local;
+- per-row hi/lo splits on NEGATIVE values depend on each engine's
+  div/mod rounding convention, which may differ across versions (treat
+  the parts as engine-local) — the divmod identity v = hi·1e6 + lo
+  holds under ANY matched div/mod pair, so recombined totals are
+  identical regardless;
 - Spark's FLOOR(double) already returns BIGINT and DuckDB's returns
   DOUBLE — the explicit CAST is a no-op in Spark and required in
   DuckDB (exact: |v| ≤ 1.2e11 ≪ 2^53);
@@ -107,8 +111,9 @@ def _cents_sql(t_sql: str, int_div: str, cnt_sql: str | None = None) -> str:
     (10000·n). Pure integer arithmetic — the .xx5 half resolves BEFORE
     any double exists (the q83 r9 lesson: ROUND(double, 2) is the one
     op Spark and DuckDB disagree on). The divided operand is
-    non-negative, where DuckDB's floor-`//` and Spark's trunc-`DIV`
-    coincide. NULL t (empty group) → NULL; n = 0 (all-NULL group)
+    non-negative, where every integer-division convention (floor,
+    truncate) coincides — the only cross-engine property relied on.
+    NULL t (empty group) → NULL; n = 0 (all-NULL group)
     divides by zero → NULL in both engines (non-ANSI Spark, DuckDB)."""
     adj = "5000" if cnt_sql is None else f"(5000 * {cnt_sql})"
     den = "10000" if cnt_sql is None else f"(10000 * {cnt_sql})"
@@ -186,12 +191,10 @@ def exact_sum_oracle(value_sql: str) -> str:
 # shape. Three relational shapes need the raw accumulator instead:
 #
 # - RATIOS (q66/q76): ROUND(total_a / total_b, n) needs both totals
-#   UNROUNDED — take the recombined micro totals; the 1e6 scale cancels
-#   and both engines divide the identical pair of doubles. (A ROUND of
-#   the QUOTIENT can still diverge at a shortest-repr .xx…5 boundary,
-#   but a quotient of two large sums landing exactly there is the
-#   ~2e-16/row class of risk already accepted for x107's pow — unlike
-#   money SUMS, which hit exact halves at ~1% of groups.)
+#   UNROUNDED. r9 accepted ROUND on the double quotient (a ~2e-16/row
+#   risk class); r10 retires even that with ratio_from_parts_sql —
+#   half-away rounding of the exact RATIONAL a/b in wide-integer
+#   space, so no double ever rounds anywhere in a money output path.
 # - ARGMAX/THRESHOLD on the accumulator (q67/q72): equality and
 #   comparison on the recombined micro totals is deterministic because
 #   both engines compute bit-identical doubles (below 2^53 micros the
@@ -216,9 +219,10 @@ def exact_parts(value_sql: str) -> tuple[Column, Column]:
 def exact_parts_oracle(value_sql: str) -> tuple[str, str]:
     """The DuckDB mirror of :func:`exact_parts` (CAST to BIGINT: DuckDB
     SUM(BIGINT) returns HUGEINT, which would leak into schema compares
-    if the parts themselves were ever output). On negative inputs the
-    raw part values are engine-local (floor-mod vs trunc-mod splits) —
-    identical after recombination, per the divmod identity."""
+    if the parts themselves were ever output). On negative inputs treat
+    the raw part values as engine-local (div/mod rounding conventions
+    may differ across engine versions) — identical after recombination,
+    per the divmod identity under any matched div/mod pair."""
     hi, lo = _hi_lo_sqls(value_sql, "//")
     return f"CAST({hi} AS BIGINT)", f"CAST({lo} AS BIGINT)"
 
@@ -246,6 +250,46 @@ def rounded_from_parts_sql(hi_sql: str, lo_sql: str, int_div: str) -> str:
     NULL result, matching SUM's empty-group convention."""
     t = _wide_total_sql(hi_sql, lo_sql, int_div)
     return f"(CAST({_cents_sql(t, int_div)} AS DOUBLE) / 100)"
+
+
+def ratio_from_parts_sql(num_hi: str, num_lo: str, den_hi: str,
+                         den_lo: str, int_div: str, ndigits: int,
+                         scale: int = 1) -> str:
+    """ROUND(scale · num / den, ndigits) with NO double ever rounding —
+    the r10 closure of the last accepted ROUND(double) risk class (the
+    q66/q76 quotient halves; the sum-half class was retired in r9 by
+    ``_cents_sql``). Both totals recombine from their (hi, lo) part
+    sums into exact wide integers, and the quotient rounds half-away-
+    from-zero on the exact RATIONAL:
+
+        q = sign(num·den) · (2·|num|·scale·10^ndigits + |den|)
+                            intdiv (2·|den|)
+
+    — for positive A, B, ``(2A + B) intdiv 2B`` = floor((A + B/2)/B),
+    i.e. ties away from zero after the sign factor, the same convention
+    as the cents law. Every operand of the division is non-negative,
+    where all integer-division semantics coincide (the module's one
+    cross-engine invariant). ``den = 0`` → NULL via an explicit NULLIF
+    on the divisor — Spark 4 runs ANSI by default, where a bare zero
+    divisor under a non-NULL dividend RAISES instead of returning NULL
+    (DuckDB returns NULL; NULLIF makes both engines NULL by the same
+    rule). NULL parts (empty group) propagate to NULL like SUM.
+
+    ``scale`` folds a constant multiplier into the numerator exactly
+    (e.g. 100 for a percentage). Bounds: the wide numerator is
+    |num_micros|·2·scale·10^ndigits ≤ ~1e23 at 100 TB money scale —
+    far inside DECIMAL(38,0)/HUGEINT; the quotient must fit BIGINT,
+    i.e. |ratio·10^ndigits| < 9.2e18 (shares/percentages: trivially).
+    The final CAST(q AS DOUBLE)/10^ndigits maps equal integers to
+    equal doubles (10^ndigits is exact in double; IEEE division is
+    correctly rounded identically in both engines)."""
+    tn = _wide_total_sql(num_hi, num_lo, int_div)
+    td = _wide_total_sql(den_hi, den_lo, int_div)
+    mult = 2 * int(scale) * 10**int(ndigits)
+    sign = (f"(CASE WHEN ({tn} < 0) != ({td} < 0) THEN -1 ELSE 1 END)")
+    q = (f"({sign} * CAST((ABS({tn}) * {mult} + ABS({td}))"
+         f" {int_div} (2 * NULLIF(ABS({td}), 0)) AS BIGINT))")
+    return f"(CAST({q} AS DOUBLE) / {10 ** int(ndigits)})"
 
 
 def exact_micros(value_sql: str) -> Column:

@@ -95,14 +95,15 @@ def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
     pass ``False`` only when the input provably satisfies the contract
     (e.g. it just came out of a quality filter that floors n_tokens).
     With ``validate=False`` a contract-violating row degrades to a
-    SILENT DROP — never corrupt output: NULL/non-positive counts
-    contribute nothing to the prefix sum (SUM skips NULL, zero adds
-    zero), so dropping them before the segment fan-out leaves every
-    other document's pack assignment exactly as if the bad rows had
-    been pre-filtered. (Without the guard, a zero-token row whose
-    global start lands on a pack boundary would make ``__p1 < __p0``
-    and ``sequence()`` fan out a DESCENDING range — bogus
-    negative-length segments, r8 ADVICE.)
+    SILENT DROP — never corrupt output: bad rows are filtered BEFORE
+    the band totals and prefix sums (r9 ADVICE — zero and NULL counts
+    are inert in SUM, but a negative count would otherwise subtract
+    from every later document's offset), so the packing exactly equals
+    packing the pre-filtered input. (Without the later ``__n > 0``
+    fan-out guard, a zero-token row whose global start lands on a pack
+    boundary would make ``__p1 < __p0`` and ``sequence()`` fan out a
+    DESCENDING range — bogus negative-length segments, r8 ADVICE; it
+    stays as a belt-and-suspenders no-op.)
 
     Returns ``id_col, pack_id, seg_start, seg_len, pack_offset`` with
     one row per (document, pack) segment, ordered arbitrarily (sort by
@@ -138,6 +139,14 @@ def pack_concat_chunks(df: DataFrame, id_col: str, n_tokens_col: str,
             "fix upstream (a silent drop would shift every later "
             "document's pack assignment)"
         )
+    # Drop contract-violating rows BEFORE the band totals and prefix
+    # sums (r9 ADVICE): NULL and zero counts are inert in SUM, but a
+    # NEGATIVE count would subtract from every later document's global
+    # offset — filtering here makes the validate=False silent-drop
+    # semantics exactly equal packing the pre-filtered input. Under
+    # validate=True the filter matches no rows (the check above raised
+    # otherwise).
+    base = base.filter(F.col("__n") > 0)
 
     # phase 1: assign each row a fixed-width HASH BAND of the ordering
     # key — a pure projection (no range partitioner, no sampling pass;

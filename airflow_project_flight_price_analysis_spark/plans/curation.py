@@ -3389,9 +3389,12 @@ QUERIES["x106_epoch_shuffle_shards"] = x106_epoch_shuffle_shards
 
 ORACLE["x106_epoch_shuffle_shards"] = f"""
     WITH h AS (
+        -- concat_ws mirrors Spark's NULL-skip on doc_id (r9 ADVICE's
+        -- x110 finding, applied to the same pattern here)
         SELECT doc_id,
-               ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
-                                  1, 15))::BIGINT AS eh
+               ('0x' || substring(
+                   md5(concat_ws(':', CAST(doc_id AS VARCHAR), '7')),
+                   1, 15))::BIGINT AS eh
         FROM documents
     )
     SELECT CAST(eh // {_X106_WIDTH} AS INTEGER) AS epoch_shard,
@@ -3574,9 +3577,12 @@ ORACLE["x110_pack_concat_chunks"] = f"""
         FROM documents WHERE trim(text) <> ''
     ),
     h AS (
+        -- concat_ws mirrors Spark's NULL-skip (a NULL doc_id hashes
+        -- '7' in both engines, not NULL — r9 ADVICE), unlike ||
         SELECT doc_id, CAST(n AS BIGINT) AS n,
-               ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
-                                  1, 15))::BIGINT AS ph
+               ('0x' || substring(
+                   md5(concat_ws(':', CAST(doc_id AS VARCHAR), '7')),
+                   1, 15))::BIGINT AS ph
         FROM toks WHERE n > 0
     ),
     s AS (

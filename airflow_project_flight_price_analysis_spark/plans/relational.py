@@ -21,13 +21,12 @@ from ..functions.cleaning import parse_stopovers_expr, row_hash_expr
 from ..functions.exact_agg import (
     exact_mean,
     exact_mean_oracle,
-    exact_micros,
-    exact_micros_oracle,
     exact_parts,
     exact_parts_oracle,
     exact_sum,
     exact_sum_oracle,
     micros_from_parts_sql,
+    ratio_from_parts_sql,
     rounded_from_parts_sql,
 )
 from ..session import scale_out
@@ -2193,17 +2192,19 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     # Exact, order-independent sums WITHOUT the decimal accumulator
-    # (r9, the q01 story): the r5-r8 DECIMAL(38,6) form was exact but
-    # paid a measured 1.39-2.61x per-row double→BigDecimal tax on the
-    # revenue shapes; the split-two-long micro-unit scheme
+    # (r9, the q01 story): the split-two-long micro-unit scheme
     # (functions/exact_agg.py) keeps the accumulation on Tungsten's
-    # long-sum fast path, is exact under ANY fold order, and the ratio
-    # divides the identical recombined doubles in both engines (the
-    # 1e6 scale cancels), so the cross-engine hash still pins the
-    # whole path bit-for-bit.
+    # long-sum fast path and is exact under ANY fold order. The share
+    # itself rounds via the exact integer-RATIO law (r10): half-away
+    # division of the exact rational num/den in wide-integer space —
+    # no ROUND(double) remains anywhere in the output path (the r9
+    # form still rounded the double quotient, a ~2e-16/row accepted
+    # risk now retired).
     rev_sql = "l_extendedprice * (1 - l_discount)"
     cond_sql = (f"CASE WHEN supp_nation = '{target}' THEN {rev_sql} "
                 f"ELSE 0 END")
+    n_hi, n_lo = exact_parts(cond_sql)
+    d_hi, d_lo = exact_parts(rev_sql)
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
@@ -2212,13 +2213,14 @@ def q66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            exact_micros(cond_sql).alias("__n_mu"),
-            exact_micros(rev_sql).alias("__d_mu"),
+            n_hi.alias("__nhi"), n_lo.alias("__nlo"),
+            d_hi.alias("__dhi"), d_lo.alias("__dlo"),
             exact_sum(rev_sql).alias("total_revenue"),
         )
         .select(
             "o_year",
-            F.round(F.col("__n_mu") / F.col("__d_mu"), 6)
+            F.expr(ratio_from_parts_sql("__nhi", "__nlo", "__dhi",
+                                        "__dlo", "DIV", 6))
             .alias("mkt_share"),
             "total_revenue",
         )
@@ -2233,8 +2235,9 @@ _Q66_COND = f"CASE WHEN ns.n_name = 'NATION_5' THEN {_Q66_REV} ELSE 0 END"
 ORACLE.update({
     "q66_market_share": f"""
         SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-               ROUND({exact_micros_oracle(_Q66_COND)}
-                     / {exact_micros_oracle(_Q66_REV)}, 6)
+               {ratio_from_parts_sql(*exact_parts_oracle(_Q66_COND),
+                                     *exact_parts_oracle(_Q66_REV),
+                                     '//', 6)}
                    AS mkt_share,
                CAST({exact_sum_oracle(_Q66_REV)} AS DOUBLE)
                    AS total_revenue
@@ -2927,12 +2930,12 @@ def q76_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("promo_revenue"),
         F.expr(rounded_from_parts_sql("__thi", "__tlo", "DIV"))
         .alias("total_revenue"),
-        F.round(
-            F.lit(100.0)
-            * F.expr(micros_from_parts_sql("__phi", "__plo"))
-            / F.expr(micros_from_parts_sql("__thi", "__tlo")),
-            4,
-        ).alias("promo_share_pct"),
+        # exact integer-ratio law (r10): the percentage rounds
+        # half-away on the exact rational 100·promo/total — the r9
+        # ROUND(double quotient) risk class retired, same as q66
+        F.expr(ratio_from_parts_sql("__phi", "__plo", "__thi", "__tlo",
+                                    "DIV", 4, scale=100))
+        .alias("promo_share_pct"),
     )
 
 
@@ -3024,8 +3027,8 @@ ORACLE.update({
                    AS promo_revenue,
                {rounded_from_parts_sql('thi', 'tlo', '//')}
                    AS total_revenue,
-               ROUND(100.0 * {micros_from_parts_sql('phi', 'plo')}
-                     / {micros_from_parts_sql('thi', 'tlo')}, 4)
+               {ratio_from_parts_sql('phi', 'plo', 'thi', 'tlo',
+                                     '//', 4, scale=100)}
                    AS promo_share_pct
         FROM parts
     """,

@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 from airflow_project_flight_price_analysis_spark.functions.exact_agg import (
     exact_mean,
     exact_mean_oracle,
+    exact_parts,
+    exact_parts_oracle,
     exact_sum,
     exact_sum_oracle,
+    micros_from_parts_sql,
+    ratio_from_parts_sql,
 )
 
 
@@ -126,6 +130,93 @@ def test_exact_half_sums_round_identically(spark):
     ).fetchdf()
     assert list(sdf["s"]) == list(odf["s"])
     assert list(sdf["s"]) == [307843.6, 307843.6, 0.01, -0.01, -307843.6]
+
+
+def test_ratio_law_rounds_exact_rational_halves_identically(spark):
+    # r10: the integer-RATIO law (q66/q76). Groups engineered so the
+    # exact rational num/den lands on a .xxxxx5 half at 6 digits —
+    # ROUND(double quotient) could legitimately disagree between
+    # engines there; the wide-integer half-away division must agree
+    # AND produce the half-away answer. Also: zero denominator → NULL,
+    # sign combinations, and the scale=100 percentage knob.
+    rows = [
+        # num/den = 1/8 = 0.125 → at 2 digits an exact .5 half → 0.13
+        ("half", 1.0, 8.0),
+        ("neg_num", -1.0, 8.0),      # -0.125 → -0.13 (away from zero)
+        ("neg_den", 1.0, -8.0),      # -0.125 → -0.13
+        ("both_neg", -1.0, -8.0),    # +0.125 → 0.13
+        ("zero_den", 5.0, 0.0),      # NULL
+        ("zero_num", 0.0, 7.0),      # 0.0
+        ("plain", 355.0, 113.0),     # pi-ish, no half: 3.14 at 2 dp
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    ahi, alo = exact_parts("a")
+    bhi, blo = exact_parts("b")
+    agg = df.groupBy("g").agg(ahi.alias("ahi"), alo.alias("alo"),
+                              bhi.alias("bhi"), blo.alias("blo"))
+    sdf = agg.select(
+        "g",
+        F.expr(ratio_from_parts_sql("ahi", "alo", "bhi", "blo",
+                                    "DIV", 2)).alias("r"),
+        F.expr(ratio_from_parts_sql("ahi", "alo", "bhi", "blo",
+                                    "DIV", 2, scale=100)).alias("pct"),
+    ).orderBy("g").toPandas()
+    oahi, oalo = exact_parts_oracle("a")
+    obhi, oblo = exact_parts_oracle("b")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "a", "b"]))
+    odf = con.execute(f"""
+        WITH parts AS (
+            SELECT g, {oahi} AS ahi, {oalo} AS alo,
+                      {obhi} AS bhi, {oblo} AS blo
+            FROM t GROUP BY g
+        )
+        SELECT g,
+               {ratio_from_parts_sql('ahi', 'alo', 'bhi', 'blo',
+                                     '//', 2)} AS r,
+               {ratio_from_parts_sql('ahi', 'alo', 'bhi', 'blo',
+                                     '//', 2, scale=100)} AS pct
+        FROM parts ORDER BY g
+    """).fetchdf()
+    assert list(sdf["g"]) == list(odf["g"])
+    assert list(sdf["r"].fillna(-999)) == list(odf["r"].fillna(-999))
+    assert list(sdf["pct"].fillna(-999)) == list(odf["pct"].fillna(-999))
+    got = dict(zip(sdf["g"], sdf["r"]))
+    assert got["half"] == 0.13
+    assert got["neg_num"] == -0.13 and got["neg_den"] == -0.13
+    assert got["both_neg"] == 0.13
+    assert pd.isna(got["zero_den"])
+    assert got["zero_num"] == 0.0
+    assert got["plain"] == 3.14
+    assert dict(zip(sdf["g"], sdf["pct"]))["half"] == 12.5
+
+
+def test_micros_rank_bound_holds_for_rank_on_micros_sites(spark):
+    # r9 verdict item 6: q38/q83 RANK on micros_from_parts_sql, whose
+    # cross-engine identity is only guaranteed below 2^53 micros per
+    # group on mixed-sign input. Pin (a) the recombined double IS the
+    # exact integer below the bound, and (b) the static bound itself:
+    # a per-order/per-customer total would need to exceed ~$9.007e9 to
+    # cross it — assert the documented constant so a future reuse of
+    # the pattern on bigger groups trips this test's comment trail.
+    bound_micros = 2 ** 53
+    assert bound_micros / 1e6 > 9.0e9  # dollars per group before risk
+    vals = [(1, 9_006_999_999.99), (1, 0.01),  # just under the bound
+            (2, 123.455), (2, -123.455)]       # mixed signs, small
+    df = spark.createDataFrame(vals, "g long, v double")
+    hi, lo = exact_parts("v")
+    sdf = (df.groupBy("g")
+           .agg(hi.alias("hi"), lo.alias("lo"))
+           .select("g", F.expr(micros_from_parts_sql("hi", "lo"))
+                   .alias("mu"))
+           .orderBy("g").toPandas())
+    # group 1: total 9.007e9 dollars = 9.007e15 micros < 2^53 — the
+    # double equals the exact integer
+    assert sdf.loc[0, "mu"] == 9_007_000_000_000_000.0
+    assert float(sdf.loc[0, "mu"]).is_integer()
+    assert abs(sdf.loc[0, "mu"]) < bound_micros
+    # group 2: cancellation on mixed signs recombines to exactly zero
+    assert sdf.loc[1, "mu"] == 0.0
 
 
 def test_values_match_plain_aggregates_away_from_boundaries(spark):

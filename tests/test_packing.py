@@ -151,6 +151,29 @@ def test_validate_false_drops_bad_rows_instead_of_corrupting(spark):
     assert not any(r.doc_id in (1001, 1002) for r in got_rows)
 
 
+def test_validate_false_negative_counts_do_not_shift_offsets(spark):
+    # r9 ADVICE: zero/NULL counts are inert in SUM, but a NEGATIVE
+    # count entering the band totals / prefix windows would SUBTRACT
+    # from every later document's global offset — re-cutting every
+    # downstream pack even though the bad row itself is dropped at the
+    # fan-out. Bad rows must be filtered BEFORE the prefix sums: the
+    # packing must equal packing the pre-filtered input exactly.
+    good = _docs(spark, n=60)
+    with_neg = good.union(
+        spark.createDataFrame([(2001, -17), (2002, -1)],
+                              "doc_id long, n_tokens long")
+    )
+    want = {
+        tuple(r)
+        for r in pack_concat_chunks(good, "doc_id", "n_tokens", BUDGET,
+                                    seed=3).collect()
+    }
+    got_rows = pack_concat_chunks(with_neg, "doc_id", "n_tokens", BUDGET,
+                                  seed=3, validate=False).collect()
+    assert {tuple(r) for r in got_rows} == want
+    assert not any(r.doc_id in (2001, 2002) for r in got_rows)
+
+
 def test_no_single_partition_window_funnel(spark):
     """The global prefix sum must be the two-phase scan, not a bare
     Window.orderBy over the data (which funnels everything to ONE
