@@ -215,6 +215,15 @@ def temperature_mixture_sample(
         )
     shares = df.groupBy(source_col).agg(F.count("*").alias("__n"))
     total = shares.agg(F.sum("__n").alias("__t"))
+    # Cross-engine note (x107 adjudication, r8/r9): libm pow is not
+    # correctly rounded, so the oracle's POWER could differ by ~1 ulp —
+    # flipping a row only if its 60-bit hash lands within that ulp of
+    # the threshold (~2e-16/row, accepted). Pre-staged fallback should
+    # a red row ever appear (IEEE sqrt IS correctly rounded in both
+    # engines; valid whenever 1/T - 1 == -0.5, i.e. T = 2):
+    #   frac = F.least(F.lit(1.0), F.lit(float(base_fraction))
+    #                  / F.sqrt(F.col("__n") / F.col("__t")))
+    # and the x107 oracle's mirror: 0.5 / SQRT(n / t).
     frac = F.least(
         F.lit(1.0),
         F.lit(float(base_fraction))

@@ -24,46 +24,30 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 9: the eight DECIMAL(38,6) revenue/money accumulators moved
-    # to the split-two-long micro-unit scheme (functions/exact_agg.py —
-    # r8 verdict item 2/4, the q01 story applied to the sums: the
-    # decimal path cost a measured 1.39-2.61x on these shapes), AND the
-    # scheme's final rounding moved from ROUND(double, 2) to integer
-    # half-away cents — the r9 gate caught q83's group summing to an
-    # exact .xx5 half, where Spark rounds the shortest decimal repr and
-    # DuckDB the binary value (the ONE op the engines disagree on; see
-    # exact_agg.py's module docstring). Money values still recombine to
-    # the same cents on <= 4-decimal inputs away from halves, but the
-    # rounding law changed for every exact_agg consumer, so the four
-    # KPI means (r8-certified under the double-ROUND law) re-queue
-    # alongside the eight conversions.
-    "q01_avg_fare_by_airline",
-    "q03_fare_trend",
-    "q04_seasonal_fare_variation",
-    "q21_rollup_fare",
-    "q63_pivot_revenue_matrix",
+    # round 10: the two ratio shapes moved from ROUND(double quotient)
+    # to the exact integer-RATIO law (functions/exact_agg.py::
+    # ratio_from_parts_sql — r9 verdict item 3, retiring the last
+    # accepted ROUND(double) risk class in a money output path). Values
+    # are identical away from exact rational halves, but the rounding
+    # law changed, so both re-queue. Deliberately NOTHING else: the r9
+    # verdict's top ask is a near-empty tier 1 so the ~50-row budget
+    # flows to the r5-stale tier-3 cohort (q64, x87-x95, x97-x99).
     "q66_market_share",
-    "q67_top_supplier",
-    "q72_important_parts",
-    "q75_disjunctive_pushdown",
     "q76_promo_revenue_share",
-    "q81_profit_by_nation_year",
-    "q83_returned_item_customers",
-    # the proactive sweep of the same exact-half class: raw double
-    # sums of 4-/6-decimal derived money rounded to cents (2-decimal
-    # input sums are safe — they cannot land near a cent half and keep
-    # the plain double path)
-    "q37_pricing_summary",
-    "q38_shipping_priority",
-    "q39_forecast_revenue",
-    "q41_local_supplier_volume",
+    # r9 verdict item 7: q24's ROUND(AVG(o_totalprice), 2) was the last
+    # unswept money MEAN (a mean of 2-decimal prices lands on
+    # fractional cents routinely — the q01 class); now exact_mean.
+    # q46's CUBE twin is count-only — no money, documented safe.
+    "q24_grouping_sets",
 )
-# Tier 2 (automatic, no green row) as of round-9: the two new driver
-# faces — x110_pack_concat_chunks (the r8 exact packer, r8 verdict
-# item 1) and x111_stateful_sessions (streaming/stateful.py, r8
-# verdict item 7). With tier 1 at 8, ~40 tier-3 slots remain of the
-# ~50 budget; the 3-row r4 residue (x74/x75/x76) sorts first among
-# them by construction (r8 verdict item 3).
+# Tier 2 (automatic, no green row) as of round-10: one new driver face
+# — x112_stateful_ttl_eviction (the GroupStateTimeout eviction branch,
+# r9 verdict item 2). The x106/x110 oracle texts changed this round
+# (concat_ws NULL-skip mirror, r9 ADVICE) but are value-identical on
+# non-NULL doc_id, which the testdata generator guarantees — no recert
+# slot spent; the local full-registry gate replays them with the new
+# text every session. With tier 1 at 2 and tier 2 at 1, ~47 tier-3
+# slots remain — enough to retire everything r5/r6-stale this round.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -89,6 +73,18 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
      "q86_merge_roundtrip", "x109_ledger_compaction_fold"),
     # concat-then-split approximate packer: unsharded + sharded twin
     ("x31_sequence_packing", "x34_sequence_packing_sharded"),
+    # r10 additions (r9 verdict item 5):
+    # exact_mean KPI path — q01/q03/q04 re-certify the same
+    # micro-unit mean law over the same fare expression
+    ("q01_avg_fare_by_airline", "q03_fare_trend",
+     "q04_seasonal_fare_variation"),
+    # late-cents many-group discipline — carry (hi, lo) through the
+    # aggregate, rank on recombined micros, cents for survivors only
+    ("q38_shipping_priority", "q83_returned_item_customers"),
+    # sampling faces — epoch shuffle / temperature mixture / exact-floor
+    # bands share the md5-replayable certification harness
+    ("x106_epoch_shuffle_shards", "x107_temperature_mixture",
+     "x108_stratified_threshold"),
 )
 
 

@@ -3440,6 +3440,9 @@ ORACLE["x107_temperature_mixture"] = """
     ),
     tot AS (SELECT SUM(n) AS t FROM shares),
     plan AS (
+        -- pre-staged pow-ulp fallback (see sampling.py): if this face
+        -- ever goes red on a hash-at-threshold row, flip BOTH sides to
+        -- the correctly-rounded sqrt form — here: 0.5 / SQRT(n / t)
         SELECT lang,
                LEAST(1.0, 0.5 * POWER(n / t, -0.5)) AS keep
         FROM shares, tot

@@ -2698,3 +2698,161 @@ ORACLE.update({
         ORDER BY 1
     """,
 })
+
+
+# --- r10: driver face for the stateful TTL/eviction path ---------------------
+
+#: x112 timing knobs. The TTL must comfortably exceed one trigger
+#: interval (so data batches re-arm it before it fires mid-phase) and
+#: the inter-phase sleep must comfortably exceed the TTL (so every
+#: group's timer fires in the empty timer batches between phases) —
+#: 3x is the margin; the poll below fails LOUDLY if eviction didn't
+#: happen, it can never flaky-pass.
+_X112_TTL_MS = 1500
+_X112_TRIGGER = "250 milliseconds"
+_X112_EVICT_SLEEP_S = 4.5
+_X112_POLL_TIMEOUT_S = 120
+
+
+def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — the ``GroupStateTimeout.ProcessingTimeTimeout`` EVICTION
+    branch of ``user_running_totals`` through the real engine (r9
+    verdict item 2: the one remaining pytest-only streaming branch —
+    x111 certifies lifetime totals, but with ``NoTimeout``, because a
+    timeout-armed stream never reports caught-up under availableNow,
+    re-verified this round). The face runs ONE continuous query
+    (processing-time trigger) over a file source it feeds in phases:
+
+    1. backlog A = the events of a bounded user cohort (one file, one
+       micro-batch) — every user's state arms a TTL;
+    2. an idle gap of 3x the TTL — the engine's empty timer batches
+       fire ``hasTimedOut`` for every group, which removes its state
+       (eviction emits nothing, by design);
+    3. backlog C = the SAME events of the reseen quarter of the cohort
+       (user_id % 4 == 1), twice — because their state was evicted,
+       their totals RESTART: final n_events = 2·|A_u|, not 3·|A_u|.
+
+    The restart is the observable consequence that certifies eviction:
+    the face polls the sink for exactly the restart counts and raises
+    after a timeout if they never appear (un-evicted state would sit at
+    3·|A_u| forever — a loud failure, not a flaky pass). The oracle
+    recomputes both cohorts from the events table arithmetically. The
+    non-reseen users' final emissions are their phase-1 totals either
+    way — their eviction is certified collectively by the reseen
+    sample (same timer, same code path, same batch).
+
+    Scale shape: state is O(active users) BY CONSTRUCTION here — this
+    face is the 24/7-deployment story (x111's NoTimeout form is the
+    bounded-backlog story); one shuffle per micro-batch on user_id.
+    """
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ..streaming.stateful import user_running_totals
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") >= 1) & (F.col("user_id") <= 40))
+        .select("user_id", "value")
+    )
+    # bounded driver-side fetch: one row per cohort user (≤ 40)
+    counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    want_restart = {u: 2 * n for u, n in counts.items() if u % 4 == 1}
+
+    root = tempfile.mkdtemp(prefix="x112_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    # phase 1: one file → one micro-batch → every user armed at once
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    name = "x112_" + uuid.uuid4().hex[:8]
+    q = (
+        user_running_totals(
+            spark.readStream.schema("user_id long, value double")
+            .parquet(src),
+            idle_timeout_ms=_X112_TTL_MS,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(processingTime=_X112_TRIGGER)
+        .start()
+    )
+
+    def _poll(cond, what: str) -> None:
+        t0 = time.time()
+        while time.time() - t0 < _X112_POLL_TIMEOUT_S:
+            if cond():
+                return
+            time.sleep(0.3)
+        raise RuntimeError(
+            f"x112: {what} never observed within "
+            f"{_X112_POLL_TIMEOUT_S}s — TTL eviction did not behave"
+        )
+
+    try:
+        _poll(
+            lambda: spark.table(name).select("user_id").distinct().count()
+            == len(counts),
+            "phase-1 emissions for the full cohort",
+        )
+        time.sleep(_X112_EVICT_SLEEP_S)  # timers fire in empty batches
+
+        reseen = ev.filter(F.col("user_id") % 4 == 1)
+        reseen.coalesce(1).write.mode("append").parquet(src)
+        reseen.coalesce(1).write.mode("append").parquet(src)
+
+        def _restarted() -> bool:
+            got = {
+                r.user_id: r.n_events
+                for r in spark.table(name)
+                .filter(F.col("user_id") % 4 == 1)
+                .groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events"))
+                .collect()
+            }
+            return got == want_restart
+
+        _poll(_restarted, "post-eviction RESTART counts (2·|A_u|)")
+    finally:
+        q.stop()
+
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES.update({"x112_stateful_ttl_eviction": x112_stateful_ttl_eviction})
+
+ORACLE.update({
+    "x112_stateful_ttl_eviction": """
+        WITH base AS (
+            SELECT user_id, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS mu
+            FROM events
+            WHERE user_id BETWEEN 1 AND 40
+            GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(CASE WHEN user_id % 4 = 1 THEN 2 * n ELSE n END
+                    AS BIGINT) AS n_events,
+               CAST(CASE WHEN user_id % 4 = 1 THEN 2 * mu ELSE mu END
+                    AS DOUBLE) / 1e6 AS total_value
+        FROM base
+        ORDER BY user_id
+    """,
+})

@@ -593,15 +593,22 @@ def q23_standardize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — per-status, per-priority, and grand-total counts in
-    one pass (generalizes A3's grouped counts)."""
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT o_orderstatus AS status, o_orderpriority AS priority,
-               COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY status NULLS FIRST, priority NULLS FIRST
-    """)
+    one pass (generalizes A3's grouped counts). avg_price follows the
+    exact-mean law (r10 sweep of the last ROUND(AVG(money)) — a mean of
+    2-decimal prices lands on fractional cents routinely, the q01
+    class; q46's CUBE twin is count-only and needs no conversion)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .groupingSets([["status"], ["priority"], []], "status", "priority")
+        .agg(F.count("*").alias("n"),
+             exact_mean("o_totalprice").alias("avg_price"))
+        .orderBy(F.asc_nulls_first("status"), F.asc_nulls_first("priority"))
+    )
 
 
 def q25_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,9 +739,10 @@ ORACLE.update({
                lower(trim(p_name)) AS name_lower
         FROM part ORDER BY p_partkey
     """,
-    "q24_grouping_sets": """
+    "q24_grouping_sets": f"""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
-               COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+               COUNT(*) AS n,
+               {exact_mean_oracle('o_totalprice')} AS avg_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status NULLS FIRST, priority NULLS FIRST

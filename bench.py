@@ -148,6 +148,12 @@ HEADLINE = [
     "q72_important_parts",
     "q76_promo_revenue_share",
     "q83_returned_item_customers",
+    # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
+    # its runtime is dominated by designed wall-clock sleeps (the TTL
+    # gap that makes eviction deterministic), so it would measure the
+    # test harness, not the engine. q66/q76 above carry the r10
+    # integer-ratio-law change; q24's exact_mean conversion rides the
+    # same few-group aggregate shape q21 already benches.
 ]
 
 
