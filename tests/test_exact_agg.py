@@ -219,6 +219,71 @@ def test_micros_rank_bound_holds_for_rank_on_micros_sites(spark):
     assert sdf.loc[1, "mu"] == 0.0
 
 
+def test_ratio_law_matches_exact_fraction_arithmetic(spark):
+    # property check against an INDEPENDENT exact implementation:
+    # Python Fraction half-away rounding of the true rational
+    # micros(a)/micros(b) must equal what BOTH engines emit, over a
+    # deterministic sweep of money-grain numerators/denominators
+    # (including negatives and magnitudes that exercise the wide
+    # recombination). One batched job per engine.
+    import math
+    from fractions import Fraction
+
+    nd, scale = 4, 100
+    rows = []
+    for i in range(1, 120):
+        a = round((((i * 48271) % 20011) - 10000) / 100.0, 2)
+        b = round((((i * 16807) % 9973) + 1) / 7.0, 4)
+        if i % 7 == 0:
+            b = -b
+        rows.append((i, a, b))
+
+    def micros(v: float) -> int:
+        return int(math.floor(v * 1e6 + 0.5))  # the law's own per-row op
+
+    def expected(a: float, b: float) -> float:
+        num, den = micros(a) * scale, micros(b)
+        if den == 0:
+            return None
+        q = Fraction(num, den) * 10**nd
+        # half-away from zero on the exact rational
+        whole = int(q)
+        frac = abs(q - whole)
+        r = whole + (1 if q >= 0 else -1) * (1 if frac >= Fraction(1, 2) else 0)
+        return r / 10**nd
+
+    want = {g: expected(a, b) for g, a, b in rows}
+
+    # one row per group → the per-group parts ARE the per-row micros
+    df = spark.createDataFrame(rows, "g long, a double, b double")
+    ahi, alo = exact_parts("a")
+    bhi, blo = exact_parts("b")
+    sdf = (df.groupBy("g")
+           .agg(ahi.alias("ahi"), alo.alias("alo"),
+                bhi.alias("bhi"), blo.alias("blo"))
+           .select("g", F.expr(ratio_from_parts_sql(
+               "ahi", "alo", "bhi", "blo", "DIV", nd, scale=scale))
+               .alias("r"))
+           .collect())
+    got_spark = {r.g: r.r for r in sdf}
+    oahi, oalo = exact_parts_oracle("a")
+    obhi, oblo = exact_parts_oracle("b")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "a", "b"]))
+    got_duck = dict(con.execute(f"""
+        WITH parts AS (
+            SELECT g, {oahi} AS ahi, {oalo} AS alo,
+                      {obhi} AS bhi, {oblo} AS blo
+            FROM t GROUP BY g
+        )
+        SELECT g, {ratio_from_parts_sql('ahi', 'alo', 'bhi', 'blo',
+                                        '//', nd, scale=scale)}
+        FROM parts
+    """).fetchall())
+    assert got_spark == want
+    assert got_duck == want
+
+
 def test_values_match_plain_aggregates_away_from_boundaries(spark):
     # sanity: on values without sub-cent precision the exact forms equal
     # the plain double aggregates rounded to 2 dp
