@@ -2703,14 +2703,16 @@ ORACLE.update({
 # --- r10: driver face for the stateful TTL/eviction path ---------------------
 
 #: x112 timing knobs. The TTL must comfortably exceed one trigger
-#: interval (so data batches re-arm it before it fires mid-phase) and
-#: the inter-phase sleep must comfortably exceed the TTL (so every
-#: group's timer fires in the empty timer batches between phases) —
-#: 3x is the margin; the poll below fails LOUDLY if eviction didn't
-#: happen, it can never flaky-pass.
+#: interval (so data batches re-arm it before it fires mid-phase).
+#: The inter-phase wait is EVIDENCE-based, not a blind sleep: the face
+#: waits until the engine has completed an EMPTY batch whose start time
+#: is past the TTL deadline — that batch is the one that checks timers,
+#: so its completion proves `hasTimedOut` fired for every armed group
+#: (a fixed sleep would flake on a stalled box and over-wait on a quiet
+#: one). The poll below fails LOUDLY if eviction didn't happen; it can
+#: never flaky-pass.
 _X112_TTL_MS = 1500
 _X112_TRIGGER = "250 milliseconds"
-_X112_EVICT_SLEEP_S = 4.5
 _X112_POLL_TIMEOUT_S = 120
 
 
@@ -2725,9 +2727,10 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. backlog A = the events of a bounded user cohort (one file, one
        micro-batch) — every user's state arms a TTL;
-    2. an idle gap of 3x the TTL — the engine's empty timer batches
-       fire ``hasTimedOut`` for every group, which removes its state
-       (eviction emits nothing, by design);
+    2. an idle gap until the engine has COMPLETED an empty batch past
+       the TTL deadline (`recentProgress` evidence — that batch is the
+       timer check, so ``hasTimedOut`` has fired for every group and
+       removed its state; eviction emits nothing, by design);
     3. backlog C = the SAME events of the reseen quarter of the cohort
        (user_id % 4 == 1), twice — because their state was evicted,
        their totals RESTART: final n_events = 2·|A_u|, not 3·|A_u|.
@@ -2745,6 +2748,7 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     face is the 24/7-deployment story (x111's NoTimeout form is the
     bounded-backlog story); one shuffle per micro-batch on user_id.
     """
+    import datetime
     import os
     import tempfile
     import time
@@ -2804,7 +2808,24 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             == len(counts),
             "phase-1 emissions for the full cohort",
         )
-        time.sleep(_X112_EVICT_SLEEP_S)  # timers fire in empty batches
+        # evidence-based eviction wait: the TTL armed no later than NOW
+        # (the arming batch's emissions are already visible), so once an
+        # EMPTY batch has COMPLETED whose start time is past now + TTL
+        # (+3 trigger intervals of clock slack), that batch checked the
+        # timers — hasTimedOut fired and removed every group's state.
+        evict_after = time.time() + _X112_TTL_MS / 1000.0 + 0.75
+
+        def _timers_checked() -> bool:
+            for p in q.recentProgress:
+                ts = datetime.datetime.fromisoformat(
+                    p["timestamp"].replace("Z", "+00:00")
+                ).timestamp()
+                if ts >= evict_after and p["numInputRows"] == 0:
+                    return True
+            return False
+
+        _poll(_timers_checked,
+              "a completed empty timer batch past the TTL deadline")
 
         reseen = ev.filter(F.col("user_id") % 4 == 1)
         reseen.coalesce(1).write.mode("append").parquet(src)

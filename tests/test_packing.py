@@ -174,6 +174,21 @@ def test_validate_false_negative_counts_do_not_shift_offsets(spark):
     assert not any(r.doc_id in (2001, 2002) for r in got_rows)
 
 
+def test_empty_input_packs_to_empty_output(spark):
+    # zero documents (or all filtered by the validate=False guard) must
+    # yield an empty segment table with the contract schema, not an
+    # error from the offsets window or the broadcast join over nothing
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = pack_concat_chunks(empty, "doc_id", "n_tokens", BUDGET)
+    assert out.columns == ["doc_id", "pack_id", "seg_start", "seg_len",
+                           "pack_offset"]
+    assert out.count() == 0
+    all_bad = spark.createDataFrame([(1, 0), (2, None)],
+                                    "doc_id long, n_tokens long")
+    assert pack_concat_chunks(all_bad, "doc_id", "n_tokens", BUDGET,
+                              validate=False).count() == 0
+
+
 def test_no_single_partition_window_funnel(spark):
     """The global prefix sum must be the two-phase scan, not a bare
     Window.orderBy over the data (which funnels everything to ONE
