@@ -113,8 +113,13 @@ def _cents_sql(t_sql: str, int_div: str, cnt_sql: str | None = None) -> str:
     op Spark and DuckDB disagree on). The divided operand is
     non-negative, where every integer-division convention (floor,
     truncate) coincides — the only cross-engine property relied on.
-    NULL t (empty group) → NULL; n = 0 (all-NULL group)
-    divides by zero → NULL in both engines (non-ANSI Spark, DuckDB)."""
+    NULL t (empty/all-NULL group) → NULL. Zero divisor (n = 0 on the
+    mean path): t is NULL exactly when n = 0 (both mean "no non-NULL
+    values in the group"), and a NULL dividend short-circuits the
+    division to NULL BEFORE the zero divisor matters — verified under
+    ANSI mode (Spark 4's default, where a non-NULL dividend over a
+    zero divisor would RAISE; that combination is unreachable here).
+    DuckDB returns NULL for integer division by zero regardless."""
     adj = "5000" if cnt_sql is None else f"(5000 * {cnt_sql})"
     den = "10000" if cnt_sql is None else f"(10000 * {cnt_sql})"
     return (f"((CASE WHEN {t_sql} < 0 THEN -1 ELSE 1 END)"
@@ -292,13 +297,7 @@ def ratio_from_parts_sql(num_hi: str, num_lo: str, den_hi: str,
     return f"(CAST({q} AS DOUBLE) / {10 ** int(ndigits)})"
 
 
-def exact_micros(value_sql: str) -> Column:
-    """Spark aggregate Column: the recombined micro total as a double —
-    the UNROUNDED accumulator for ratio/argmax shapes (see the
-    micros_from_parts_sql caveat on negative inputs)."""
-    return F.expr(micros_from_parts_sql(*_hi_lo_sqls(value_sql, "DIV")))
-
-
-def exact_micros_oracle(value_sql: str) -> str:
-    """The DuckDB mirror of :func:`exact_micros`."""
-    return micros_from_parts_sql(*_hi_lo_sqls(value_sql, "//"))
+# (exact_micros / exact_micros_oracle — one-shot wrappers fusing
+# exact_parts + micros_from_parts_sql — were removed in r10 when their
+# last consumer, q66's ratio, moved to ratio_from_parts_sql; compose
+# the two named pieces directly, as q38/q67/q72/q83 do.)
