@@ -84,6 +84,27 @@ def md5_band_width(n_shards: int) -> int:
     return 2 ** 60 // int(n_shards) + (2 ** 60 % int(n_shards) > 0)
 
 
+def md5_epoch_hash(key: Column, seed: int) -> Column:
+    """The md5 variant's per-epoch ordering hash — ``content_hash64`` of
+    ``key:seed``. THE expression ``epoch_shuffle(hash_fn="md5")`` orders
+    and shards by, extracted so the multi-epoch face (x113) provably
+    computes the same permutation instead of a copy that can desync."""
+    return content_hash64(
+        F.concat_ws(":", key.cast("string"), F.lit(str(int(seed))))
+    )
+
+
+def md5_shard_expr(hash_col_name: str, n_shards: int) -> Column:
+    """Shard id of a NAMED md5 epoch-hash column: exact long ``DIV``
+    over ``md5_band_width`` bands (content_hash64 is non-negative and
+    the width fits a long, so floor division is exact — none of the
+    decimal guards ``_shard_of`` needs for the signed-64-bit xxhash64
+    space apply). Shared by ``epoch_shuffle`` and its driver faces."""
+    return F.expr(
+        f"{hash_col_name} DIV {md5_band_width(n_shards)}L"
+    ).cast("int")
+
+
 def _shard_of(hash_col: Column, n_shards: int) -> Column:
     """Fixed-width band of the signed-64-bit hash space:
     ``(h + 2^63) // ceil(2^64 / n)`` — floor semantics, range pinned to
@@ -155,20 +176,13 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: int,
     if hash_fn == "xxhash64":
         h = F.xxhash64(F.col(key_col).cast("string"), F.lit(int(seed)))
     elif hash_fn == "md5":
-        h = content_hash64(
-            F.concat_ws(":", F.col(key_col).cast("string"),
-                        F.lit(str(int(seed))))
-        )
+        h = md5_epoch_hash(F.col(key_col), seed)
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     out = df.withColumn("__eh", h)
     if n_shards is not None:
         if hash_fn == "md5":
-            # content_hash64 spans [0, 2^60): band with plain long
-            # arithmetic (width fits a long; DIV is exact floor for
-            # non-negative hashes — no decimal rounding to guard)
-            shard = F.expr(
-                f"__eh DIV {md5_band_width(n_shards)}L").cast("int")
+            shard = md5_shard_expr("__eh", n_shards)
         else:
             shard = _shard_of(F.col("__eh"), n_shards)
         out = out.withColumn("epoch_shard", shard)

@@ -24,30 +24,30 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 10: the two ratio shapes moved from ROUND(double quotient)
-    # to the exact integer-RATIO law (functions/exact_agg.py::
-    # ratio_from_parts_sql — r9 verdict item 3, retiring the last
-    # accepted ROUND(double) risk class in a money output path). Values
-    # are identical away from exact rational halves, but the rounding
-    # law changed, so both re-queue. Deliberately NOTHING else: the r9
-    # verdict's top ask is a near-empty tier 1 so the ~50-row budget
-    # flows to the r5-stale tier-3 cohort (q64, x87-x95, x97-x99).
-    "q66_market_share",
-    "q76_promo_revenue_share",
-    # r9 verdict item 7: q24's ROUND(AVG(o_totalprice), 2) was the last
-    # unswept money MEAN (a mean of 2-decimal prices lands on
-    # fractional cents routinely — the q01 class); now exact_mean.
-    # q46's CUBE twin is count-only — no money, documented safe.
-    "q24_grouping_sets",
+    # round 11: x112's restart phase changed protocol (r10 verdict
+    # item 2 + ADVICE) — the reseen backlog now lands as ONE file /
+    # ONE micro-batch (union-doubled rows) so a >TTL stall between
+    # triggers can never evict state mid-restart; expected output is
+    # identical, but the face's batching contract changed, so it
+    # re-queues for a fresh row.
+    "x112_stateful_ttl_eviction",
+    # r10 verdict item 1 wants NOTHING older than r7 after this round.
+    # x67b is the one r6-stale row that tier-3 family suppression
+    # would defer past the budget (x67, also r6, is the stalest
+    # family member and keeps the slot) — pinning it here retires the
+    # whole r6 cohort this round. Deliberately nothing else: the rest
+    # of the ~50 budget flows to tier 3's stale-first rotation
+    # (10 remaining r6 rows, then the r7 cohort).
+    "x67b_containment_prefix",
 )
-# Tier 2 (automatic, no green row) as of round-10: one new driver face
-# — x112_stateful_ttl_eviction (the GroupStateTimeout eviction branch,
-# r9 verdict item 2). The x106/x110 oracle texts changed this round
-# (concat_ws NULL-skip mirror, r9 ADVICE) but are value-identical on
-# non-NULL doc_id, which the testdata generator guarantees — no recert
-# slot spent; the local full-registry gate replays them with the new
-# text every session. With tier 1 at 2 and tier 2 at 1, ~47 tier-3
-# slots remain — enough to retire everything r5/r6-stale this round.
+# Tier 2 (automatic, no green row) as of round-11: one new driver face
+# — x113_multi_epoch_shard_matrix (the multi-epoch determinism
+# guarantee of epoch_shuffle, r10 verdict item 7 — the last sampling
+# property that was pytest-only). With tier 1 at 2 and tier 2 at 1,
+# ~47 tier-3 slots remain: the 10 r6-stale rows first, then ~37 of
+# the 45-row r7 cohort (family suppression defers 5 of them to a
+# representative) — projected post-r11 freshness floor: r7, with
+# only family-covered members and ~2 past-budget rows left there.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -85,6 +85,16 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # bands share the md5-replayable certification harness
     ("x106_epoch_shuffle_shards", "x107_temperature_mixture",
      "x108_stratified_threshold"),
+    # r11 additions (r10 verdict item 3, ahead of the r7-cohort
+    # rotation): the dim-build family all exercises operators/star.py's
+    # union+distinct builders over the same flights scan
+    ("q10_dim_airlines", "q11_dim_airports", "q12_dim_date"),
+    # the cleaning family shares functions/cleaning.py's coercion /
+    # regex-standardize / parse expressions
+    ("q06_clean_project", "q07_parse_priority", "q23_standardize_text"),
+    # the codec pair shares the mapInPandas decode harness
+    # (operators/multimodal.py) — WAV and BMP are the two stdlib paths
+    ("x103_wav_decode_stats", "x105_bmp_decode_stats"),
 )
 
 

@@ -3524,6 +3524,87 @@ ORACLE["x108_stratified_threshold"] = """
 """
 
 
+# --- r11: multi-epoch determinism face for epoch_shuffle ---------------------
+
+#: the two epoch seeds the x113 face pins jointly. Any two distinct
+#: seeds work — 7 keeps the x106 face's epoch in the matrix so the
+#: two certifications overlap on one marginal.
+_X113_SEED_A = 7
+_X113_SEED_B = 8
+
+
+def x113_multi_epoch_shard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-epoch TRAINING-ORDER REPLAY guarantee of
+    ``epoch_shuffle`` (r10 verdict item 7 — the last sampling property
+    that was pytest-only; tests/test_corpus_pipeline.py pins it
+    locally): each epoch seed induces a complete, deterministic
+    assignment of the corpus, and different seeds induce DIFFERENT
+    ones. The face pins the JOINT shard contingency matrix of two
+    epochs — per (shard@seed7, shard@seed8) cell, the doc count and
+    doc-id sum — which certifies strictly more than two x106-style
+    marginals: the matrix's row/column sums ARE each epoch's complete
+    shard assignment (completeness: every doc lands in exactly one
+    cell), and its off-diagonal mass is the epochs actually permuting
+    docs differently (a seed that failed to change the assignment
+    would concentrate the matrix on the diagonal). Every cell is a
+    pure function of (doc_id, seed, n_shards) via the operator's OWN
+    ``md5_epoch_hash``/``md5_shard_expr``/``md5_band_width``
+    expressions (not copies that can desync), so DuckDB replays the
+    exact matrix.
+
+    Scale shape: ONE map-side projection computes both epochs' hashes
+    — no second scan, no self-join on doc_id — and the only shuffle is
+    the ≤64-row map-side-combined aggregate. This is also the
+    operator's cheapest-possible multi-epoch audit at 100 TB: auditing
+    E epochs is one pass with E hash columns, not E shuffled sorts.
+    """
+    from ..operators.sampling import md5_epoch_hash, md5_shard_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    both = docs.select(
+        "doc_id",
+        md5_epoch_hash(F.col("doc_id"), _X113_SEED_A).alias("__ha"),
+        md5_epoch_hash(F.col("doc_id"), _X113_SEED_B).alias("__hb"),
+    ).select(
+        "doc_id",
+        md5_shard_expr("__ha", _X106_SHARDS).alias("shard_a"),
+        md5_shard_expr("__hb", _X106_SHARDS).alias("shard_b"),
+    )
+    return (
+        both.groupBy("shard_a", "shard_b")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )
+
+
+QUERIES["x113_multi_epoch_shard_matrix"] = x113_multi_epoch_shard_matrix
+
+ORACLE["x113_multi_epoch_shard_matrix"] = f"""
+    WITH h AS (
+        -- concat_ws mirrors Spark's NULL-skip on doc_id (the x106
+        -- convention; the generator guarantees non-NULL doc_id)
+        SELECT doc_id,
+               ('0x' || substring(
+                   md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                 '{_X113_SEED_A}')), 1, 15))::BIGINT AS ha,
+               ('0x' || substring(
+                   md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                 '{_X113_SEED_B}')), 1, 15))::BIGINT AS hb
+        FROM documents
+    )
+    SELECT CAST(ha // {md5_band_width(_X106_SHARDS)} AS INTEGER) AS shard_a,
+           CAST(hb // {md5_band_width(_X106_SHARDS)} AS INTEGER) AS shard_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM h
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 # --- r9: driver face for the r8 exact global sequence packer ----------------
 
 #: pack budget for the x110 face — small enough that sf0.01's corpus

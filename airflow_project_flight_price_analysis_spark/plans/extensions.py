@@ -2710,9 +2710,13 @@ ORACLE.update({
 #: so its completion proves `hasTimedOut` fired for every armed group
 #: (a fixed sleep would flake on a stalled box and over-wait on a quiet
 #: one). The poll below fails LOUDLY if eviction didn't happen; it can
-#: never flaky-pass.
+#: never flaky-pass. The trigger interval is stored in MS and the
+#: display string derived from it, so the clock-slack computation below
+#: (3 trigger intervals) can never silently decouple from the trigger
+#: the engine actually runs (r10 ADVICE).
 _X112_TTL_MS = 1500
-_X112_TRIGGER = "250 milliseconds"
+_X112_TRIGGER_MS = 250
+_X112_TRIGGER = f"{_X112_TRIGGER_MS} milliseconds"
 _X112_POLL_TIMEOUT_S = 120
 
 
@@ -2732,8 +2736,13 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
        timer check, so ``hasTimedOut`` has fired for every group and
        removed its state; eviction emits nothing, by design);
     3. backlog C = the SAME events of the reseen quarter of the cohort
-       (user_id % 4 == 1), twice — because their state was evicted,
-       their totals RESTART: final n_events = 2·|A_u|, not 3·|A_u|.
+       (user_id % 4 == 1), twice — written as ONE file via
+       ``reseen.union(reseen)`` so the whole restart lands in ONE
+       micro-batch (r10 verdict item 2: two back-to-back appends could
+       split across a >TTL stall on a loaded box, evicting state
+       mid-restart and failing the face loudly-but-flakily). Because
+       their state was evicted, their totals RESTART: final
+       n_events = 2·|A_u|, not 3·|A_u|.
 
     The restart is the observable consequence that certifies eviction:
     the face polls the sink for exactly the restart counts and raises
@@ -2750,6 +2759,7 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import datetime
     import os
+    import shutil
     import tempfile
     import time
     import uuid
@@ -2813,7 +2823,8 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # EMPTY batch has COMPLETED whose start time is past now + TTL
         # (+3 trigger intervals of clock slack), that batch checked the
         # timers — hasTimedOut fired and removed every group's state.
-        evict_after = time.time() + _X112_TTL_MS / 1000.0 + 0.75
+        evict_after = (time.time() + _X112_TTL_MS / 1000.0
+                       + 3 * _X112_TRIGGER_MS / 1000.0)
 
         def _timers_checked() -> bool:
             for p in q.recentProgress:
@@ -2827,9 +2838,12 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         _poll(_timers_checked,
               "a completed empty timer batch past the TTL deadline")
 
+        # ONE file carrying every reseen event TWICE: a single commit →
+        # a single source file → a single micro-batch, so a >TTL stall
+        # between triggers can never evict the re-armed state mid-restart
+        # (the back-to-back two-append form had that flake-to-red window)
         reseen = ev.filter(F.col("user_id") % 4 == 1)
-        reseen.coalesce(1).write.mode("append").parquet(src)
-        reseen.coalesce(1).write.mode("append").parquet(src)
+        reseen.union(reseen).coalesce(1).write.mode("append").parquet(src)
 
         def _restarted() -> bool:
             got = {
@@ -2845,6 +2859,9 @@ def x112_stateful_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         _poll(_restarted, "post-eviction RESTART counts (2·|A_u|)")
     finally:
         q.stop()
+        # the result below reads the MEMORY sink, not the files — the
+        # source/checkpoint scratch is dead weight once the query stops
+        shutil.rmtree(root, ignore_errors=True)
 
     return (
         spark.table(name)

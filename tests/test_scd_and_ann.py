@@ -307,6 +307,36 @@ def test_epoch_shuffle_reproducible_and_partition_invariant(spark):
     assert sorted(assign1) == sorted(o1)  # every row sharded
 
 
+def test_md5_shard_helpers_match_epoch_shuffle_assignment(spark):
+    """The x113 face computes shard ids via the exported
+    ``md5_epoch_hash``/``md5_shard_expr`` helpers WITHOUT running the
+    clustering shuffle — pin that the map-side assignment equals the
+    operator's own ``epoch_shard`` output exactly, for both seeds the
+    face uses, so the face can never certify a desynced copy."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        epoch_shuffle,
+        md5_epoch_hash,
+        md5_shard_expr,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    for seed in (7, 8):
+        via_op = {
+            r.k: r.epoch_shard
+            for r in epoch_shuffle(df, "k", seed=seed, n_shards=8,
+                                   hash_fn="md5").collect()
+        }
+        via_expr = {
+            r.k: r.s
+            for r in df.select(
+                "k", md5_epoch_hash(F.col("k"), seed).alias("__h")
+            ).select("k", md5_shard_expr("__h", 8).alias("s")).collect()
+        }
+        assert via_op == via_expr
+
+
 def test_temperature_mixture_flattens_small_sources(spark):
     """T=1 ≡ plain proportional sampling; T>1 keeps a LARGER fraction
     of the minority source than of the majority one; selection is
