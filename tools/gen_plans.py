@@ -149,6 +149,11 @@ SECTIONS = [
      "sums below the customer join; pivot re-folds the parts (long "
      "sums associative under any fold order); cents materialize once "
      "per cell in the final Project"),
+    ("x113_multi_epoch_shard_matrix",
+     "multi-epoch shuffle audit: ONE 1-column scan computes both "
+     "epochs' hashes in a single codegen Project (auditing E epochs "
+     "is one pass with E hash columns, not E sorts); the only "
+     "exchange is the <=64-row map-side-combined aggregate"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
