@@ -1,0 +1,210 @@
+"""Registry-wide physical-plan lint — sweep EVERY registered query's
+plan for the scale anti-patterns the 100 TB design forbids.
+
+Run: python tools/plan_lint.py     (prints one line per finding, then
+a summary; exit 1 if any un-allowlisted finding)
+
+What it flags and why:
+
+- ``CartesianProduct`` — an unbounded cross join: O(|L|·|R|) rows with
+  no equi-key to shuffle on. Never acceptable at scale.
+- ``BroadcastNestedLoopJoin`` — the non-equi broadcast loop. Legitimate
+  ONLY when the broadcast side is a bounded statistic (one row, or a
+  few-row threshold table) attached to every row; those sites are
+  allowlisted BY QUERY NAME below with the bounded side documented.
+- ``Exchange SinglePartition`` feeding a ``Sort`` or ``Window`` — the
+  single-partition funnel: ALL rows through one task. (The same
+  exchange under a grand-total ``HashAggregate(keys=[])`` is fine —
+  each upstream partition contributes one partial row, so the funnel
+  carries |partitions| rows, not |data|.)
+- ``BatchEvalPython`` — row-at-a-time Python UDF. The tree is supposed
+  to contain ZERO (Arrow ``mapInPandas``/``applyInPandas`` show as
+  ``MapInPandas``/``FlatMapGroupsInPandas`` and are fine where used).
+
+Queries that EXECUTE a streaming protocol inside their builder (the
+availableNow faces) are skipped: their returned DataFrame reads a
+memory sink, so there is no distributed plan to lint — their scale
+properties are pinned by the streaming operators' own docs/tests.
+
+The lint inspects the PRE-EXECUTION plan (``executedPlan`` before any
+job runs, i.e. the AQE initial plan). That is deliberate: AQE can only
+IMPROVE on it at runtime (broadcast conversion, skew splits), so a
+clean initial plan is the conservative bar.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from airflow_project_flight_price_analysis_spark.plans import all_queries  # noqa: E402
+from airflow_project_flight_price_analysis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: availableNow protocol faces — the builder runs a real streaming
+#: query and returns a memory-sink read; nothing distributed to lint.
+STREAM_FACES = {
+    "x17_stream_tumbling",
+    "x24_stream_dedup",
+    "x25_stream_sessions",
+    "x29_stream_interval_join",
+    "x55_stream_static_enrich",
+    "x111_stateful_running_totals",
+    "x112_stateful_ttl_eviction",
+}
+
+#: (query, pattern) pairs adjudicated legitimate. Every entry documents
+#: WHY the flagged node is bounded. Grep-audited when added; a new
+#: finding outside this list fails the lint. (BNLJs whose build side is
+#: a grand ``keys=[]`` aggregate — the one-row statistic attachment —
+#: are auto-accepted by ``_bnlj_is_bounded`` and never reach here.)
+ALLOWLIST: dict[tuple[str, str], str] = {
+    # --- BNLJ with a bounded (but not provably-one-row) build side ---
+    ("x37_nearest_centroid", "BroadcastNestedLoopJoin"):
+        "broadcasts |labels| collect_list'd centroids (k-bounded)",
+    ("q28_levenshtein_pairs", "BroadcastNestedLoopJoin"):
+        "non-equi edit-distance over dim x dim: broadcast side is the "
+        "25-row nation scan",
+    ("x86_ks_drift", "BroadcastNestedLoopJoin"):
+        "broadcasts per-source counts (|sources| rows)",
+    ("x06_cosine_topk", "BroadcastNestedLoopJoin"):
+        "broadcasts the <=10-row probe set (vec_id < 10 filter) — the "
+        "brute-force ANN design: broadcast probes, scan corpus once",
+    ("x07_lsh_topk", "BroadcastNestedLoopJoin"):
+        "same probe-set broadcast as x06 (<=10 rows)",
+    ("x15_ivf_topk", "BroadcastNestedLoopJoin"):
+        "probe-set broadcast (<=10 rows) + TakeOrdered(limit=8) "
+        "centroid broadcast — both k-bounded",
+    # --- SinglePartition sort/window over a post-aggregate bounded
+    # grain: the funnel carries |grain| rows, not |data| ---
+    ("q30_sql_running_total", "SinglePartition"):
+        "running total over the year-month grain (<=|months| rows)",
+    ("q53_rolling_range_frame", "SinglePartition"):
+        "rolling frame over the daily aggregate (<=|days| rows; "
+        "tests/test_plan_shapes.py::test_q53_window_runs_on_daily_"
+        "aggregate pins that the window input is the agg)",
+    ("q60_new_vs_returning", "SinglePartition"):
+        "day-grain cumulative window (<=|days| rows)",
+    ("x110_pack_concat_chunks", "SinglePartition"):
+        "the two-phase prefix scan's OFFSETS side: |bands| rows "
+        "(operators/packing.py — the data side shuffles by band, "
+        "never through one partition)",
+    ("x90_benford_digits", "SinglePartition"):
+        "window over the 9 leading-digit rows",
+    ("x92_daily_autocorrelation", "SinglePartition"):
+        "lag window over the daily series (<=|days| rows)",
+    ("x93_cusum_changepoint", "SinglePartition"):
+        "cumulative deviation over the daily series (<=|days| rows)",
+    ("x94_mutual_information", "SinglePartition"):
+        "window over the joint-distribution cells (|X|x|Y| rows)",
+    ("q64_pareto_frontier", "SinglePartition"):
+        "skyline sweep over the bucket-PRUNED survivor set plus the "
+        "suffix-max over the bucket table (operators/frontier.py — "
+        "pruning bounds the sorted set by frontier size + slack)",
+    ("x98_seasonal_decomposition", "SinglePartition"):
+        "moving-average/detrend windows over the daily series "
+        "(<=|days| rows, three window passes on the same grain)",
+}
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" +-:*"))
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """The plan lines forming node i's subtree (deeper indent until the
+    next node at i's indent or shallower)."""
+    base = _indent(lines[i])
+    out = []
+    for j in range(i + 1, len(lines)):
+        if lines[j].strip() and _indent(lines[j]) <= base:
+            break
+        out.append(lines[j])
+    return out
+
+
+def _bnlj_is_bounded(lines: list[str], i: int) -> bool:
+    """True iff the BroadcastNestedLoopJoin at line i broadcasts a
+    GRAND aggregate (``HashAggregate(keys=[]``) — exactly one row, the
+    statistic-attachment pattern (a global mean/total/threshold joined
+    onto every row). Anything else (a keyed build side) must be
+    allowlisted by name with its bound documented."""
+    sub = _subtree(lines, i)
+    for k, line in enumerate(sub):
+        if "BroadcastExchange" not in line:
+            continue
+        # the build side: the grand aggregate must be INSIDE it, so a
+        # keys=[] agg on the streamed side can never false-accept
+        for inner in _subtree(sub, k):
+            if re.search(r"(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]", inner):
+                return True
+    return False
+
+
+def _lint(plan: str) -> list[str]:
+    found: list[str] = []
+    lines = plan.splitlines()
+    if "CartesianProduct" in plan:
+        found.append("CartesianProduct")
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" in line and not _bnlj_is_bounded(lines, i):
+            found.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan:
+        found.append("BatchEvalPython")
+    # single-partition funnel: Exchange SinglePartition whose CONSUMER
+    # (the nearest enclosing node, i.e. the previous line at a smaller
+    # indent) is a Sort or Window — all rows through one task. The
+    # same exchange under HashAggregate(keys=[]) / CollectLimit is the
+    # bounded grand-total pattern and passes.
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" +-:*"))
+        consumer = ""
+        for j in range(i - 1, -1, -1):
+            pj = lines[j]
+            ij = len(pj) - len(pj.lstrip(" +-:*"))
+            if ij < indent and pj.strip():
+                consumer = pj.strip()
+                break
+        if re.search(r"\b(Sort|Window|WindowGroupLimit)\b", consumer):
+            found.append(f"SinglePartition->({consumer[:60]})")
+    return found
+
+
+def main() -> int:
+    spark = get_spark(app_name="fpa-plan-lint")
+    queries = all_queries()
+    failures: list[str] = []
+    n_linted = 0
+    for name, fn in queries.items():
+        if name in STREAM_FACES:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_linted += 1
+        for pat in _lint(plan):
+            key = (name, pat.split("->")[0])
+            if key in ALLOWLIST:
+                print(f"allow  {name}: {pat}  [{ALLOWLIST[key]}]")
+            else:
+                print(f"FLAG   {name}: {pat}")
+                failures.append(f"{name}: {pat}")
+        dt = time.time() - t0
+        if dt > 10:
+            print(f"slow-build {name}: {dt:.1f}s (builder runs side effects)")
+    print(f"\nlinted {n_linted} query plans "
+          f"({len(STREAM_FACES)} stream faces skipped); "
+          f"{len(failures)} un-allowlisted findings")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
