@@ -2457,20 +2457,35 @@ ORACLE.update({
                    CAST(l_shipdate AS DATE) + 7 AS e
             FROM lineitem
         ),
+        cmax AS (
+            -- cumulative max TO CURRENT ROW + LAG instead of the
+            -- direct `MAX ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+            -- 1 PRECEDING` frame: DuckDB 1.0.0's parallel window MAX
+            -- mis-evaluates that offset frame on large partitions
+            -- (verified at sf0.1: full-table multi-thread disagreed
+            -- with both threads=1 and the per-key filtered run by
+            -- +8..10 covered days on 3 suppliers; Spark and
+            -- single-thread DuckDB agree). LAG(cummax) is the same
+            -- exclusive running max — cummax is monotone, so the
+            -- value is tie-order invariant — through the well-tested
+            -- cumulative-frame path.
+            SELECT l_suppkey, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY l_suppkey ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS mx
+            FROM iv
+        ),
         flagged AS (
             SELECT l_suppkey, s, e,
-                   CASE WHEN MAX(e) OVER (
+                   CASE WHEN LAG(mx) OVER (
                             PARTITION BY l_suppkey ORDER BY s, e
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING
                         ) IS NULL
-                        OR s > MAX(e) OVER (
+                        OR s > LAG(mx) OVER (
                             PARTITION BY l_suppkey ORDER BY s, e
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING
                         )
                         THEN 1 ELSE 0 END AS new_island
-            FROM iv
+            FROM cmax
         ),
         numbered AS (
             SELECT l_suppkey, s, e,
