@@ -82,9 +82,12 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # aggregate, rank on recombined micros, cents for survivors only
     ("q38_shipping_priority", "q83_returned_item_customers"),
     # sampling faces — epoch shuffle / temperature mixture / exact-floor
-    # bands share the md5-replayable certification harness
+    # bands share the md5-replayable certification harness; x113 (r11)
+    # certifies the same epoch_shuffle md5 expressions jointly across
+    # two seeds, so it rotates with the family rather than spending an
+    # extra slot every round
     ("x106_epoch_shuffle_shards", "x107_temperature_mixture",
-     "x108_stratified_threshold"),
+     "x108_stratified_threshold", "x113_multi_epoch_shard_matrix"),
     # r11 additions (r10 verdict item 3, ahead of the r7-cohort
     # rotation): the dim-build family all exercises operators/star.py's
     # union+distinct builders over the same flights scan
