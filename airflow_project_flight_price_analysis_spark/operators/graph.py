@@ -160,10 +160,16 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 .groupBy("u").agg(F.min("label").alias("nb_label"))
                 .select(F.col("u").alias("node"), "nb_label")
             )
-            new_labels = (
+            # carry the pre-step label THROUGH the checkpoint so the
+            # convergence check is a filter+count over already-
+            # materialized rows — the previous form re-joined
+            # new_labels against labels, a whole extra shuffle join
+            # per round (r11: ~25% of the x96 closure's wall time)
+            stepped = (
                 labels.join(nb, "node", "left")
                 .select(
                     "node",
+                    F.col("label").alias("__old"),
                     F.least(
                         F.col("label"),
                         F.coalesce("nb_label", F.col("label")),
@@ -171,13 +177,10 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.select("node", F.col("label").alias("new_label"))
-                .join(labels, "node")
-                .filter(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            labels = new_labels
+            changed = stepped.filter(
+                F.col("label") != F.col("__old")
+            ).count()
+            labels = stepped.select("node", "label")
             if changed == 0:
                 converged = True
                 break
