@@ -259,3 +259,80 @@ def temperature_mixture_sample(
         .filter(h <= (F.col("__keep") * F.lit(float(2 ** 60))).cast("long"))
         .drop("__src", "__keep")
     )
+
+
+_SPLIT_SPACE_MD5 = 2 ** 60
+
+
+def holdout_thresholds(fractions: "list[tuple[str, float]]") -> list[int]:
+    """Cumulative integer band bounds over the md5 hash space
+    [0, 2^60) for ``holdout_split`` — one bound per split EXCEPT the
+    last (which takes the remainder band, so the split is exhaustive
+    by construction, never by float arithmetic). Computed in exact
+    rational arithmetic over the floats' true binary values and
+    exported so an oracle embeds THE SAME integers instead of
+    re-deriving them with engine-local float rounding."""
+    from fractions import Fraction
+
+    if len(fractions) < 2:
+        raise ValueError("holdout_split needs at least 2 splits")
+    names = [n for n, _ in fractions]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    fs = [Fraction(float(f)) for _, f in fractions]
+    if any(f <= 0 for f in fs):
+        raise ValueError("every split fraction must be > 0")
+    if abs(sum(fs) - 1) > Fraction(1, 10 ** 9):
+        raise ValueError(f"split fractions must sum to 1, got {float(sum(fs))}")
+    bounds, cum = [], Fraction(0)
+    for f in fs[:-1]:
+        cum += f
+        bounds.append(int(cum * _SPLIT_SPACE_MD5))
+    return bounds
+
+
+def holdout_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: "list[tuple[str, float]]",
+    seed: int,
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint-exhaustive holdout split (train/val/test) with GROUP
+    cohesion — the leakage guard of every training-data pipeline:
+    evaluation contamination comes from near-identical rows straddling
+    the train/test boundary, so the split must assign whole GROUPS
+    (a source, a domain, a dedup cluster id from operators/graph.py),
+    never individual rows. The split label is a pure function of
+    (group value, seed): md5-band assignment over [0, 2^60) via
+    ``md5_epoch_hash`` — reproducible across runs, engines, cluster
+    sizes, and partition layouts (``randomSplit`` is none of those),
+    and STABLE under corpus growth: a new row joins its group's
+    existing side, and a brand-new group lands by its own hash without
+    moving anyone else (the property that lets a frozen eval set stay
+    frozen across monthly corpus refreshes).
+
+    ``fractions`` is an ordered list of (name, fraction) summing to 1;
+    band bounds come from ``holdout_thresholds`` (exact integers — the
+    LAST split takes the remainder band, so every hash lands somewhere
+    by construction). Rows with a NULL group hash via concat_ws's
+    NULL-skip to one shared band — cohesion holds for them too.
+
+    Scale shape: ZERO shuffles — the hash and the band CASE are one
+    map-side projection; no aggregate, no join, no sort. Downstream
+    writes fan out with ``.write.partitionBy(split_col)``.
+    """
+    if split_col in df.columns:
+        raise ValueError(
+            f"input column {split_col!r} collides with the split label — "
+            "pass a different split_col (bloom.py reserved-name rule)"
+        )
+    bounds = holdout_thresholds(fractions)
+    h = md5_epoch_hash(F.col(group_col), seed)
+    expr = None
+    for (name, _), b in zip(fractions, bounds):
+        cond = h < F.lit(b)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(split_col, expr.otherwise(F.lit(fractions[-1][0])))

@@ -40,14 +40,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (10 remaining r6 rows, then the r7 cohort).
     "x67b_containment_prefix",
 )
-# Tier 2 (automatic, no green row) as of round-11: one new driver face
-# — x113_multi_epoch_shard_matrix (the multi-epoch determinism
+# Tier 2 (automatic, no green row) as of round-11: two new driver
+# faces — x113_multi_epoch_shard_matrix (the multi-epoch determinism
 # guarantee of epoch_shuffle, r10 verdict item 7 — the last sampling
-# property that was pytest-only). With tier 1 at 2 and tier 2 at 1,
-# ~47 tier-3 slots remain: the 10 r6-stale rows first, then ~37 of
-# the 45-row r7 cohort (family suppression defers 5 of them to a
-# representative) — projected post-r11 freshness floor: r7, with
-# only family-covered members and ~2 past-budget rows left there.
+# property that was pytest-only) and x114_group_holdout_split (the
+# group-cohesive train/val/test carve, new operator this round). With
+# tier 1 at 2 and tier 2 at 2, ~46 tier-3 slots remain: the 10
+# r6-stale rows first, then ~36 of the 45-row r7 cohort (family
+# suppression defers 5 of them to a representative) — projected
+# post-r11 freshness floor: r7, with only family-covered members and
+# ~3 past-budget rows left there.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -87,7 +89,10 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # two seeds, so it rotates with the family rather than spending an
     # extra slot every round
     ("x106_epoch_shuffle_shards", "x107_temperature_mixture",
-     "x108_stratified_threshold", "x113_multi_epoch_shard_matrix"),
+     "x108_stratified_threshold", "x113_multi_epoch_shard_matrix",
+     # x114 (r11): holdout_split rides the same md5-band harness
+     # (content_hash64 + holdout_thresholds' exact integer bounds)
+     "x114_group_holdout_split"),
     # r11 additions (r10 verdict item 3, ahead of the r7-cohort
     # rotation): the dim-build family all exercises operators/star.py's
     # union+distinct builders over the same flights scan

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.text import tokens_expr
-from ..operators.sampling import md5_band_width
+from ..operators.sampling import holdout_thresholds, md5_band_width
 from ..sources import load_table
 
 QUERIES: dict = {}
@@ -3597,6 +3597,82 @@ ORACLE["x113_multi_epoch_shard_matrix"] = f"""
     )
     SELECT CAST(ha // {md5_band_width(_X106_SHARDS)} AS INTEGER) AS shard_a,
            CAST(hb // {md5_band_width(_X106_SHARDS)} AS INTEGER) AS shard_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM h
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+# --- r11: group-cohesive holdout split --------------------------------------
+
+#: the x114 split spec — fractions are the conventional train/val/test
+#: carve; the seed is pinned to one where all THREE bands are populated
+#: over the generator's 20 sources (src0..src19 at every test SF:
+#: 15 train / 3 val / 2 test), so the face is non-vacuous — a seed like
+#: 11 happens to land all 20 group hashes under the 0.8 bound (p ≈ 1%,
+#: verified real, not a hash bug) and would certify only one band.
+_X114_FRACTIONS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_X114_SEED = 1
+
+
+def x114_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``holdout_split`` (operators/sampling.py) — the
+    group-cohesive train/val/test carve that guards eval sets against
+    train/test leakage: the split label is a pure md5-band function of
+    the GROUP value (here ``source``), so every row of a group lands on
+    one side of the boundary, deterministically across runs, engines,
+    and partition layouts (``randomSplit`` is none of those). The face
+    returns the per-(source, split) census — doc count and doc-id sum —
+    which certifies BOTH properties at once: the row count equals the
+    number of distinct sources iff cohesion holds (a leaking group
+    would mint a second row for its source and break the count/value
+    match), and the cells pin the exact band assignment, including the
+    exact integer thresholds from ``holdout_thresholds`` (computed once
+    in rational arithmetic and embedded in BOTH engines' plans, so no
+    engine-local float rounding can flip a boundary group).
+
+    Scale shape: the operator is ZERO-shuffle (one map-side hash +
+    CASE projection); the face adds one |sources|-row
+    map-side-combined aggregate. At 100 TB the split of an entire
+    corpus is a single pass, and a frozen eval set stays frozen across
+    corpus refreshes because a new row joins its group's existing band.
+    """
+    from ..operators.sampling import holdout_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = holdout_split(docs, "source", _X114_FRACTIONS, seed=_X114_SEED)
+    return (
+        out.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+QUERIES["x114_group_holdout_split"] = x114_group_holdout_split
+
+# the exact integer band bounds the operator derives from the fractions
+_X114_BOUNDS = holdout_thresholds(_X114_FRACTIONS)
+
+ORACLE["x114_group_holdout_split"] = f"""
+    WITH h AS (
+        -- concat_ws mirrors Spark's NULL-skip on the group column
+        -- (the x106 convention); thresholds are holdout_thresholds'
+        -- exact integers, identical literals in both engines
+        SELECT source, doc_id,
+               ('0x' || substring(
+                   md5(concat_ws(':', source, '{_X114_SEED}')),
+                   1, 15))::BIGINT AS gh
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN gh < {_X114_BOUNDS[0]} THEN 'train'
+                WHEN gh < {_X114_BOUNDS[1]} THEN 'val'
+                ELSE 'test' END AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc
     FROM h

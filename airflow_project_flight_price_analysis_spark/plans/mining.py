@@ -788,40 +788,63 @@ def x96_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Part names are adjective+noun composites with exact duplicates and
     near-variants, so clusters are non-trivial at every test SF.
 
-    Scale shape: candidate pairs exist ONLY within a (noun, p_type)
-    block — the self-join is an equi-join on the block key, never
-    all-pairs; a hot block bounds pair fan-out by its own size (salt or
-    sub-block on brand if a block explodes at 100 TB). Closure cost is
-    O(diameter) node-scale rounds (operators/graph.py). Survivorship is
-    one |clusters|-group aggregate.
+    Scale shape: EXACT duplicates collapse before the fuzzy matcher —
+    parts sharing (p_name, p_type) pairwise-match at distance 0, so
+    the edit-distance rule only needs DISTINCT names: one star edge
+    per group member plus one rep-edge per matched distinct-name pair
+    reaches the same transitive closure as all-member pairwise (the
+    dedup-exact-before-fuzzy move every ER pipeline makes). That turns
+    the matcher's cost from Σ C(|block|, 2) node pairs into
+    Σ C(|distinct names in block|, 2) — quadratic in the name-variant
+    count, not the row count (sf0.1: 4.16M node pairs → 1,344 name
+    pairs). The remaining self-join is an equi-join on the (noun,
+    p_type) block key, never all-pairs; the DP itself is banded by the
+    threshold form of ``levenshtein`` (early-exit at ER_LEV_MAX).
+    Closure cost is O(diameter) rounds over the ~node-count star edges
+    (operators/graph.py). Survivorship is one |clusters|-group
+    aggregate.
     """
     from ..operators.graph import neardup_clusters
 
     parts = load_table(spark, sf_dir, "part").withColumn(
         "noun", F.element_at(F.split("p_name", " "), 2)
     )
-    a = parts.select(
-        F.col("p_partkey").alias("a"),
+    # one representative node per exact (p_name, p_type) duplicate group
+    groups = parts.groupBy("p_name", "p_type", "noun").agg(
+        F.min("p_partkey").alias("rep")
+    )
+    star = (
+        parts.join(groups.select("p_name", "p_type", "rep"),
+                   ["p_name", "p_type"])
+        .filter(F.col("p_partkey") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("p_partkey").alias("b"))
+    )
+    ga = groups.select(
+        F.col("rep").alias("a"),
         F.col("p_name").alias("name_a"),
         F.col("noun").alias("noun_a"),
         F.col("p_type").alias("type_a"),
     )
-    b = parts.select(
-        F.col("p_partkey").alias("b"),
+    gb = groups.select(
+        F.col("rep").alias("b"),
         F.col("p_name").alias("name_b"),
         F.col("noun").alias("noun_b"),
         F.col("p_type").alias("type_b"),
     )
-    edges = (
-        a.join(
-            b,
+    # threshold form: returns -1 when distance exceeds ER_LEV_MAX, so
+    # `>= 0` is exactly `levenshtein(...) <= ER_LEV_MAX` with a banded
+    # O(threshold * len) DP instead of the full O(len^2) table
+    rep_edges = (
+        ga.join(
+            gb,
             (F.col("noun_a") == F.col("noun_b"))
             & (F.col("type_a") == F.col("type_b"))
             & (F.col("a") < F.col("b")),
         )
-        .filter(F.levenshtein("name_a", "name_b") <= ER_LEV_MAX)
+        .filter(F.levenshtein("name_a", "name_b", ER_LEV_MAX) >= 0)
         .select("a", "b")
     )
+    edges = star.unionAll(rep_edges)
     clustered = neardup_clusters(parts, edges, "p_partkey")
     return (
         clustered.groupBy(F.col("cluster_id").alias("entity_id"))

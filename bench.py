@@ -151,6 +151,9 @@ HEADLINE = [
     # round-11: the multi-epoch shard matrix (one scan, two md5 hash
     # columns, a 64-row aggregate — the cheapest multi-epoch audit shape)
     "x113_multi_epoch_shard_matrix",
+    # round-11: the group-cohesive holdout split (zero-shuffle map-side
+    # band projection + a |sources|-row aggregate)
+    "x114_group_holdout_split",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -397,3 +397,82 @@ def test_epoch_shard_floor_semantics_at_band_boundaries(spark):
            df.select("h", _shard_of(F.col("h"), n).alias("s")).collect()}
     assert got == expected
     assert all(0 <= s < n for s in got.values())
+
+
+# --- r11: group-cohesive holdout split (operators/sampling.py) --------------
+
+def test_holdout_split_cohesive_exhaustive_and_stable(spark):
+    """Every row gets exactly one split label; rows sharing a group
+    share a label (cohesion); the assignment is layout-independent and
+    STABLE under corpus growth (old rows keep their split when new
+    groups arrive); NULL groups cohere into one band."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        holdout_split,
+    )
+
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    df = spark.range(0, 600).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 50 == 49, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 50)))
+        .alias("grp"),
+    )
+    out = holdout_split(df, "grp", fr, seed=3)
+    rows = out.collect()
+    assert len(rows) == 600 and all(
+        r.split in ("train", "val", "test") for r in rows
+    )
+    # cohesion: one label per group (NULL groups included)
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values())
+    # layout-independence
+    again = {r.row_id: r.split
+             for r in holdout_split(df.repartition(13), "grp", fr,
+                                    seed=3).collect()}
+    assert again == {r.row_id: r.split for r in rows}
+    # growth stability: adding new groups never moves an existing row
+    grown = df.union(
+        spark.range(600, 700).select(
+            F.col("id").alias("row_id"),
+            F.concat(F.lit("new"), F.col("id")).alias("grp"),
+        )
+    )
+    grown_assign = {r.row_id: r.split
+                    for r in holdout_split(grown, "grp", fr,
+                                           seed=3).collect()}
+    assert {k: v for k, v in grown_assign.items() if k < 600} == {
+        r.row_id: r.split for r in rows
+    }
+    # a different seed produces a different carve
+    other = {r.row_id: r.split
+             for r in holdout_split(df, "grp", fr, seed=4).collect()}
+    assert other != {r.row_id: r.split for r in rows}
+
+
+def test_holdout_split_validates_spec(spark):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        holdout_split,
+        holdout_thresholds,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "g")
+    with pytest.raises(ValueError, match="sum to 1"):
+        holdout_split(df, "g", [("a", 0.5), ("b", 0.4)], seed=1)
+    with pytest.raises(ValueError, match="at least 2"):
+        holdout_split(df, "g", [("a", 1.0)], seed=1)
+    with pytest.raises(ValueError, match="duplicate"):
+        holdout_split(df, "g", [("a", 0.5), ("a", 0.5)], seed=1)
+    with pytest.raises(ValueError, match="> 0"):
+        holdout_split(df, "g", [("a", 1.1), ("b", -0.1)], seed=1)
+    with pytest.raises(ValueError, match="collides"):
+        holdout_split(df.withColumn("split", df.g), "g",
+                      [("a", 0.5), ("b", 0.5)], seed=1)
+    # bounds are exact integers, strictly increasing, inside the space
+    b = holdout_thresholds([("a", 0.8), ("b", 0.1), ("c", 0.1)])
+    assert b == sorted(b) and len(b) == 2 and 0 < b[0] < b[1] < 2 ** 60
