@@ -326,20 +326,19 @@ def _bmp_dims(doc_id: int) -> tuple[int, int]:
     return 8 + doc_id % 5, 6 + doc_id % 4
 
 
-def _bmp_bytes(doc_id: int) -> bytes:
-    """Spec-conformant 24bpp BMP: bottom-up rows, BGR byte order,
-    rows padded to 4-byte boundaries (stdlib only)."""
+def _encode_bmp24(w: int, h: int, rgb_at) -> bytes:
+    """Spec-conformant 24bpp BMP container from ``rgb_at(p) -> (r,g,b)``
+    over row-major TOP-DOWN pixel index p: bottom-up row storage, BGR
+    byte order, rows padded to 4-byte boundaries (stdlib only). Shared
+    by the synthetic builder and the real resize kernel so both write
+    the identical container layout the parser certifies."""
     import struct as st
 
-    w, h = _bmp_dims(doc_id)
     row_stride = (w * 3 + 3) // 4 * 4
     px = bytearray()
     for y in range(h - 1, -1, -1):          # bottom-up storage
         for x in range(w):
-            p = y * w + x                   # logical top-down index
-            r, g, b = (
-                (doc_id * 7 + p * 3 + c) % 256 for c in range(3)
-            )
+            r, g, b = rgb_at(y * w + x)     # logical top-down index
             px += bytes((b, g, r))          # BGR on disk
         px += b"\0" * (row_stride - w * 3)  # row padding
     info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
@@ -347,6 +346,14 @@ def _bmp_bytes(doc_id: int) -> bytes:
     off = 14 + 40
     hdr = st.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
     return hdr + info + bytes(px)
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """One real BMP payload from the generative law (see above)."""
+    return _encode_bmp24(
+        *_bmp_dims(doc_id),
+        lambda p: tuple((doc_id * 7 + p * 3 + c) % 256 for c in range(3)),
+    )
 
 
 BMP_FEATURE_SCHEMA = T.StructType([
@@ -433,4 +440,81 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
     from ..session import scale_out
     return scale_out(media, "media_id").mapInPandas(
         run, schema=BMP_FEATURE_SCHEMA
+    )
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, row-major top-down RGB bytes) from real BMP
+    payload — the pixel-grid sibling of ``_parse_bmp`` (same container
+    validation) for kernels that need the geometry, not just sums."""
+    import struct as st
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    off = st.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = st.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) // 4 * 4
+    rgb = bytearray()
+    for row in range(h):
+        src_y = (h - 1 - row) if bottom_up else row
+        base = off + src_y * row_stride
+        row_bytes = payload[base: base + w * 3]
+        if len(row_bytes) < w * 3:
+            raise ValueError("truncated pixel data")
+        for x in range(w):                   # BGR on disk -> RGB
+            rgb += bytes((row_bytes[3 * x + 2], row_bytes[3 * x + 1],
+                          row_bytes[3 * x]))
+    return w, h, bytes(rgb)
+
+
+def _resize_bmp_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resample of a 24bpp BMP: parse the actual
+    container (padding/flip/BGR included), map each output pixel to
+    ``src = (dst * src_dim) // dst_dim`` (the standard floor NN rule,
+    exact integer arithmetic — engine-replayable), re-encode through
+    the same writer the builder uses. Up- and down-scaling both work;
+    tiny test images keep this a byte loop — a production kernel swaps
+    in a numpy fancy-index over the same mapping, batch shape
+    unchanged."""
+    w, h, rgb = _bmp_pixels(payload)
+
+    def rgb_at(p: int) -> tuple[int, int, int]:
+        yo, xo = divmod(p, out_w)
+        src = (yo * h // out_h) * w + (xo * w // out_w)
+        return rgb[3 * src], rgb[3 * src + 1], rgb[3 * src + 2]
+
+    return _encode_bmp24(out_w, out_h, rgb_at)
+
+
+def resize_bmp_nn(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (the stdlib upgrade of ``resize``'s PIL-gated
+    path, BMP only): Arrow-batched nearest-neighbor resample that
+    parses, remaps, and RE-ENCODES every payload — output rows are
+    valid BMP containers a downstream ``decode_bmp_features`` re-parses
+    (how the x116 face certifies the whole kernel). Same RESIZED_SCHEMA
+    contract as ``resize``."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"].map(
+                    lambda p: _resize_bmp_nn(p, width, height)
+                ),
+                "meta": pdf["meta"].map(
+                    lambda m: {**m, "width": width, "height": height}
+                ),
+            })
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(
+        run, schema=RESIZED_SCHEMA
     )

@@ -574,10 +574,104 @@ def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: x115 quality bounds — measured recall@5 of int8-quantized cosine vs
+#: the float baseline: 0.98 @ sf0.001, 0.98 @ sf0.01, 1.0 @ sf0.1;
+#: measured max |qcos - cos| over the exact top-5 pairs: 0.0025 at
+#: every test SF. Floors set with >3x margin.
+_X115_RECALL_FLOOR = 0.9
+_X115_ERR_BOUND = 0.01
+
+
+def x115_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 storage-scale path — int8-quantized cosine top-k
+    (operators/similarity.py::quantize_embeddings /
+    quantized_cosine_topk) with THREE certifications in one row:
+
+    - ``sum_qnorm2`` — the corpus-wide sum of quantized squared norms,
+      a pure-integer invariant DuckDB replays END-TO-END (per-vector
+      scale, round-half-away, clamp): any drift in the quantization
+      arithmetic breaks the hash. Integer dots are exact in double, so
+      unlike the float fold this value is bit-identical across engines,
+      layouts, and summation orders.
+    - ``recall_certified = least(recall@5 vs float baseline, 0.9)`` —
+      exactly 0.9 iff the 4x-smaller int8 path still finds >=90% of
+      the true neighbors (measured 0.98-1.0).
+    - ``err_certified = greatest(max |qcos - cos| over the true top-5
+      pairs, 0.01)`` — exactly 0.01 iff every quantized score is
+      within the declared ceiling of its float score (measured 0.0025).
+
+    Why at 100 TB: embeddings dominate the bytes of a similarity
+    pipeline; int8 cuts scan/shuffle/cache 4x while this face pins the
+    ranking cost of that compression to a certified bound instead of a
+    hope. The float baseline is the harness; the quantized path is the
+    product path.
+    """
+    from ..operators.similarity import (
+        dot_expr,
+        norm_expr,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    widen = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    qv = quantize_embeddings(emb).filter(F.col("qscale") > 0).select(
+        "vec_id", widen.alias("qd")
+    )
+    stats = qv.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(
+            F.aggregate(
+                F.transform("qd", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).cast("bigint").alias("sum_qnorm2"),
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    qtop = quantized_cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    recall = (
+        exact.select("query_id", "neighbor_id")
+        .join(qtop, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.lit(5).alias("k"),
+            F.least(
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"),
+                F.lit(_X115_RECALL_FLOOR),
+            ).alias("recall_certified"),
+        )
+    )
+    qa = qv.select(F.col("vec_id").alias("query_id"), F.col("qd").alias("qa"))
+    qb = qv.select(F.col("vec_id").alias("neighbor_id"), F.col("qd").alias("qb"))
+    err = (
+        exact.join(qa, "query_id").join(qb, "neighbor_id")
+        .select(
+            (F.round(
+                dot_expr("qa", "qb") / (norm_expr("qa") * norm_expr("qb")), 6
+            ) - F.col("cosine")).alias("__d")
+        )
+        .agg(
+            F.greatest(F.max(F.abs("__d")), F.lit(_X115_ERR_BOUND))
+            .alias("err_certified")
+        )
+    )
+    return stats.crossJoin(recall).crossJoin(err).select(
+        "n_vectors", "n_queries", "k", "sum_qnorm2",
+        "recall_certified", "err_certified",
+    )
+
+
 QUERIES.update({
     "x13_tfidf_top_terms": x13_tfidf_top_terms,
     "x14_label_centroids": x14_label_centroids,
     "x15_ivf_topk": x15_ivf_topk,
+    "x115_quantized_ann": x115_quantized_ann,
 })
 
 ORACLE.update({
@@ -610,6 +704,38 @@ ORACLE.update({
           -- zero-norm guard mirroring cosine_topk (see x06)
           AND list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[])) > 0
+    """,
+    "x115_quantized_ann": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            -- zero-norm guard mirroring cosine_topk (see x06); a
+            -- nonzero vector always quantizes to a nonzero qvec (its
+            -- absmax element maps to +-127), so qscale > 0 on the
+            -- Spark side keeps exactly these rows
+            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0
+        ),
+        qv AS (
+            -- the quantizer, replayed end-to-end: per-vector symmetric
+            -- scale absmax/127, round half-away (both engines), clamp.
+            -- All downstream sums are integers < 2^53 in double, so
+            -- sum_qnorm2 is bit-exact regardless of summation order.
+            SELECT vec_id,
+                   list_transform(
+                       e, x -> least(127.0, greatest(-127.0,
+                           round(x / (list_max(list_transform(e, y -> abs(y)))
+                                      / 127.0))))
+                   ) AS qd
+            FROM v
+        )
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vectors,
+               CAST((SELECT COUNT(*) FROM v WHERE vec_id < 10) AS BIGINT)
+                   AS n_queries,
+               5 AS k,
+               CAST((SELECT SUM(list_dot_product(qd, qd)) FROM qv)
+                   AS BIGINT) AS sum_qnorm2,
+               {_X115_RECALL_FLOOR} AS recall_certified,
+               {_X115_ERR_BOUND} AS err_certified
     """,
     "x14_label_centroids": """
         SELECT label, CAST(i - 1 AS INTEGER) AS pos,
@@ -2474,7 +2600,67 @@ def x105_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update({"x105_bmp_decode_stats": x105_bmp_decode_stats})
+#: x116 target dims — chosen to exercise BOTH directions of the NN
+#: mapping against the generator's mixed source dims (w in 8..12,
+#: h in 6..9): width up-samples for w<10, identity at 10, down-samples
+#: past it; height always up-samples.
+_X116_RW, _X116_RH = 10, 8
+
+
+def x116_bmp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize certified end-to-end (upgrades X5's resize
+    from a PIL-gated stub to a working stdlib kernel for the BMP path):
+    build real BMP payloads from the x105 generative law, resample each
+    through the REAL nearest-neighbor kernel
+    (operators/multimodal.py::resize_bmp_nn — parse, floor-map
+    ``src = (dst * src_dim) // dst_dim``, RE-ENCODE a spec-conformant
+    container), then re-parse the RESIZED bytes with the real decoder
+    and aggregate channel sums per source geometry. The DuckDB oracle
+    replays the law + the exact integer NN mapping analytically — a
+    MATCH certifies the full parse → remap → encode → re-parse loop,
+    including the padding/flip/BGR handling on both the read and the
+    WRITE side (x105 only certifies the read side).
+
+    Scale shape: ONE Arrow-batched codec pipeline (build → resize →
+    re-parse fused in a single stage; payloads never shuffle) + a
+    |src dims|-group aggregate. The grouping keys come from the
+    generative law on media_id (the same dims x105 already certifies
+    the builder writes), NOT a second synth pass — joining back to the
+    media table would execute the payload builder twice.
+    """
+    from ..operators.multimodal import (
+        decode_bmp_features,
+        resize_bmp_nn,
+        synth_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_bmp_media(docs)
+    feats = decode_bmp_features(resize_bmp_nn(media, _X116_RW, _X116_RH))
+    return (
+        feats.select(
+            "*",
+            (F.lit(8) + F.col("media_id") % 5).cast("int").alias("src_width"),
+            (F.lit(6) + F.col("media_id") % 4).cast("int").alias("src_height"),
+        )
+        .groupBy("src_width", "src_height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # dims of the re-parsed resized containers — min==max==target
+            # iff every re-encoded header is correct
+            F.min("width").alias("out_width"),
+            F.max("width").alias("out_width_max"),
+            F.min("height").alias("out_height"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+        )
+        .orderBy("src_width", "src_height")
+    )
+
+
+QUERIES.update({"x105_bmp_decode_stats": x105_bmp_decode_stats,
+                "x116_bmp_resize_stats": x116_bmp_resize_stats})
 
 ORACLE.update({
     "x105_bmp_decode_stats": """
@@ -2508,6 +2694,47 @@ ORACLE.update({
         FROM per_doc
         GROUP BY w, h
         ORDER BY width, height
+    """,
+    "x116_bmp_resize_stats": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   8 + doc_id % 5 AS w,
+                   6 + doc_id % 4 AS h
+            FROM documents
+        ),
+        px AS (
+            -- q walks the RESIZED grid row-major; the NN floor map
+            -- replays resize_bmp_nn's exact integer arithmetic:
+            -- src = (dst * src_dim) // dst_dim per axis
+            SELECT doc_id, w, h,
+                   CAST(unnest(range(0, {_X116_RW * _X116_RH})) AS BIGINT) AS q
+            FROM d
+        ),
+        mapped AS (
+            SELECT doc_id, w, h,
+                   ((q // {_X116_RW}) * h // {_X116_RH}) * w
+                   + ((q % {_X116_RW}) * w // {_X116_RW}) AS p
+            FROM px
+        ),
+        per_doc AS (
+            SELECT doc_id, w, h,
+                   CAST(SUM((doc_id*7 + p*3 + 0) % 256) AS BIGINT) AS sr,
+                   CAST(SUM((doc_id*7 + p*3 + 1) % 256) AS BIGINT) AS sg,
+                   CAST(SUM((doc_id*7 + p*3 + 2) % 256) AS BIGINT) AS sb
+            FROM mapped GROUP BY 1, 2, 3
+        )
+        SELECT CAST(w AS INTEGER) AS src_width,
+               CAST(h AS INTEGER) AS src_height,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {_X116_RW} AS out_width,
+               {_X116_RW} AS out_width_max,
+               {_X116_RH} AS out_height,
+               CAST(SUM(sr) AS BIGINT) AS sum_r,
+               CAST(SUM(sg) AS BIGINT) AS sum_g,
+               CAST(SUM(sb) AS BIGINT) AS sum_b
+        FROM per_doc
+        GROUP BY w, h
+        ORDER BY src_width, src_height
     """,
 })
 

@@ -154,6 +154,12 @@ HEADLINE = [
     # round-11: the group-cohesive holdout split (zero-shuffle map-side
     # band projection + a |sources|-row aggregate)
     "x114_group_holdout_split",
+    # round-11: int8-quantized ANN with recall/error certification
+    # (exact baseline + quantized brute force + the integer invariant)
+    "x115_quantized_ann",
+    # round-11: real NN resize kernel (two Arrow-batched passes over
+    # the synthetic BMP corpus — the codec-throughput probe)
+    "x116_bmp_resize_stats",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -428,6 +428,61 @@ def test_bmp_parser_handles_topdown_and_rejects_malformed():
         _parse_bmp(bytes(bad))
 
 
+def test_bmp_nn_resize_kernel():
+    """The real resize kernel: identity dims round-trip the pixels
+    bit-exactly; up/down-scaling match a reference NN resample of the
+    parsed grid; re-encoded output is a valid container the strict
+    parser accepts; bad target dims raise."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_bytes,
+        _bmp_pixels,
+        _parse_bmp,
+        _resize_bmp_nn,
+    )
+
+    for did in (0, 3, 7, 11):
+        payload = _bmp_bytes(did)
+        w, h, rgb = _bmp_pixels(payload)
+        # identity resize = byte-identical pixel grid
+        assert _bmp_pixels(_resize_bmp_nn(payload, w, h))[2] == rgb
+        for ow, oh in ((4, 3), (2 * w, 2 * h), (1, 1)):
+            out = _resize_bmp_nn(payload, ow, oh)
+            rw, rh, rrgb = _bmp_pixels(out)
+            assert (rw, rh) == (ow, oh)
+            ref = bytearray()
+            for q in range(ow * oh):
+                sy, sx = (q // ow) * h // oh, (q % ow) * w // ow
+                ref += rgb[3 * (sy * w + sx): 3 * (sy * w + sx) + 3]
+            assert rrgb == bytes(ref)
+            _parse_bmp(out)  # strict parser accepts the re-encode
+
+
+def test_bmp_nn_resize_operator(spark):
+    """resize_bmp_nn over the media table: dims rewritten in metadata
+    AND in the re-parsed payloads; invalid targets raise."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        decode_bmp_features,
+        resize_bmp_nn,
+        synth_bmp_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 9)], "doc_id long")
+    media = synth_bmp_media(docs)
+    with pytest.raises(ValueError, match=">= 1"):
+        resize_bmp_nn(media, 0, 4)
+    out = resize_bmp_nn(media, 6, 5)
+    feats = {r.media_id: r for r in decode_bmp_features(out).collect()}
+    metas = {r.media_id: r.meta for r in out.collect()}
+    assert set(feats) == {0, 5, 9}
+    for mid in feats:
+        assert (feats[mid].width, feats[mid].height) == (6, 5)
+        assert (metas[mid].width, metas[mid].height) == (6, 5)
+
+
 def test_scale_out_probe_submits_no_job_under_aqe(spark):
     """r7 review: the partition-count probe must not execute the
     upstream plan (the df.rdd-under-AQE gotcha ran every shuffle stage

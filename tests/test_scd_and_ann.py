@@ -476,3 +476,61 @@ def test_holdout_split_validates_spec(spark):
     # bounds are exact integers, strictly increasing, inside the space
     b = holdout_thresholds([("a", 0.8), ("b", 0.1), ("c", 0.1)])
     assert b == sorted(b) and len(b) == 2 and 0 < b[0] < b[1] < 2 ** 60
+
+
+# --- r11: int8 embedding quantization (operators/similarity.py) -------------
+
+def test_quantize_embeddings_contract(spark):
+    """Scale/clamp/zero-vector semantics; cosine ranking is preserved
+    under quantization on an exactly-representable fixture; reserved
+    output names are guarded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [-2.0, 2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # per-vector scale = absmax/127; absmax element hits +-127 exactly
+    assert rows[1].qvec == [127, -64, 32]   # round(63.5) HALF_UP -> 64
+    assert rows[3].qvec == [-127, 127, 64]  # round(63.5) -> 64
+    assert rows[1].qscale == 1.0 / 127
+    # zero vector: scale 0, all-zero qvec (consumers drop it by qscale)
+    assert rows[2].qscale == 0.0 and rows[2].qvec == [0, 0, 0]
+    with pytest.raises(ValueError, match="collide"):
+        quantize_embeddings(df.withColumn("qvec", F.lit(1)))
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=16)
+
+
+def test_quantized_cosine_topk_matches_float_ranking(spark):
+    """On well-separated vectors the int8 ranking equals the float
+    ranking exactly; quantized scores are within the declared x115
+    bound of the float scores."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    data = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+             for r in cosine_topk(df, q, k=3).collect()}
+    quant = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+             for r in quantized_cosine_topk(df, q, k=3).collect()}
+    assert set(exact) == set(quant)
+    for key, (nid, cos) in exact.items():
+        qnid, qcos = quant[key]
+        assert math.isclose(qcos, cos, abs_tol=0.01)

@@ -154,6 +154,20 @@ SECTIONS = [
      "epochs' hashes in a single codegen Project (auditing E epochs "
      "is one pass with E hash columns, not E sorts); the only "
      "exchange is the <=64-row map-side-combined aggregate"),
+    ("x114_group_holdout_split",
+     "group-cohesive holdout split: the hash + band CASE is one "
+     "map-side codegen Project over the scan — ZERO shuffles before "
+     "the |sources|-row census aggregate; splitting a 100 TB corpus "
+     "is a single pass"),
+    ("x115_quantized_ann",
+     "int8-quantized ANN: the quantizer is a pure projection (no "
+     "UDF); probe-set broadcasts on both the float-baseline and "
+     "quantized sides (<=10 rows); all one-row certification "
+     "aggregates attach via bounded BNLJ"),
+    ("x116_bmp_resize_stats",
+     "real NN resize: build -> resize -> re-parse fused into ONE "
+     "MapInPandas chain (payloads never shuffle); grouping dims are "
+     "a codegen projection of media_id, not a second codec pass"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries

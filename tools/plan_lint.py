@@ -80,6 +80,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("x15_ivf_topk", "BroadcastNestedLoopJoin"):
         "probe-set broadcast (<=10 rows) + TakeOrdered(limit=8) "
         "centroid broadcast — both k-bounded",
+    ("x115_quantized_ann", "BroadcastNestedLoopJoin"):
+        "same probe-set broadcast as x06 (<=10 rows), on both the "
+        "float-baseline and the quantized side",
     # --- SinglePartition sort/window over a post-aggregate bounded
     # grain: the funnel carries |grain| rows, not |data| ---
     ("q30_sql_running_total", "SinglePartition"):
