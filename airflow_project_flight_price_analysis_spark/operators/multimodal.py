@@ -518,3 +518,135 @@ def resize_bmp_nn(media: DataFrame, width: int, height: int) -> DataFrame:
     return scale_out(media, "media_id").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #3: video as concatenated BMP frames (r11). No stdlib
+# video container exists, so the VIDEO kernel the engine certifies is the
+# byte-level one every real demuxer needs: walk a multi-frame payload by
+# each frame's self-describing header, slice the sampled frames out, and
+# decode each through the real image parser. Swapping the frame slicer
+# for libav's packet iterator keeps the batch shape, schema, and
+# partitioning identical — that is the documented upgrade path.
+# --------------------------------------------------------------------------
+
+#: Generative law (shared with the x117 DuckDB oracle):
+#:   n_frames(doc) = 2 + doc_id % 3     (dims per frame: _bmp_dims)
+#:   channel c of pixel p in frame f: (doc_id*7 + f*11 + p*3 + c) % 256
+
+
+def _video_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def _video_bytes(doc_id: int) -> bytes:
+    """One multi-frame payload: n_frames spec-conformant BMPs
+    back-to-back. Each BMP's BITMAPFILEHEADER carries its own byte
+    length, so the container is walkable without an index — the
+    property the frame slicer certifies."""
+    w, h = _bmp_dims(doc_id)
+    frames = []
+    for f in range(_video_n_frames(doc_id)):
+        frames.append(_encode_bmp24(
+            w, h,
+            lambda p, f=f: tuple(
+                (doc_id * 7 + f * 11 + p * 3 + c) % 256 for c in range(3)
+            ),
+        ))
+    return b"".join(frames)
+
+
+def _walk_bmp_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-BMP payload into per-frame byte slices by
+    each header's self-declared file size. Validates every magic and
+    rejects trailing garbage — a demuxer that silently drops a tail
+    frame corrupts every downstream per-frame statistic."""
+    import struct as st
+
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"BM" or pos + 6 > len(payload):
+            raise ValueError(f"bad frame magic at offset {pos}")
+        size = st.unpack_from("<I", payload, pos + 2)[0]
+        if size < 54 or pos + size > len(payload):
+            raise ValueError(f"frame at offset {pos} overruns the payload")
+        frames.append(payload[pos:pos + size])
+        pos += size
+    return frames
+
+
+def synth_video_media(docs: DataFrame) -> DataFrame:
+    """Deterministic video media table: one real multi-frame payload
+    per doc (builder input is doc_id alone, like synth_bmp_media);
+    duration_ms models 1 frame/second."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": ids.map(lambda d: _video_bytes(int(d))),
+                "meta": ids.map(lambda d: {
+                    "modality": "video", "format": "bmps",
+                    "width": _bmp_dims(int(d))[0],
+                    "height": _bmp_dims(int(d))[1],
+                    "duration_ms": _video_n_frames(int(d)) * 1000,
+                }),
+            })
+
+    from ..session import scale_out
+    return scale_out(
+        docs.select("doc_id"), "doc_id"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+])
+
+
+def frame_sample_decode(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling (upgrades ``frame_sample_plan`` from a
+    metadata-only timestamp explode to an executed kernel): walk each
+    video payload's frame boundaries, decode every ``every_n``-th frame
+    with the real image parser, and emit one ROW per sampled frame —
+    the row-explosion happens inside the Arrow batch, so payload bytes
+    never shuffle and the output carries only fixed-width stats."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "n_frames",
+                                   "width", "height",
+                                   "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = _walk_bmp_frames(payload)
+                for idx in range(0, len(frames), every_n):
+                    w, h, sr, sg, sb = _parse_bmp(frames[idx])
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_r"].append(sr)
+                    out["sum_g"].append(sg)
+                    out["sum_b"].append(sb)
+            pdf_out = pd.DataFrame(out)
+            for c, t in (("frame_idx", "int32"), ("n_frames", "int32"),
+                         ("width", "int32"), ("height", "int32"),
+                         ("sum_r", "int64"), ("sum_g", "int64"),
+                         ("sum_b", "int64")):
+                pdf_out[c] = pdf_out[c].astype(t)
+            yield pdf_out
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )

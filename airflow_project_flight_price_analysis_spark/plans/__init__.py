@@ -40,19 +40,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (10 remaining r6 rows, then the r7 cohort).
     "x67b_containment_prefix",
 )
-# Tier 2 (automatic, no green row) as of round-11: four new driver
+# Tier 2 (automatic, no green row) as of round-11: five new driver
 # faces — x113_multi_epoch_shard_matrix (the multi-epoch determinism
 # guarantee of epoch_shuffle, r10 verdict item 7 — the last sampling
 # property that was pytest-only), x114_group_holdout_split (the
 # group-cohesive train/val/test carve, new operator this round),
 # x115_quantized_ann (int8 embedding quantization with recall/error
-# certification, new operator this round), and x116_bmp_resize_stats
+# certification, new operator this round), x116_bmp_resize_stats
 # (the REAL nearest-neighbor resize kernel — X5's resize upgraded from
-# a PIL-gated stub to a certified stdlib path). With tier 1 at 2 and
-# tier 2 at 4, ~44 tier-3 slots remain: the 10 r6-stale rows first,
-# then ~34 of the 45-row r7 cohort (family suppression defers 5 of
-# them to a representative) — projected post-r11 freshness floor: r7,
-# with only family-covered members and ~5 past-budget rows left there.
+# a PIL-gated stub to a certified stdlib path), and
+# x117_frame_sample_stats (REAL video frame sampling — the byte-level
+# demux walk + per-frame decode, upgrading x32's metadata-only grid).
+# With tier 1 at 2 and tier 2 at 5, ~43 tier-3 slots remain: the 10
+# r6-stale rows first, then ~33 of the 45-row r7 cohort (family
+# suppression defers 5 of them to a representative) — projected
+# post-r11 freshness floor: r7, with only family-covered members and
+# ~6 past-budget rows left there.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -108,7 +111,7 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # paths; x116 (r11) adds the BMP WRITE side (real NN resize
     # re-encodes, then re-parses through the same decoder)
     ("x103_wav_decode_stats", "x105_bmp_decode_stats",
-     "x116_bmp_resize_stats"),
+     "x116_bmp_resize_stats", "x117_frame_sample_stats"),
     # the sketch-recall certification harness (r11): LSH, IVF, and the
     # int8-quantized tier all certify via the same exact-baseline join
     # (cosine_topk + least(recall, floor)); x06, the baseline's own

@@ -1815,7 +1815,48 @@ def x32_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update({"x32_frame_sampling": x32_frame_sampling})
+def x117_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — REAL video frame sampling (r11; upgrades x32's
+    metadata-only timestamp grid to an EXECUTED kernel): build real
+    multi-frame payloads (concatenated spec-conformant BMPs — no
+    stdlib video container exists, so the certified kernel is the
+    byte-level one every demuxer needs: walk frames by their
+    self-describing headers, slice, decode), sample every 2nd frame
+    through operators/multimodal.py::frame_sample_decode, and
+    aggregate per (n_frames, frame_idx) cell: doc count, sampled pixel
+    count, and exact channel sums. The DuckDB oracle replays the
+    generative law + the sampling grid analytically — a MATCH
+    certifies frame boundary walking (a demuxer off by one byte or
+    one frame breaks the cell structure), the per-frame decode, and
+    the every-n selection. Swapping the slicer for libav's packet
+    iterator keeps schema/batch/partitioning identical (the documented
+    upgrade path at multimodal.py:76).
+
+    Scale shape: ONE fused Arrow pipeline (build → walk → decode;
+    payloads never shuffle — the explosion to per-frame rows happens
+    inside the batch and emits fixed-width stats) + a ≤|k|·|k|-cell
+    aggregate.
+    """
+    from ..operators.multimodal import frame_sample_decode, synth_video_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample_decode(synth_video_media(docs), every_n=2)
+    return (
+        frames.groupBy("n_frames", "frame_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("width").cast("long") * F.col("height"))
+            .cast("bigint").alias("sum_px"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+        )
+        .orderBy("n_frames", "frame_idx")
+    )
+
+
+QUERIES.update({"x32_frame_sampling": x32_frame_sampling,
+                "x117_frame_sample_stats": x117_frame_sample_stats})
 
 ORACLE.update({
     "x32_frame_sampling": """
@@ -1828,6 +1869,44 @@ ORACLE.update({
                CAST(floor(duration_ms / 1000) + 1 AS BIGINT) AS n_frames,
                CAST(floor(duration_ms / 1000) * 1000 AS INTEGER) AS last_frame_ms
         FROM media ORDER BY media_id
+    """,
+    "x117_frame_sample_stats": """
+        WITH d AS (
+            SELECT doc_id,
+                   8 + doc_id % 5 AS w,
+                   6 + doc_id % 4 AS h,
+                   2 + doc_id % 3 AS k
+            FROM documents
+        ),
+        f AS (
+            -- the every_n=2 sampling grid over each payload's k frames
+            SELECT doc_id, w, h, k,
+                   CAST(unnest(range(0, k)) AS INTEGER) AS fi
+            FROM d
+        ),
+        sampled AS (SELECT * FROM f WHERE fi % 2 = 0),
+        px AS (
+            SELECT doc_id, w, h, k, fi,
+                   CAST(unnest(range(0, w * h)) AS BIGINT) AS p
+            FROM sampled
+        ),
+        per AS (
+            SELECT doc_id, k, fi, w, h,
+                   CAST(SUM((doc_id*7 + fi*11 + p*3 + 0) % 256) AS BIGINT) AS sr,
+                   CAST(SUM((doc_id*7 + fi*11 + p*3 + 1) % 256) AS BIGINT) AS sg,
+                   CAST(SUM((doc_id*7 + fi*11 + p*3 + 2) % 256) AS BIGINT) AS sb
+            FROM px GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT CAST(k AS INTEGER) AS n_frames,
+               fi AS frame_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w * h) AS BIGINT) AS sum_px,
+               CAST(SUM(sr) AS BIGINT) AS sum_r,
+               CAST(SUM(sg) AS BIGINT) AS sum_g,
+               CAST(SUM(sb) AS BIGINT) AS sum_b
+        FROM per
+        GROUP BY k, fi
+        ORDER BY n_frames, frame_idx
     """,
 })
 

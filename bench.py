@@ -157,9 +157,12 @@ HEADLINE = [
     # round-11: int8-quantized ANN with recall/error certification
     # (exact baseline + quantized brute force + the integer invariant)
     "x115_quantized_ann",
-    # round-11: real NN resize kernel (two Arrow-batched passes over
-    # the synthetic BMP corpus — the codec-throughput probe)
+    # round-11: real NN resize kernel (fused Arrow pipeline over the
+    # synthetic BMP corpus — the codec-throughput probe)
     "x116_bmp_resize_stats",
+    # round-11: real video frame sampling (demux walk + per-frame
+    # decode, per-frame rows exploded inside the Arrow batch)
+    "x117_frame_sample_stats",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

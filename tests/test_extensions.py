@@ -483,6 +483,57 @@ def test_bmp_nn_resize_operator(spark):
         assert (metas[mid].width, metas[mid].height) == (6, 5)
 
 
+def test_video_frame_walk_and_sample():
+    """Frame walker splits a concatenated-BMP payload exactly at the
+    self-declared header sizes, rejects garbage/overrun; the sampling
+    kernel's per-frame sums match the law for every every_n."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_dims,
+        _parse_bmp,
+        _video_bytes,
+        _video_n_frames,
+        _walk_bmp_frames,
+    )
+
+    for did in (0, 1, 2, 7):
+        frames = _walk_bmp_frames(_video_bytes(did))
+        assert len(frames) == _video_n_frames(did)
+        w, h = _bmp_dims(did)
+        for f, fb in enumerate(frames):
+            fw, fh, sr, _, _ = _parse_bmp(fb)
+            assert (fw, fh) == (w, h)
+            assert sr == sum((did * 7 + f * 11 + q * 3) % 256
+                             for q in range(w * h))
+    with pytest.raises(ValueError, match="magic"):
+        _walk_bmp_frames(_video_bytes(0) + b"JUNKJUNK")
+    with pytest.raises(ValueError, match="overruns"):
+        _walk_bmp_frames(_video_bytes(0)[:-4])
+
+
+def test_frame_sample_decode_operator(spark):
+    """every_n selection grid, per-frame stats, and validation."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _video_n_frames,
+        frame_sample_decode,
+        synth_video_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 2)], "doc_id long")
+    media = synth_video_media(docs)
+    with pytest.raises(ValueError, match=">= 1"):
+        frame_sample_decode(media, every_n=0)
+    rows = frame_sample_decode(media, every_n=2).collect()
+    got = {(r.media_id, r.frame_idx) for r in rows}
+    exp = {(d, f) for d in (0, 1, 2)
+           for f in range(0, _video_n_frames(d), 2)}
+    assert got == exp
+    assert all(r.n_frames == _video_n_frames(r.media_id) for r in rows)
+
+
 def test_scale_out_probe_submits_no_job_under_aqe(spark):
     """r7 review: the partition-count probe must not execute the
     upstream plan (the df.rdd-under-AQE gotcha ran every shuffle stage

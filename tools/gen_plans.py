@@ -168,6 +168,10 @@ SECTIONS = [
      "real NN resize: build -> resize -> re-parse fused into ONE "
      "MapInPandas chain (payloads never shuffle); grouping dims are "
      "a codegen projection of media_id, not a second codec pass"),
+    ("x117_frame_sample_stats",
+     "real video frame sampling: demux walk + per-frame decode with "
+     "the row explosion INSIDE the Arrow batch — the exchange carries "
+     "fixed-width per-frame stats, never payload bytes"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
