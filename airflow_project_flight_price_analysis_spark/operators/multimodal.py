@@ -101,21 +101,28 @@ WAV_SAMPLE_RATE = 8000
 #:   sample_i(doc)  = ((doc_id*31 + i*7) % 65536) - 32768   (int16)
 
 
-def _wav_bytes(doc_id: int) -> bytes:
-    """Spec-conformant mono PCM16 WAV for one doc (stdlib only)."""
+def _encode_wav_pcm16(rate: int, samples) -> bytes:
+    """Spec-conformant mono PCM16 WAV container (stdlib only). Shared
+    by the synthetic builder and the real resample kernel so both
+    write the identical container layout the parser certifies."""
     import struct as st
 
-    n = 40 + doc_id % 25
-    frames = b"".join(
-        st.pack("<h", ((doc_id * 31 + i * 7) % 65536) - 32768)
-        for i in range(n)
-    )
-    byte_rate = WAV_SAMPLE_RATE * 2  # mono, 16-bit
-    fmt = st.pack("<HHIIHH", 1, 1, WAV_SAMPLE_RATE, byte_rate, 2, 16)
+    frames = b"".join(st.pack("<h", s) for s in samples)
+    byte_rate = rate * 2  # mono, 16-bit
+    fmt = st.pack("<HHIIHH", 1, 1, rate, byte_rate, 2, 16)
     body = (b"WAVE"
             + b"fmt " + st.pack("<I", len(fmt)) + fmt
             + b"data" + st.pack("<I", len(frames)) + frames)
     return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """One real WAV payload from the generative law (see above)."""
+    n = 40 + doc_id % 25
+    return _encode_wav_pcm16(
+        WAV_SAMPLE_RATE,
+        (((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)),
+    )
 
 
 def synth_wav_media(docs: DataFrame) -> DataFrame:
@@ -158,13 +165,12 @@ WAV_FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _parse_wav(payload: bytes) -> tuple[int, int, float, int, int]:
-    """(n_samples, sample_rate, rms, peak, ssq) from real WAV bytes —
-    walks the RIFF chunk list (tolerates extra chunks), validates PCM16
-    mono. Malformed containers raise: silent zeros would poison
-    downstream stats the way a swallowed ledger read would (star.py
-    discipline)."""
-    import math
+def _wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
+    """(sample_rate, samples) from real WAV bytes — walks the RIFF
+    chunk list (tolerates extra chunks), validates PCM16 mono.
+    Malformed containers raise: silent zeros would poison downstream
+    stats the way a swallowed ledger read would (star.py discipline).
+    Shared by the stats parser and the resample kernel."""
     import struct as st
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -193,7 +199,16 @@ def _parse_wav(payload: bytes) -> tuple[int, int, float, int, int]:
     if (audio_fmt, channels, bits) != (1, 1, 16):
         raise ValueError(f"unsupported encoding {fmt} (need PCM16 mono)")
     n = len(data) // 2
-    samples = st.unpack(f"<{n}h", data[:n * 2])
+    return rate, st.unpack(f"<{n}h", data[:n * 2])
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, float, int, int]:
+    """(n_samples, sample_rate, rms, peak, ssq) from real WAV bytes
+    (see _wav_samples for the walk/validation contract)."""
+    import math
+
+    rate, samples = _wav_samples(payload)
+    n = len(samples)
     ssq = sum(s * s for s in samples)  # exact int — no float accumulation
     rms = math.sqrt(ssq / n) if n else 0.0
     peak = max((abs(s) for s in samples), default=0)
@@ -649,4 +664,252 @@ def frame_sample_decode(media: DataFrame, every_n: int = 2) -> DataFrame:
     from ..session import scale_out
     return scale_out(media, "media_id").mapInPandas(
         run, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def _resample_wav_nn(payload: bytes, out_rate: int) -> bytes:
+    """REAL nearest-neighbor sample-rate conversion of a PCM16 mono
+    WAV: parse the actual container, time-map
+    ``src = (j * in_rate) // out_rate`` over
+    ``n_out = n_in * out_rate // in_rate`` output samples (exact
+    integer arithmetic — engine-replayable; the image kernel's floor
+    rule on the time axis), re-encode through the shared writer. The
+    production upgrade is a windowed-sinc filter via scipy/libsamplerate
+    — same batch shape, this pins the plumbing and the mapping."""
+    rate, samples = _wav_samples(payload)
+    n_out = len(samples) * out_rate // rate
+    return _encode_wav_pcm16(
+        out_rate, (samples[(j * rate) // out_rate] for j in range(n_out))
+    )
+
+
+def resample_wav_nn(media: DataFrame, out_rate: int) -> DataFrame:
+    """REAL audio resample (the rate-normalization step every audio
+    corpus runs — e.g. everything to 16 kHz before featurization):
+    Arrow-batched NN resample that parses, remaps, and RE-ENCODES every
+    payload — output rows are valid WAV containers a downstream
+    ``decode_wav_features`` re-parses (how the x118 face certifies the
+    kernel). Same RESIZED_SCHEMA contract as resize_bmp_nn."""
+    if out_rate < 1:
+        raise ValueError(f"out_rate must be >= 1, got {out_rate}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(
+                lambda p: _resample_wav_nn(p, out_rate)
+            )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "meta": [
+                    {**m, "duration_ms":
+                        int(len(p or b"") - 44) // 2 * 1000 // out_rate}
+                    for m, p in zip(pdf["meta"], payloads)
+                ],
+            })
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #4: PNG (r11). The r6-r10 record carried "compressed-
+# format decode (PNG/JPEG/MP3) — env-blocked on PIL/av", but PNG needs
+# neither: the container is stdlib zlib + scanline filter reconstruction.
+# This closes the PNG third of that carry with a real DEFLATE-compressed
+# codec — the builder writes spec-conformant PNGs whose scanlines cycle
+# through ALL FIVE filter types (so the decoder's Sub/Up/Average/Paeth
+# reconstruction is certified, not just the trivial None path), and the
+# decoder walks chunks, VERIFIES every CRC32, inflates, and unfilters.
+# JPEG/MP3 (DCT/Huffman stacks) keep the PIL/av guard.
+# --------------------------------------------------------------------------
+
+#: Generative law (shared with the x119 DuckDB oracle):
+#:   W(doc) = 8 + doc_id % 5;  H(doc) = 6 + doc_id % 4   (same grid as BMP)
+#:   channel c of pixel p (row-major top-down): (doc_id*13 + p*5 + c) % 256
+#:   scanline y is written with filter type y % 5
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct as st
+    import zlib
+
+    return (st.pack(">I", len(body)) + ctype + body
+            + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """Spec-conformant 8-bit RGB PNG (color type 2, non-interlaced),
+    scanlines filtered with type y % 5 — every PNG filter exercised —
+    then DEFLATE-compressed (stdlib zlib)."""
+    import struct as st
+    import zlib
+
+    w, h = _bmp_dims(doc_id)
+    bpp = 3
+    raw_rows = []
+    for y in range(h):
+        raw_rows.append(bytes(
+            (doc_id * 13 + (y * w + x) * 5 + c) % 256
+            for x in range(w) for c in range(3)
+        ))
+    out = bytearray()
+    prior = bytes(w * bpp)
+    for y, raw in enumerate(raw_rows):
+        ft = y % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:   # Sub
+            filt = bytes((raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
+                         for i in range(len(raw)))
+        elif ft == 2:   # Up
+            filt = bytes((raw[i] - prior[i]) % 256 for i in range(len(raw)))
+        elif ft == 3:   # Average
+            filt = bytes((raw[i] - ((raw[i - bpp] if i >= bpp else 0)
+                                    + prior[i]) // 2) % 256
+                         for i in range(len(raw)))
+        else:           # Paeth
+            filt = bytes((raw[i] - _paeth(raw[i - bpp] if i >= bpp else 0,
+                                          prior[i],
+                                          prior[i - bpp] if i >= bpp else 0)
+                          ) % 256 for i in range(len(raw)))
+        out += bytes((ft,)) + filt
+        prior = raw
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from real PNG bytes: walk
+    the chunk list, VERIFY every CRC32, require 8-bit RGB
+    non-interlaced, inflate the concatenated IDATs, and reconstruct
+    every scanline through the five PNG filters. Malformed containers,
+    CRC mismatches, and length drift all raise (the _parse_wav
+    discipline — silent partial decodes poison downstream stats)."""
+    import struct as st
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG container")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        clen, ctype = st.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8: pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        crc = st.unpack_from(">I", payload, pos + 8 + clen)[0]
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = st.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_}, "
+            f"interlace={interlace}; need 8-bit RGB non-interlaced)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated size disagrees with dimensions")
+    sums = [0, 0, 0]
+    prior = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
+        if ft == 0:
+            recon = bytearray(line)
+        elif ft == 1:
+            recon = bytearray()
+            for i in range(stride):
+                recon.append((line[i] + (recon[i - bpp] if i >= bpp else 0))
+                             % 256)
+        elif ft == 2:
+            recon = bytearray((line[i] + prior[i]) % 256
+                              for i in range(stride))
+        elif ft == 3:
+            recon = bytearray()
+            for i in range(stride):
+                recon.append((line[i] + ((recon[i - bpp] if i >= bpp else 0)
+                                         + prior[i]) // 2) % 256)
+        elif ft == 4:
+            recon = bytearray()
+            for i in range(stride):
+                recon.append((line[i] + _paeth(
+                    recon[i - bpp] if i >= bpp else 0,
+                    prior[i],
+                    prior[i - bpp] if i >= bpp else 0)) % 256)
+        else:
+            raise ValueError(f"unknown filter type {ft} on row {y}")
+        for i in range(0, stride, 3):
+            sums[0] += recon[i]
+            sums[1] += recon[i + 1]
+            sums[2] += recon[i + 2]
+        prior = bytes(recon)
+    return w, h, sums[0], sums[1], sums[2]
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic compressed-image media table: one real PNG payload
+    per doc (builder input is doc_id alone, like synth_bmp_media)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": ids.map(lambda d: _png_bytes(int(d))),
+                "meta": ids.map(lambda d: {
+                    "modality": "image", "format": "png",
+                    "width": _bmp_dims(int(d))[0],
+                    "height": _bmp_dims(int(d))[1],
+                    "duration_ms": None,
+                }),
+            })
+
+    from ..session import scale_out
+    return scale_out(
+        docs.select("doc_id"), "doc_id"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: Arrow-batched stdlib PNG parse
+    (CRC-verified chunk walk, zlib inflate, full filter reconstruction)
+    → per-item channel statistics, same schema as the BMP path."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(_parse_png)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": parsed.map(lambda t: t[0]).astype("int32"),
+                "height": parsed.map(lambda t: t[1]).astype("int32"),
+                "sum_r": parsed.map(lambda t: t[2]).astype("int64"),
+                "sum_g": parsed.map(lambda t: t[3]).astype("int64"),
+                "sum_b": parsed.map(lambda t: t[4]).astype("int64"),
+            })
+
+    from ..session import scale_out
+    return scale_out(media, "media_id").mapInPandas(
+        run, schema=BMP_FEATURE_SCHEMA
     )

@@ -367,8 +367,9 @@ def quantized_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     discipline (cosine rounded to 6dp, id tie-break, zero-norm rows
     dropped on both sides); the dots/norms run on the integer arrays
     (exact — see quantize_embeddings), widened to double per element
-    BEFORE multiplying because tinyint*tinyint would wrap in the
-    non-ANSI session (127*127 > 127).
+    BEFORE multiplying: tinyint*tinyint stays tinyint, so 127*127
+    overflows — an ANSI error under the session default (and a silent
+    wrap with ANSI off; wrong either way).
     """
     widen = F.transform(F.col("qvec"), lambda x: x.cast("double"))
     qc = quantize_embeddings(corpus, vec_col=vec_col, bits=bits).select(

@@ -40,7 +40,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (10 remaining r6 rows, then the r7 cohort).
     "x67b_containment_prefix",
 )
-# Tier 2 (automatic, no green row) as of round-11: five new driver
+# Tier 2 (automatic, no green row) as of round-11: seven new driver
 # faces — x113_multi_epoch_shard_matrix (the multi-epoch determinism
 # guarantee of epoch_shuffle, r10 verdict item 7 — the last sampling
 # property that was pytest-only), x114_group_holdout_split (the
@@ -48,14 +48,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # x115_quantized_ann (int8 embedding quantization with recall/error
 # certification, new operator this round), x116_bmp_resize_stats
 # (the REAL nearest-neighbor resize kernel — X5's resize upgraded from
-# a PIL-gated stub to a certified stdlib path), and
+# a PIL-gated stub to a certified stdlib path),
 # x117_frame_sample_stats (REAL video frame sampling — the byte-level
-# demux walk + per-frame decode, upgrading x32's metadata-only grid).
-# With tier 1 at 2 and tier 2 at 5, ~43 tier-3 slots remain: the 10
-# r6-stale rows first, then ~33 of the 45-row r7 cohort (family
-# suppression defers 5 of them to a representative) — projected
-# post-r11 freshness floor: r7, with only family-covered members and
-# ~6 past-budget rows left there.
+# demux walk + per-frame decode, upgrading x32's metadata-only grid),
+# x118_wav_resample_stats (REAL audio sample-rate conversion — the
+# WAV write side, as x116 is the BMP write side), and
+# x119_png_decode_stats (REAL COMPRESSED-format decode: stdlib
+# zlib + full filter reconstruction — closing the PNG third of the
+# "env-blocked on PIL/av" carry). With tier 1 at 2 and tier 2 at 7,
+# ~41 tier-3 slots remain: the 10 r6-stale rows first, then ~31 of
+# the 45-row r7 cohort (family suppression defers 5 of them to a
+# representative) — projected post-r11 freshness floor: r7, with only
+# family-covered members and ~8 past-budget rows left there.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)
@@ -67,7 +71,7 @@ _BUDGET_OVERFLOW_OK: tuple[str, ...] = ()
 # SAME operator or harness are grouped; within tier 3, only the
 # STALEST member of each family keeps its stale-first slot per round —
 # the rest defer to the end of the schedule (still registered, still
-# run by the local all-196 gate every session, still certified by the
+# run by the local full-registry gate every session, still certified by the
 # driver whenever budget reaches them; the family members alternate
 # round-robin across rounds because certifying one makes a different
 # member the stalest next time). Tiers 1-2 are never suppressed: a
@@ -111,7 +115,8 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # paths; x116 (r11) adds the BMP WRITE side (real NN resize
     # re-encodes, then re-parses through the same decoder)
     ("x103_wav_decode_stats", "x105_bmp_decode_stats",
-     "x116_bmp_resize_stats", "x117_frame_sample_stats"),
+     "x116_bmp_resize_stats", "x117_frame_sample_stats",
+     "x118_wav_resample_stats", "x119_png_decode_stats"),
     # the sketch-recall certification harness (r11): LSH, IVF, and the
     # int8-quantized tier all certify via the same exact-baseline join
     # (cosine_topk + least(recall, floor)); x06, the baseline's own

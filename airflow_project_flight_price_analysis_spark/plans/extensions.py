@@ -2679,6 +2679,83 @@ def x105_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x119_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-format image decode (r11 — closes the PNG third
+    of the standing "PNG/JPEG/MP3 are env-blocked on PIL/av" carry:
+    PNG needs neither, it is stdlib zlib + scanline filter
+    reconstruction). The builder writes spec-conformant 8-bit RGB PNGs
+    whose scanlines cycle through ALL FIVE filter types (None / Sub /
+    Up / Average / Paeth — every generator image has h >= 6 rows, so
+    each payload exercises the full filter set), DEFLATE-compressed;
+    the decoder (operators/multimodal.py::_parse_png) walks the chunk
+    list, VERIFIES every CRC32, inflates, and reconstructs each
+    scanline. The DuckDB oracle recomputes channel sums analytically
+    from the shared generative law — a MATCH certifies the whole
+    compressed round-trip: chunk framing, CRCs, DEFLATE, and the
+    filter algebra (any non-invertible filter bug shifts a sum).
+    JPEG/MP3 (DCT/Huffman stacks) remain the PIL/av-guarded carry.
+
+    Scale shape: identical to x105 — one fused Arrow pipeline,
+    payloads never shuffle, a |dims|-group aggregate.
+    """
+    from ..operators.multimodal import decode_png_features, synth_png_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_png_features(synth_png_media(docs))
+    n_px = F.col("width") * F.col("height") * F.col("n_docs")
+    return (
+        feats.groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+        )
+        .withColumn("mean_r", F.col("sum_r").cast("double") / n_px)
+        .withColumn("mean_g", F.col("sum_g").cast("double") / n_px)
+        .withColumn("mean_b", F.col("sum_b").cast("double") / n_px)
+        .orderBy("width", "height")
+    )
+
+
+QUERIES.update({"x119_png_decode_stats": x119_png_decode_stats})
+
+ORACLE.update({
+    "x119_png_decode_stats": """
+        WITH d AS (
+            SELECT doc_id,
+                   8 + doc_id % 5 AS w,
+                   6 + doc_id % 4 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   CAST(unnest(range(0, w * h)) AS BIGINT) AS p
+            FROM d
+        ),
+        per_doc AS (
+            SELECT doc_id, w, h,
+                   CAST(SUM((doc_id*13 + p*5 + 0) % 256) AS BIGINT) AS sr,
+                   CAST(SUM((doc_id*13 + p*5 + 1) % 256) AS BIGINT) AS sg,
+                   CAST(SUM((doc_id*13 + p*5 + 2) % 256) AS BIGINT) AS sb
+            FROM px GROUP BY 1, 2, 3
+        )
+        SELECT CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(sr) AS BIGINT) AS sum_r,
+               CAST(SUM(sg) AS BIGINT) AS sum_g,
+               CAST(SUM(sb) AS BIGINT) AS sum_b,
+               CAST(SUM(sr) AS DOUBLE) / (w * h * COUNT(*)) AS mean_r,
+               CAST(SUM(sg) AS DOUBLE) / (w * h * COUNT(*)) AS mean_g,
+               CAST(SUM(sb) AS DOUBLE) / (w * h * COUNT(*)) AS mean_b
+        FROM per_doc
+        GROUP BY w, h
+        ORDER BY width, height
+    """,
+})
+
+
 #: x116 target dims — chosen to exercise BOTH directions of the NN
 #: mapping against the generator's mixed source dims (w in 8..12,
 #: h in 6..9): width up-samples for w<10, identity at 10, down-samples
@@ -2814,6 +2891,108 @@ ORACLE.update({
         FROM per_doc
         GROUP BY w, h
         ORDER BY src_width, src_height
+    """,
+})
+
+
+#: x118 target rate — 12000 Hz over the 8000 Hz sources: a 3/2
+#: UP-sample whose NN time map duplicates every other source sample
+#: (the boundary-sensitive direction; down-sampling and identity are
+#: unit-pinned in tests/test_extensions.py).
+_X118_RATE = 12000
+
+
+def x118_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample-rate conversion certified end-to-end (the
+    audio sibling of x116; rate normalization — everything to one rate
+    before featurization — is the first step of every audio corpus
+    pipeline): build real WAV payloads from the x103 generative law,
+    resample each through the REAL NN kernel
+    (operators/multimodal.py::resample_wav_nn — parse, time-map
+    ``src = (j * in_rate) // out_rate``, RE-ENCODE a spec-conformant
+    container), then re-parse the RESAMPLED bytes with the real
+    decoder and aggregate exact signal statistics per source length.
+    The DuckDB oracle replays law + time map analytically — a MATCH
+    certifies the full parse → remap → encode → re-parse loop
+    (x103 certifies the WAV read side; this adds the write side, as
+    x116 did for BMP).
+
+    Scale shape: ONE fused Arrow pipeline (build → resample →
+    re-parse; payloads never shuffle) + a |n_in grains|-group
+    aggregate; grouping key replays the law on media_id rather than
+    re-running the builder (the x116 lesson).
+    """
+    from ..operators.multimodal import (
+        decode_wav_features,
+        resample_wav_nn,
+        synth_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_wav_media(docs)
+    feats = decode_wav_features(resample_wav_nn(media, _X118_RATE))
+    return (
+        feats.select(
+            "*",
+            (F.lit(40) + F.col("media_id") % 25).cast("int")
+            .alias("src_n_samples"),
+        )
+        .groupBy("src_n_samples")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            # re-parsed container properties: the law fixes them per
+            # group, so min==max==expected iff every header is right
+            F.min("n_samples").alias("n_samples"),
+            F.max("n_samples").alias("n_samples_max"),
+            F.min("sample_rate").alias("sample_rate"),
+            F.sum("ssq").alias("sum_ssq"),
+            F.sum(F.col("peak").cast("long")).alias("sum_peak"),
+        )
+        .orderBy("src_n_samples")
+    )
+
+
+QUERIES.update({"x118_wav_resample_stats": x118_wav_resample_stats})
+
+ORACLE.update({
+    "x118_wav_resample_stats": f"""
+        WITH d AS (
+            SELECT doc_id, 40 + doc_id % 25 AS n_in FROM documents
+        ),
+        j AS (
+            SELECT doc_id, n_in,
+                   n_in * {_X118_RATE} // 8000 AS n_out
+            FROM d
+        ),
+        s AS (
+            -- jj walks the RESAMPLED signal; the NN time map replays
+            -- resample_wav_nn's exact integer arithmetic
+            SELECT doc_id, n_in, n_out,
+                   CAST(unnest(range(0, n_out)) AS BIGINT) AS jj
+            FROM j
+        ),
+        v AS (
+            SELECT doc_id, n_in, n_out,
+                   ((doc_id*31 + ((jj * 8000) // {_X118_RATE}) * 7) % 65536)
+                   - 32768 AS smp
+            FROM s
+        ),
+        per AS (
+            SELECT doc_id, n_in, n_out,
+                   CAST(SUM(smp * smp) AS BIGINT) AS ssq,
+                   CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+            FROM v GROUP BY 1, 2, 3
+        )
+        SELECT CAST(n_in AS INTEGER) AS src_n_samples,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_out) AS INTEGER) AS n_samples,
+               CAST(MAX(n_out) AS INTEGER) AS n_samples_max,
+               {_X118_RATE} AS sample_rate,
+               CAST(SUM(ssq) AS BIGINT) AS sum_ssq,
+               CAST(SUM(peak) AS BIGINT) AS sum_peak
+        FROM per
+        GROUP BY n_in
+        ORDER BY src_n_samples
     """,
 })
 

@@ -163,6 +163,12 @@ HEADLINE = [
     # round-11: real video frame sampling (demux walk + per-frame
     # decode, per-frame rows exploded inside the Arrow batch)
     "x117_frame_sample_stats",
+    # round-11: real audio sample-rate conversion (fused Arrow
+    # pipeline; the rate-normalization throughput probe)
+    "x118_wav_resample_stats",
+    # round-11: real compressed PNG decode (zlib inflate + filter
+    # reconstruction — the compressed-codec throughput probe)
+    "x119_png_decode_stats",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

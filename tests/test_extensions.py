@@ -534,6 +534,113 @@ def test_frame_sample_decode_operator(spark):
     assert all(r.n_frames == _video_n_frames(r.media_id) for r in rows)
 
 
+def test_wav_nn_resample_kernel():
+    """Identity rate round-trips samples exactly; up/down-sampling
+    match a reference NN time map; re-encoded output satisfies the
+    strict parser; bad rates raise."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _parse_wav,
+        _resample_wav_nn,
+        _wav_bytes,
+        _wav_samples,
+    )
+
+    for did in (0, 7, 24):
+        payload = _wav_bytes(did)
+        rate, samples = _wav_samples(payload)
+        assert _wav_samples(_resample_wav_nn(payload, rate))[1] == samples
+        for out_rate in (12000, 5000, 16000, 1):
+            out = _resample_wav_nn(payload, out_rate)
+            orate, osamples = _wav_samples(out)
+            assert orate == out_rate
+            n_out = len(samples) * out_rate // rate
+            assert list(osamples) == [
+                samples[(j * rate) // out_rate] for j in range(n_out)
+            ]
+            _parse_wav(out)  # strict parser accepts the re-encode
+
+
+def test_wav_nn_resample_operator(spark):
+    """resample_wav_nn over the media table: re-parsed rate/duration
+    consistent; invalid rates raise."""
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        decode_wav_features,
+        resample_wav_nn,
+        synth_wav_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 24)], "doc_id long")
+    media = synth_wav_media(docs)
+    with pytest.raises(ValueError, match=">= 1"):
+        resample_wav_nn(media, 0)
+    out = resample_wav_nn(media, 12000)
+    feats = {r.media_id: r for r in decode_wav_features(out).collect()}
+    for mid in (0, 5, 24):
+        n_in = 40 + mid % 25
+        assert feats[mid].sample_rate == 12000
+        assert feats[mid].n_samples == n_in * 12000 // 8000
+
+
+def test_png_codec_roundtrip_and_strictness():
+    """Real compressed round-trip: encode (all five filters) -> CRC-ok
+    chunks -> zlib -> decode recovers the exact law sums; CRC damage,
+    bad color type, truncation, and size drift all raise."""
+    import struct as st
+    import zlib
+
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_dims,
+        _parse_png,
+        _png_bytes,
+    )
+
+    for did in (0, 4, 13):
+        w, h = _bmp_dims(did)
+        pw, ph, sr, sg, sb = _parse_png(_png_bytes(did))
+        assert (pw, ph) == (w, h)
+        assert sr == sum((did * 13 + q * 5) % 256 for q in range(w * h))
+        assert h >= 6  # every payload cycles through filters 0-4
+    with pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"BM nope")
+    bad = bytearray(_png_bytes(0))
+    bad[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC|IEND"):
+        _parse_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|IHDR|IDAT|IEND"):
+        _parse_png(_png_bytes(0)[:-8])
+    # flip color type to grayscale in IHDR (and fix its CRC) -> rejected
+    p = bytearray(_png_bytes(0))
+    ihdr_body = bytearray(p[16:29]); ihdr_body[9] = 0
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
+    p[16:29] = ihdr_body; p[29:33] = st.pack(">I", crc)
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_png(bytes(p))
+
+
+def test_png_decode_operator(spark):
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        _bmp_dims,
+        decode_png_features,
+        synth_png_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 6, 17)], "doc_id long")
+    feats = {r.media_id: r for r in
+             decode_png_features(synth_png_media(docs)).collect()}
+    for did in (0, 6, 17):
+        w, h = _bmp_dims(did)
+        assert (feats[did].width, feats[did].height) == (w, h)
+        assert feats[did].sum_g == sum(
+            (did * 13 + q * 5 + 1) % 256 for q in range(w * h)
+        )
+
+
 def test_scale_out_probe_submits_no_job_under_aqe(spark):
     """r7 review: the partition-count probe must not execute the
     upstream plan (the df.rdd-under-AQE gotcha ran every shuffle stage

@@ -172,6 +172,14 @@ SECTIONS = [
      "real video frame sampling: demux walk + per-frame decode with "
      "the row explosion INSIDE the Arrow batch — the exchange carries "
      "fixed-width per-frame stats, never payload bytes"),
+    ("x118_wav_resample_stats",
+     "real audio resample: build -> resample -> re-parse fused into "
+     "ONE MapInPandas chain; grouping key replays the law on media_id "
+     "instead of a second builder pass"),
+    ("x119_png_decode_stats",
+     "real compressed PNG decode: CRC-verified chunk walk + zlib "
+     "inflate + five-filter reconstruction in one fused Arrow "
+     "pipeline; payloads never shuffle"),
 ]
 
 HEADER = """# PLANS — formatted physical plans of representative queries
