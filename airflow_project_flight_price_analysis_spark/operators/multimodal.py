@@ -77,9 +77,14 @@ def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - no codecs here
     raise NotImplementedError(
         "real media decode requires PIL/av/soundfile, not present in this "
         "environment; set SPARK_GRAFT_FAKE_DECODE=1 (default in tests) for "
-        "the deterministic fake. Exceptions: WAV/PCM16 and BMP/24bpp have "
-        "REAL stdlib decode paths — decode_wav_features / "
-        "decode_bmp_features below."
+        "the deterministic fake. Exceptions with REAL stdlib paths below: "
+        "WAV/PCM16 (decode + resample), BMP/24bpp (decode + NN resize), "
+        "PNG 8-bit RGB (CRC-verified zlib decode), and multi-frame video "
+        "sampling. Only JPEG/MP3 remain library-gated — and not merely for "
+        "the decode: they are LOSSY, so without a reference decoder in the "
+        "sandbox there is no independent value to certify a hand-rolled "
+        "DCT/Huffman stack against (the analytic-oracle harness every other "
+        "codec path uses cannot replay a lossy transform in SQL)."
     )
 
 
@@ -107,7 +112,8 @@ def _encode_wav_pcm16(rate: int, samples) -> bytes:
     write the identical container layout the parser certifies."""
     import struct as st
 
-    frames = b"".join(st.pack("<h", s) for s in samples)
+    samples = list(samples)
+    frames = st.pack(f"<{len(samples)}h", *samples)
     byte_rate = rate * 2  # mono, 16-bit
     fmt = st.pack("<HHIIHH", 1, 1, rate, byte_rate, 2, 16)
     body = (b"WAVE"
