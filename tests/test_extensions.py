@@ -433,8 +433,6 @@ def test_bmp_nn_resize_kernel():
     bit-exactly; up/down-scaling match a reference NN resample of the
     parsed grid; re-encoded output is a valid container the strict
     parser accepts; bad target dims raise."""
-    import pytest
-
     from airflow_project_flight_price_analysis_spark.operators.multimodal import (
         _bmp_bytes,
         _bmp_pixels,
@@ -538,8 +536,6 @@ def test_wav_nn_resample_kernel():
     """Identity rate round-trips samples exactly; up/down-sampling
     match a reference NN time map; re-encoded output satisfies the
     strict parser; bad rates raise."""
-    import pytest
-
     from airflow_project_flight_price_analysis_spark.operators.multimodal import (
         _parse_wav,
         _resample_wav_nn,
