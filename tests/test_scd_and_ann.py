@@ -534,3 +534,41 @@ def test_quantized_cosine_topk_matches_float_ranking(spark):
     for key, (nid, cos) in exact.items():
         qnid, qcos = quant[key]
         assert math.isclose(qcos, cos, abs_tol=0.01)
+
+
+def test_holdout_split_on_neardup_clusters_prevents_leakage(spark):
+    """The composition x114 exists for: split by the dedup CLUSTER id
+    (operators/graph.py) and no near-duplicate pair can straddle the
+    train/test boundary — every cluster lands whole on one side."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.graph import (
+        neardup_clusters,
+    )
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        holdout_split,
+    )
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    # near-dup pairs chain consecutive ids within blocks of 5, so the
+    # clusters are 60 five-doc components
+    pairs = (
+        spark.range(0, 300)
+        .filter((F.col("id") % 5 != 4))
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    clustered = neardup_clusters(docs, pairs, "doc_id")
+    out = holdout_split(clustered, "cluster_id",
+                        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+                        seed=2)
+    rows = out.collect()
+    assert len(rows) == 300
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert len(by_cluster) == 60
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and specifically: no PAIR straddles the boundary
+    split_of = {r.doc_id: r.split for r in rows}
+    for p in pairs.collect():
+        assert split_of[p.a] == split_of[p.b]
