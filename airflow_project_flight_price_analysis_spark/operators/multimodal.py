@@ -673,20 +673,22 @@ def frame_sample_decode(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def _resample_wav_nn(payload: bytes, out_rate: int) -> bytes:
+def _resample_wav_nn(payload: bytes, out_rate: int) -> tuple[bytes, int]:
     """REAL nearest-neighbor sample-rate conversion of a PCM16 mono
     WAV: parse the actual container, time-map
     ``src = (j * in_rate) // out_rate`` over
     ``n_out = n_in * out_rate // in_rate`` output samples (exact
     integer arithmetic — engine-replayable; the image kernel's floor
-    rule on the time axis), re-encode through the shared writer. The
-    production upgrade is a windowed-sinc filter via scipy/libsamplerate
-    — same batch shape, this pins the plumbing and the mapping."""
+    rule on the time axis), re-encode through the shared writer.
+    Returns ``(wav_bytes, n_out)`` so callers derive duration from the
+    sample count, not the container layout. The production upgrade is
+    a windowed-sinc filter via scipy/libsamplerate — same batch shape,
+    this pins the plumbing and the mapping."""
     rate, samples = _wav_samples(payload)
     n_out = len(samples) * out_rate // rate
     return _encode_wav_pcm16(
         out_rate, (samples[(j * rate) // out_rate] for j in range(n_out))
-    )
+    ), n_out
 
 
 def resample_wav_nn(media: DataFrame, out_rate: int) -> DataFrame:
@@ -701,16 +703,18 @@ def resample_wav_nn(media: DataFrame, out_rate: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"].map(
-                lambda p: _resample_wav_nn(p, out_rate)
-            )
+            # duration_ms comes from the resampler's own output sample
+            # count (r11 ADVICE) — not from a hard-coded 44-byte header
+            # offset that breaks if the shared encoder ever grows a
+            # chunk.
+            resampled = [_resample_wav_nn(p, out_rate)
+                         for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "payload": payloads,
+                "payload": [p for p, _ in resampled],
                 "meta": [
-                    {**m, "duration_ms":
-                        int(len(p or b"") - 44) // 2 * 1000 // out_rate}
-                    for m, p in zip(pdf["meta"], payloads)
+                    {**m, "duration_ms": n_out * 1000 // out_rate}
+                    for m, (_, n_out) in zip(pdf["meta"], resampled)
                 ],
             })
 
@@ -813,9 +817,12 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
     pos, ihdr, idat, ended = 8, None, bytearray(), False
     while pos + 8 <= len(payload):
         clen, ctype = st.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8: pos + 8 + clen]
-        if len(body) < clen:
+        # Bounds-check body AND the 4-byte CRC together (r11 ADVICE:
+        # a payload truncated inside the CRC field must raise the
+        # documented ValueError, not struct.error from unpack_from).
+        if pos + 12 + clen > len(payload):
             raise ValueError(f"truncated chunk {ctype!r}")
+        body = payload[pos + 8: pos + 8 + clen]
         crc = st.unpack_from(">I", payload, pos + 8 + clen)[0]
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise ValueError(f"CRC mismatch in chunk {ctype!r}")
@@ -825,6 +832,10 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
             idat += body
         elif ctype == b"IEND":
             ended = True
+            # Reject trailing bytes after IEND — the _walk_bmp_frames
+            # trailing-garbage discipline, applied to PNG (r11 ADVICE).
+            if payload[pos + 12 + clen:]:
+                raise ValueError("trailing bytes after IEND")
             break
         pos += 12 + clen
     if ihdr is None or not idat or not ended:

@@ -338,11 +338,23 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
         )
     levels = 2 ** (int(bits) - 1) - 1
     v = F.col(vec_col)
-    absmax = F.aggregate(
+    # NULL-element guard (r11 ADVICE): Spark's greatest/least SKIP
+    # nulls, so without this check a NULL element would silently fold
+    # to absmax=0-or-wrong and round(NULL/scale) → NULL → clamp →
+    # -levels, corrupting the vector. Raise-on-malformed, matching the
+    # repo discipline; a NULL VECTOR still propagates to NULL
+    # qvec/scale (forall over NULL is NULL → the when falls through).
+    absmax = F.when(
+        ~F.forall(v, lambda x: x.isNotNull()),
+        F.raise_error(F.lit(
+            f"quantize_embeddings: NULL element in '{vec_col}' — "
+            "repair or filter malformed vectors upstream"
+        )),
+    ).otherwise(F.aggregate(
         F.transform(v, lambda x: F.abs(x.cast("double"))),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
-    )
+    ))
     out = df.withColumn(scale_col, absmax / F.lit(float(levels)))
     q = F.transform(
         v,

@@ -24,42 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round 11: x112's restart phase changed protocol (r10 verdict
-    # item 2 + ADVICE) — the reseen backlog now lands as ONE file /
-    # ONE micro-batch (union-doubled rows) so a >TTL stall between
-    # triggers can never evict state mid-restart; expected output is
-    # identical, but the face's batching contract changed, so it
-    # re-queues for a fresh row.
-    "x112_stateful_ttl_eviction",
-    # r10 verdict item 1 wants NOTHING older than r7 after this round.
-    # x67b is the one r6-stale row that tier-3 family suppression
-    # would defer past the budget (x67, also r6, is the stalest
-    # family member and keeps the slot) — pinning it here retires the
-    # whole r6 cohort this round. Deliberately nothing else: the rest
-    # of the ~50 budget flows to tier 3's stale-first rotation
-    # (10 remaining r6 rows, then the r7 cohort).
-    "x67b_containment_prefix",
+    # Round 12: no semantics changed, so tier 1 carries ONLY freshness
+    # pins (the x67b precedent from r11). The r11 verdict item 1 wants
+    # all 14 r7-stale rows green this round; 12 of them land at tier-3
+    # positions 0-11 automatically, but family suppression defers the
+    # other two past the budget (q11 keeps the dim-family slot, x103
+    # the codec-family slot). Pinning q12 and x105 retires the whole
+    # r7 cohort; the remaining ~36 budget slots flow into the 45-row
+    # r8 cohort stalest-first, moving the freshness floor to r8.
+    "q12_dim_date",
+    "x105_bmp_decode_stats",
 )
-# Tier 2 (automatic, no green row) as of round-11: seven new driver
-# faces — x113_multi_epoch_shard_matrix (the multi-epoch determinism
-# guarantee of epoch_shuffle, r10 verdict item 7 — the last sampling
-# property that was pytest-only), x114_group_holdout_split (the
-# group-cohesive train/val/test carve, new operator this round),
-# x115_quantized_ann (int8 embedding quantization with recall/error
-# certification, new operator this round), x116_bmp_resize_stats
-# (the REAL nearest-neighbor resize kernel — X5's resize upgraded from
-# a PIL-gated stub to a certified stdlib path),
-# x117_frame_sample_stats (REAL video frame sampling — the byte-level
-# demux walk + per-frame decode, upgrading x32's metadata-only grid),
-# x118_wav_resample_stats (REAL audio sample-rate conversion — the
-# WAV write side, as x116 is the BMP write side), and
-# x119_png_decode_stats (REAL COMPRESSED-format decode: stdlib
-# zlib + full filter reconstruction — closing the PNG third of the
-# "env-blocked on PIL/av" carry). With tier 1 at 2 and tier 2 at 7,
-# ~41 tier-3 slots remain: the 10 r6-stale rows first, then ~31 of
-# the 45-row r7 cohort (family suppression defers 5 of them to a
-# representative) — projected post-r11 freshness floor: r7, with only
-# family-covered members and ~8 past-budget rows left there.
+# Tier 2 (automatic, no green row) as of round-12: empty — every one
+# of the 206 registered queries has a green driver row (r11 closed the
+# last seven: x113-x119). New faces added this round, if any, enter
+# tier 2 automatically.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)

@@ -178,6 +178,27 @@ HEADLINE = [
 ]
 
 
+#: Reference ambient-control seconds, pinned on the r12 controlled box
+#: (median of 6 interleaved control runs there). The control workload
+#: below is ENGINE-INDEPENDENT (spark.range → modulo keys → hash
+#: aggregate; no repo code, no test data), so round-over-round drift in
+#: ``control_sec`` measures box weather, not engine changes — and
+#: ``value_control_normalized = value * CONTROL_REF_SEC / control_sec``
+#: rescales the headline total to reference-box conditions (r11 verdict
+#: item 5: driver-box noise was the largest term in round deltas).
+CONTROL_REF_SEC = 0.55
+
+
+def _control_run(spark) -> float:
+    """One timed run of the fixed control workload."""
+    t0 = time.perf_counter()
+    (spark.range(0, 20_000_000)
+     .selectExpr("id % 997 AS k", "id")
+     .groupBy("k").agg({"id": "sum", "*": "count"})
+     .write.mode("overwrite").format("noop").save())
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -204,6 +225,10 @@ def main() -> None:
         queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    # ambient control: 3 runs before + 3 after the sweep (median of 6)
+    # brackets the whole measurement window, so a load spike mid-sweep
+    # moves the control too
+    controls = [_control_run(spark) for _ in range(3)]
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     for name in HEADLINE:
@@ -240,6 +265,8 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(0.3)
 
+    controls += [_control_run(spark) for _ in range(3)]
+    control_sec = round(statistics.median(controls), 3)
     total = round(sum(timings.values()), 3)
     # The driver records only a ~2 KB window of stdout (every BENCH_r*.json
     # through r10 landed with "parsed": null and the JSON clipped mid-key —
@@ -268,6 +295,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(short),
+        "control_sec": control_sec,
+        "value_control_normalized": round(
+            total * CONTROL_REF_SEC / control_sec, 3) if control_sec else None,
         "build_total_sec": build_total,
         "heavy_builds": heavy_builds,
         "queries": short,

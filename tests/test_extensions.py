@@ -546,12 +546,14 @@ def test_wav_nn_resample_kernel():
     for did in (0, 7, 24):
         payload = _wav_bytes(did)
         rate, samples = _wav_samples(payload)
-        assert _wav_samples(_resample_wav_nn(payload, rate))[1] == samples
+        assert _wav_samples(
+            _resample_wav_nn(payload, rate)[0])[1] == samples
         for out_rate in (12000, 5000, 16000, 1):
-            out = _resample_wav_nn(payload, out_rate)
+            out, n_out_reported = _resample_wav_nn(payload, out_rate)
             orate, osamples = _wav_samples(out)
             assert orate == out_rate
             n_out = len(samples) * out_rate // rate
+            assert n_out_reported == n_out
             assert list(osamples) == [
                 samples[(j * rate) // out_rate] for j in range(n_out)
             ]
@@ -610,6 +612,12 @@ def test_png_codec_roundtrip_and_strictness():
         _parse_png(bytes(bad))
     with pytest.raises(ValueError, match="truncated|IHDR|IDAT|IEND"):
         _parse_png(_png_bytes(0)[:-8])
+    # truncation INSIDE a chunk's 4-byte CRC field must raise the
+    # documented ValueError, not struct.error (r11 ADVICE)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_png(_png_bytes(0)[:-4])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        _parse_png(_png_bytes(0) + b"\x00")
     # flip color type to grayscale in IHDR (and fix its CRC) -> rejected
     p = bytearray(_png_bytes(0))
     ihdr_body = bytearray(p[16:29]); ihdr_body[9] = 0

@@ -506,6 +506,17 @@ def test_quantize_embeddings_contract(spark):
         quantize_embeddings(df.withColumn("qvec", F.lit(1)))
     with pytest.raises(ValueError, match="bits"):
         quantize_embeddings(df, bits=16)
+    # NULL ELEMENT inside a vector raises (r11 ADVICE: greatest/least
+    # skip nulls, so it would otherwise silently quantize to -127);
+    # a NULL VECTOR still propagates to NULL qvec/qscale.
+    nullel = spark.createDataFrame(
+        [(1, [1.0, None, 0.5])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL element"):
+        quantize_embeddings(nullel).collect()
+    nullvec = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    r = quantize_embeddings(nullvec).collect()[0]
+    assert r.qvec is None and r.qscale is None
 
 
 def test_quantized_cosine_topk_matches_float_ranking(spark):

@@ -30,6 +30,14 @@ The lint inspects the PRE-EXECUTION plan (``executedPlan`` before any
 job runs, i.e. the AQE initial plan). That is deliberate: AQE can only
 IMPROVE on it at runtime (broadcast conversion, skew splits), so a
 clean initial plan is the conservative bar.
+
+``--post-exec`` (r11 verdict item 7) adds a second axis: every bench
+HEADLINE face is additionally EXECUTED once at sf0.001 (noop sink) and
+the FINAL adaptive plan (``isFinalPlan=true`` — what actually ran,
+after AQE's runtime re-planning) is linted with the same rules. This
+catches a funnel that only materializes at runtime (e.g. an AQE
+coalesce collapsing a window's input to one partition) that the
+initial-plan sweep cannot see.
 """
 
 from __future__ import annotations
@@ -180,11 +188,88 @@ def _lint(plan: str) -> list[str]:
     return found
 
 
-def main() -> int:
+# --- post-exec axis: JVM plan-tree walk ------------------------------------
+# The FINAL adaptive plan's toString interleaves query-stage and
+# cached-plan reprints whose indentation resets mid-tree, which breaks
+# the text subtree walk above (x83's one-row statistic BNLJs were
+# false-flagged 70x from one plan). The post-exec axis therefore walks
+# the actual SparkPlan tree via py4j — query stages, reused exchanges,
+# and in-memory relations are unwrapped structurally, not textually.
+
+def _jchildren(node) -> list:
+    cname = node.getClass().getSimpleName()
+    if cname.endswith("QueryStageExec"):
+        return [node.plan()]
+    if cname == "InMemoryTableScanExec":
+        return [node.relation().cachedPlan()]
+    if cname == "ReusedExchangeExec":
+        return [node.child()]
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _jwalk(node):
+    yield node
+    for c in _jchildren(node):
+        yield from _jwalk(c)
+
+
+def _jbnlj_is_bounded(node) -> bool:
+    """Build side reduces to a grand (keys=[]) aggregate somewhere in
+    its subtree — the one-row statistic-attachment pattern."""
+    side = 1 if "BuildRight" in node.buildSide().toString() else 0
+    build = _jchildren(node)[side]
+    return any(
+        "Aggregate(keys=[]" in n.simpleString(10) for n in _jwalk(build)
+    )
+
+
+def _jthrough(node):
+    """Descend through transparent wrappers (query stages, AQE shuffle
+    reads, exchange reuse) to the first materially-executing node."""
+    while True:
+        cname = node.getClass().getSimpleName()
+        if cname.endswith("QueryStageExec"):
+            node = node.plan()
+        elif cname == "ReusedExchangeExec":
+            node = node.child()
+        elif cname == "AQEShuffleReadExec":
+            node = node.children().apply(0)
+        else:
+            return node
+
+
+def _jlint(root) -> list[str]:
+    found: list[str] = []
+    for n in _jwalk(root):
+        cname = n.getClass().getSimpleName()
+        if cname == "CartesianProductExec":
+            found.append("CartesianProduct")
+        elif cname == "BroadcastNestedLoopJoinExec" and not _jbnlj_is_bounded(n):
+            found.append("BroadcastNestedLoopJoin")
+        elif cname in ("BatchEvalPythonExec", "BatchEvalPythonUDTFExec"):
+            found.append("BatchEvalPython")
+        elif cname in ("SortExec", "WindowExec", "WindowGroupLimitExec"):
+            # the funnel: this operator's input IS a single-partition
+            # shuffle (same consumer-of-exchange rule as the text lint)
+            feeder = _jthrough(_jchildren(n)[0])
+            if "Exchange" in feeder.getClass().getSimpleName() and \
+                    "SinglePartition" in feeder.simpleString(10):
+                found.append(
+                    f"SinglePartition->({cname.removesuffix('Exec')})")
+    return found
+
+
+def main(post_exec: bool = False) -> int:
     spark = get_spark(app_name="fpa-plan-lint")
     queries = all_queries()
+    post_exec_faces: set[str] = set()
+    if post_exec:
+        from bench import HEADLINE  # noqa: PLC0415
+
+        post_exec_faces = set(HEADLINE) - STREAM_FACES
     failures: list[str] = []
-    n_linted = 0
+    n_linted = n_post = 0
     for name, fn in queries.items():
         if name in STREAM_FACES:
             continue
@@ -192,22 +277,35 @@ def main() -> int:
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_linted += 1
-        for pat in _lint(plan):
-            key = (name, pat.split("->")[0])
-            if key in ALLOWLIST:
-                print(f"allow  {name}: {pat}  [{ALLOWLIST[key]}]")
-            else:
-                print(f"FLAG   {name}: {pat}")
-                failures.append(f"{name}: {pat}")
+        checks = [("", _lint(plan))]
+        if name in post_exec_faces:
+            # run the face once; the SAME QueryExecution's plan is now
+            # the final adaptive one (isFinalPlan=true) — walked as a
+            # JVM tree, not text (see the post-exec section above)
+            df.write.mode("overwrite").format("noop").save()
+            checks.append(
+                ("post-exec ",
+                 _jlint(df._jdf.queryExecution().executedPlan())))
+            n_post += 1
+        for axis, pats in checks:
+            for pat in pats:
+                key = (name, pat.split("->")[0])
+                if key in ALLOWLIST:
+                    print(f"allow  {axis}{name}: {pat}  "
+                          f"[{ALLOWLIST[key]}]")
+                else:
+                    print(f"FLAG   {axis}{name}: {pat}")
+                    failures.append(f"{axis}{name}: {pat}")
         dt = time.time() - t0
         if dt > 10:
             print(f"slow-build {name}: {dt:.1f}s (builder runs side effects)")
     print(f"\nlinted {n_linted} query plans "
-          f"({len(STREAM_FACES)} stream faces skipped); "
+          f"({len(STREAM_FACES)} stream faces skipped; "
+          f"{n_post} post-exec final plans); "
           f"{len(failures)} un-allowlisted findings")
     spark.stop()
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(post_exec="--post-exec" in sys.argv[1:]))
