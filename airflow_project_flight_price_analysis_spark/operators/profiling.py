@@ -28,3 +28,70 @@ def approx_profile(df: DataFrame, key_cols: list[str],
             F.percentile_approx(c, [0.25, 0.5, 0.75, 0.95], 10000).alias(f"quantiles_{c}"),
         ]
     return df.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter / frequency estimation
+# --------------------------------------------------------------------------
+# The third mergeable sketch next to HLL (distinct counts, x12/x57) and
+# KLL (quantiles, x12): bounded-memory per-key frequency estimation.
+# Buckets derive from md5 (the content_hash64 / x106 technique), NOT
+# xxhash64, so any engine with md5 can replay the whole sketch —
+# bucket assignment, counter table, and estimates are all exactly
+# cross-engine reproducible, which is what lets the x120 face certify
+# the never-underestimate law value-for-value in DuckDB.
+
+def cms_bucket(i: int, key, width: int):
+    """Hash-row ``i``'s counter bucket for ``key``: 60 md5 bits of
+    ``"i:key"`` reduced mod ``width``. NULL keys bucket via concat_ws's
+    NULL-skip (deterministic, same in DuckDB)."""
+    safe = F.concat_ws(":", F.lit(str(i)), key.cast("string"))
+    h = F.conv(F.substring(F.md5(safe), 1, 15), 16, 10).cast("long")
+    return (h % width).cast("int")
+
+
+def count_min_sketch_table(df: DataFrame, key_col: str,
+                           depth: int = 4, width: int = 256) -> DataFrame:
+    """The CMS counter table as a DataFrame: ``(i, b, cnt)`` with one
+    row per non-empty counter (≤ depth·width rows TOTAL, regardless of
+    input size — that bound is the whole point). One scan, one shuffle
+    whose volume is capped at depth·width rows per upstream partition
+    by partial aggregation. Mergeable: sketches of two corpora merge by
+    ``union → groupBy(i, b) → sum(cnt)`` (counter-wise addition), the
+    x54/x57 merge-algebra story for frequencies."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    return (
+        df.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     cms_bucket(i, F.col(key_col), width).alias("b"))
+            for i in range(depth)
+        ])).alias("ib"))
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(keys: DataFrame, sketch: DataFrame, key_col: str,
+                        depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: appends
+    ``cms_est = min_i counter[i][bucket_i(key)]`` (0 for a key whose
+    bucket was never touched). depth broadcast hash joins on the
+    ≤ depth·width-row counter table — ZERO shuffles, so probing scales
+    to any key-table size; the broadcast is bounded by construction,
+    not by luck. depth/width must match the sketch's build parameters
+    (a mismatched probe reads the wrong counters)."""
+    out = keys
+    cols = []
+    for i in range(depth):
+        s_i = sketch.filter(F.col("i") == i).select(
+            F.col("b").alias(f"__cms_b{i}"), F.col("cnt").alias(f"__cms_c{i}")
+        )
+        out = out.withColumn(
+            f"__cms_b{i}", cms_bucket(i, F.col(key_col), width)
+        ).join(F.broadcast(s_i), f"__cms_b{i}", "left")
+        cols.append(F.coalesce(F.col(f"__cms_c{i}"), F.lit(0)))
+    est = cols[0] if len(cols) == 1 else F.least(*cols)
+    return out.withColumn("cms_est", est).drop(
+        *[c for i in range(depth) for c in (f"__cms_b{i}", f"__cms_c{i}")]
+    )

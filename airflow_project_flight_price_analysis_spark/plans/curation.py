@@ -1545,6 +1545,118 @@ ORACLE["x57_hll_merge_profile"] = """
 """
 
 
+# --- X6 extension: count-min sketch heavy hitters (r12) ---------------------
+
+_X120_DEPTH, _X120_WIDTH = 4, 256
+
+
+def x120_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency profiling, fully certified (the third
+    mergeable sketch next to HLL distinct counts (x12/x57) and KLL
+    quantiles (x12) — per-key frequency / heavy-hitter estimation in
+    depth·width bounded memory): build the 4x256 counter table over
+    ``lineitem.l_suppkey``, point-query it for EVERY key, and emit the
+    top-10 heavy hitters (exact count, sketch estimate, overestimate)
+    alongside the registry-wide law columns — ``min_slack = min over
+    ALL keys of (est − exact)``, which the CMS guarantee says is ≥ 0
+    DETERMINISTICALLY (counters only ever add colliding keys' counts;
+    an underestimate is impossible, not just unlikely), and
+    ``max_overest``, the measured collision noise the ε·N bound caps.
+
+    Unlike the HLL/KLL faces (whose binary sketches aren't SQL-
+    replayable, so x12 certifies error envelopes only), the CMS here is
+    md5-bucketed (operators/profiling.cms_bucket — the x106
+    content_hash64 technique), so DuckDB replays the ENTIRE sketch —
+    bucket assignment, counter table, min-of-d estimates — and the gate
+    value-hashes estimates exactly, not within a tolerance.
+
+    Scale shape: sketch build = one scan + one shuffle capped at
+    depth·width rows per upstream partition (partial agg); probing =
+    depth broadcast joins of the ≤ 1024-row counter table (zero
+    shuffles); the exact per-key counts are the CERTIFICATION harness
+    (x12's pattern — at 100 TB the product path keeps only the sketch,
+    merged counter-wise across partitions/days: union → sum, the
+    x54/x57 merge algebra).
+    """
+    from ..operators.profiling import (  # noqa: PLC0415
+        count_min_estimates,
+        count_min_sketch_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    sketch = count_min_sketch_table(li, "suppkey", _X120_DEPTH, _X120_WIDTH)
+    exact = li.groupBy("suppkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probed = count_min_estimates(
+        exact, sketch, "suppkey", _X120_DEPTH, _X120_WIDTH
+    ).withColumn("overest", F.col("cms_est") - F.col("exact_cnt"))
+    law = probed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("overest").alias("min_slack"),
+        F.max("overest").alias("max_overest"),
+    )
+    return (
+        probed.orderBy(F.col("exact_cnt").desc(), "suppkey").limit(10)
+        .crossJoin(F.broadcast(law))
+        .select(
+            "suppkey", "exact_cnt",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("overest").cast("long").alias("overest"),
+            "n_keys", "min_slack", "max_overest",
+        )
+        .orderBy(F.col("exact_cnt").desc(), "suppkey")
+    )
+
+
+QUERIES["x120_count_min_heavy_hitters"] = x120_count_min_heavy_hitters
+
+ORACLE["x120_count_min_heavy_hitters"] = f"""
+    WITH src AS (SELECT l_suppkey AS suppkey FROM lineitem),
+    exact AS (SELECT suppkey, COUNT(*) AS exact_cnt FROM src GROUP BY 1),
+    d AS (SELECT unnest(range({_X120_DEPTH})) AS i),
+    sketch AS (
+        SELECT i,
+               CAST(('0x' || substring(md5(concat_ws(':',
+                   CAST(i AS VARCHAR), CAST(suppkey AS VARCHAR))),
+                   1, 15))::BIGINT % {_X120_WIDTH} AS INTEGER) AS b,
+               COUNT(*) AS cnt
+        FROM src CROSS JOIN d
+        GROUP BY 1, 2
+    ),
+    probed AS (
+        SELECT e.suppkey, e.exact_cnt, MIN(s.cnt) AS cms_est
+        FROM exact e
+        CROSS JOIN d
+        JOIN sketch s
+          ON s.i = d.i
+         AND s.b = CAST(('0x' || substring(md5(concat_ws(':',
+                CAST(d.i AS VARCHAR), CAST(e.suppkey AS VARCHAR))),
+                1, 15))::BIGINT % {_X120_WIDTH} AS INTEGER)
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT suppkey, exact_cnt, cms_est,
+               cms_est - exact_cnt AS overest
+        FROM probed
+    ),
+    law AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               MIN(overest) AS min_slack,
+               MAX(overest) AS max_overest
+        FROM j
+    )
+    SELECT j.suppkey, CAST(j.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(j.cms_est AS BIGINT) AS cms_est,
+           CAST(j.overest AS BIGINT) AS overest,
+           law.n_keys, CAST(law.min_slack AS BIGINT) AS min_slack,
+           CAST(law.max_overest AS BIGINT) AS max_overest
+    FROM j CROSS JOIN law
+    ORDER BY j.exact_cnt DESC, j.suppkey
+    LIMIT 10
+"""
+
+
 # --- D5/SCD companion: snapshot-diff change data capture --------------------
 
 def x58_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

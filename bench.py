@@ -169,6 +169,10 @@ HEADLINE = [
     # round-11: real compressed PNG decode (zlib inflate + filter
     # reconstruction — the compressed-codec throughput probe)
     "x119_png_decode_stats",
+    # round-12: count-min heavy hitters — the bounded-shuffle sketch
+    # build (explode x depth -> partial-agg-capped shuffle) + the
+    # zero-shuffle depth-broadcast probe path
+    "x120_count_min_heavy_hitters",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -60,9 +60,14 @@ SECTIONS = [
      "persisted |types|-scale transition table (InMemoryTableScan), "
      "never the event-scale source"),
     ("x83_triangle_count",
-     "degree-ordered triangle census: wedge self-join emits each "
-     "unordered wedge once (orientation-aligned inequality), closing-"
-     "edge probe on the persisted oriented edge table"),
+     "degree-ordered triangle census: adjacency-intersection count "
+     "(sum of |N+(u) ∩ N+(v)| over oriented edges — no wedge table); "
+     "adjacency broadcast under the supplier-footer gate, shuffled "
+     "equi-join above it"),
+    ("x120_count_min_heavy_hitters",
+     "count-min sketch: explode x depth feeds a partial-agg-capped "
+     "shuffle (<= depth*width rows); probe = depth broadcast joins of "
+     "the counter table, zero shuffles"),
     ("x84_quantile_binning",
      "one-row percentile-bounds aggregate broadcast into map-side bin "
      "assignment (BroadcastNestedLoopJoin of a single row) — no per-row "
