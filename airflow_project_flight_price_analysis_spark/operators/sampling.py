@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def content_hash64(key: Column) -> Column:
@@ -336,3 +337,91 @@ def holdout_split(
             cond, F.lit(name)
         )
     return df.withColumn(split_col, expr.otherwise(F.lit(fractions[-1][0])))
+
+
+# --------------------------------------------------------------------------
+# Token-budget water-filling (r12 — the x121 face's core)
+# --------------------------------------------------------------------------
+
+def waterfill_allocate(cap: DataFrame, key_col: str, capacity_col: str,
+                       budget_num: int, budget_den: int) -> DataFrame:
+    """Exact water-filling of an integer budget across capacitated
+    groups: budget ``B = total · budget_num div budget_den``; every
+    group gets an equal fill level except groups whose whole capacity
+    fits under it, which keep their capacity (saturate) and re-level
+    the rest. Closed form over capacities sorted ascending
+    (c_1 ≤ … ≤ c_n, prefix sums P_i): group i saturates iff
+    ``c_i·(n−i+1) + P_{i−1} ≤ B`` (monotone in i, so the saturated set
+    is always a prefix of the ascending order — pinned by the
+    hypothesis property test), k = the largest saturating rank, and
+    every group above k gets ``L = (B − P_k) div (n − k)``.
+
+    INTEGER floor arithmetic end-to-end, so any engine replays the
+    allocation token-for-token; the returned columns include the law
+    terms: ``budget``, and ``leftover = budget − Σ allocated`` (the
+    floor-division residue, 0 ≤ leftover < n − k when unsaturated
+    groups remain).
+
+    Scale shape: the input is a |groups|-grain table (the caller's one
+    data-scale aggregate); rank/prefix/saturation run windows over
+    those |groups| rows — a bounded-grain SinglePartition window, the
+    x90/x92 class.
+    """
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError(
+            f"budget must be a non-negative rational, got "
+            f"{budget_num}/{budget_den}")
+    totals = cap.agg(
+        F.sum(capacity_col).alias("total"),
+        F.count(F.lit(1)).alias("__wf_n"),
+    )
+    w = W.orderBy(capacity_col, key_col)
+    ranked = (
+        cap.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "budget",
+            F.expr(f"CAST(total * {int(budget_num)} DIV "
+                   f"{int(budget_den)} AS BIGINT)"),
+        )
+        .withColumn("__wf_rk", F.row_number().over(w))
+        .withColumn(
+            "__wf_prefix",
+            F.sum(capacity_col).over(
+                w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "saturated",
+            F.col(capacity_col) * (F.col("__wf_n") - F.col("__wf_rk") + 1)
+            + (F.col("__wf_prefix") - F.col(capacity_col))
+            <= F.col("budget"),
+        )
+    )
+    kstat = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("__wf_rk"))), F.lit(0)
+        ).alias("__wf_k"),
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("__wf_prefix"))),
+            F.lit(0),
+        ).cast("long").alias("__wf_prefix_k"),
+    )
+    alloc = (
+        ranked.crossJoin(F.broadcast(kstat))
+        .withColumn(
+            "allocated",
+            F.when(F.col("saturated"), F.col(capacity_col))
+            .otherwise(F.expr(
+                "CAST((budget - __wf_prefix_k) DIV (__wf_n - __wf_k) "
+                "AS BIGINT)"))
+            .cast("long"),
+        )
+    )
+    law = alloc.agg(
+        (F.max("budget") - F.sum("allocated")).cast("long")
+        .alias("leftover")
+    )
+    return (
+        alloc.crossJoin(F.broadcast(law))
+        .drop("total", "__wf_n", "__wf_rk", "__wf_prefix",
+              "__wf_k", "__wf_prefix_k")
+    )

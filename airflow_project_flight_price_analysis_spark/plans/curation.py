@@ -1657,6 +1657,125 @@ ORACLE["x120_count_min_heavy_hitters"] = f"""
 """
 
 
+# --- curation extension: token-budget water-filling (r12) -------------------
+
+#: Budget = floor(total_tokens * 4 / 5) — integer arithmetic end-to-end.
+#: 4/5 deliberately: at 60% the fill level sits BELOW every language's
+#: capacity (nothing saturates; the when-branch never runs in the
+#: certified face), at 80% the four non-en languages saturate and en
+#: levels — both branches of the closed form are driver-certified.
+_X121_BUDGET_NUM, _X121_BUDGET_DEN = 4, 5
+
+
+def x121_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation by exact WATER-FILLING — the
+    epoch-planning step of corpus curation: given a total token budget
+    B (here 80% of the corpus), give every language an equal share,
+    except languages whose whole capacity fits under that share keep it
+    all (saturate) and their surplus re-levels among the rest. The
+    closed form over capacities sorted ascending (c_1 ≤ … ≤ c_n,
+    prefix sums P_i): source i saturates iff
+    ``c_i·(n−i+1) + P_{i−1} ≤ B`` (monotone in i — proved in
+    tests/test_count_min.py::test_waterfill_saturation_monotonicity),
+    k = the largest saturating rank, and everyone above k gets the
+    common level ``L = (B − P_k) div (n − k)``. All arithmetic is
+    INTEGER (floor division both engines), so the DuckDB oracle
+    replays the allocation token-for-token — no float levels, no
+    tolerance.
+
+    Output per language (the skewed grouping — en holds ~44% of the
+    corpus, so the small languages SATURATE and the big ones level;
+    both branches run in the certified face): capacity, allocated, saturated, plus the law
+    columns ``budget`` and ``leftover = budget − Σ allocated``
+    (0 ≤ leftover < n − k, the floor-division remainder — an
+    allocation that overspends or leaves more than the rounding
+    residue on the table is a bug the gate catches).
+
+    Scale shape: ONE corpus scan + a |sources|-grain aggregate is the
+    only data-scale work; the waterfill itself (rank, prefix-sum,
+    saturation scan) runs windows over the |langs|-row capacity
+    table — a SinglePartition funnel of bounded grain (plan-lint
+    allowlisted, the x90/x92 class). At 100 TB the capacity table is
+    still |langs| rows.
+    """
+    from ..functions.text import token_count_expr  # noqa: PLC0415
+    from ..operators.sampling import waterfill_allocate  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = (
+        docs.select("lang", token_count_expr("text").alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").cast("long").alias("capacity"))
+    )
+    return (
+        waterfill_allocate(cap, "lang", "capacity",
+                           _X121_BUDGET_NUM, _X121_BUDGET_DEN)
+        .select(
+            "lang", "capacity", "allocated", "saturated",
+            "budget", "leftover",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["x121_token_budget_waterfill"] = x121_token_budget_waterfill
+
+ORACLE["x121_token_budget_waterfill"] = rf"""
+    WITH cap AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        END) AS BIGINT) AS capacity
+        FROM documents GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(capacity) AS total,
+               COUNT(*) AS n_sources
+        FROM cap
+    ),
+    ranked AS (
+        SELECT cap.lang, cap.capacity, t.n_sources,
+               CAST(t.total * {_X121_BUDGET_NUM} // {_X121_BUDGET_DEN}
+                    AS BIGINT) AS budget,
+               ROW_NUMBER() OVER (ORDER BY cap.capacity, cap.lang) AS rk,
+               SUM(cap.capacity) OVER (
+                   ORDER BY cap.capacity, cap.lang
+                   ROWS UNBOUNDED PRECEDING) AS prefix
+        FROM cap CROSS JOIN t
+    ),
+    s AS (
+        SELECT *,
+               capacity * (n_sources - rk + 1) + (prefix - capacity)
+                   <= budget AS saturated
+        FROM ranked
+    ),
+    kstat AS (
+        SELECT COALESCE(MAX(CASE WHEN saturated THEN rk END), 0) AS k,
+               CAST(COALESCE(MAX(CASE WHEN saturated THEN prefix END), 0)
+                    AS BIGINT) AS prefix_k
+        FROM s
+    ),
+    alloc AS (
+        SELECT s.lang, s.capacity, s.saturated, s.budget,
+               CASE WHEN s.saturated THEN s.capacity
+                    WHEN s.n_sources > kstat.k
+                    THEN CAST((s.budget - kstat.prefix_k)
+                              // (s.n_sources - kstat.k) AS BIGINT)
+                    ELSE 0 END AS allocated
+        FROM s CROSS JOIN kstat
+    ),
+    law AS (
+        SELECT CAST(MAX(budget) - SUM(allocated) AS BIGINT) AS leftover
+        FROM alloc
+    )
+    SELECT alloc.lang, alloc.capacity,
+           CAST(alloc.allocated AS BIGINT) AS allocated, alloc.saturated,
+           CAST(alloc.budget AS BIGINT) AS budget, law.leftover
+    FROM alloc CROSS JOIN law
+    ORDER BY alloc.lang
+"""
+
+
 # --- D5/SCD companion: snapshot-diff change data capture --------------------
 
 def x58_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -173,6 +173,9 @@ HEADLINE = [
     # build (explode x depth -> partial-agg-capped shuffle) + the
     # zero-shuffle depth-broadcast probe path
     "x120_count_min_heavy_hitters",
+    # round-12: token-budget water-filling — one corpus-scan token
+    # aggregate + |langs|-row window math (the epoch-planning shape)
+    "x121_token_budget_waterfill",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -63,3 +63,98 @@ def test_cms_bucket_range_and_param_validation(spark):
     assert all(0 <= r.b < 7 for r in got)
     with pytest.raises(ValueError, match="depth/width"):
         count_min_sketch_table(df, "k", depth=0)
+
+
+# --------------------------------------------------------------------------
+# waterfill_allocate (operators/sampling.py, x121)
+# --------------------------------------------------------------------------
+
+def _waterfill_reference(caps, budget):
+    """Brute-force reference: binary-search the real-valued fill level,
+    then floor the common level the closed form uses."""
+    n = len(caps)
+    order = sorted(range(n), key=lambda i: (caps[i], i))
+    prefix = 0
+    k = 0
+    for pos, i in enumerate(order, start=1):
+        if caps[i] * (n - pos + 1) + prefix <= budget:
+            k = pos
+            prefix += caps[i]
+        else:
+            break
+    level = (budget - prefix) // (n - k) if k < n else 0
+    out = {}
+    for pos, i in enumerate(order, start=1):
+        out[i] = caps[i] if pos <= k else level
+    return out, k
+
+
+def test_waterfill_matches_reference_and_laws(spark):
+    """Random capacity sets x budgets: allocation equals the reference
+    closed form; sum(allocated) <= budget; leftover is the bounded
+    floor residue; saturated groups keep exactly their capacity."""
+    import random
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        waterfill_allocate,
+    )
+
+    rng = random.Random(12)
+    for trial in range(6):
+        n = rng.randint(1, 9)
+        caps = [rng.randint(0, 1000) for _ in range(n)]
+        num, den = rng.choice([(1, 2), (3, 5), (4, 5), (9, 10), (1, 1)])
+        total = sum(caps)
+        budget = total * num // den
+        df = spark.createDataFrame(
+            [(f"g{i}", c) for i, c in enumerate(caps)],
+            "grp string, capacity long")
+        got = {r.grp: r for r in waterfill_allocate(
+            df, "grp", "capacity", num, den).collect()}
+        ref, k = _waterfill_reference(caps, budget)
+        for i, c in enumerate(caps):
+            r = got[f"g{i}"]
+            assert r.allocated == ref[i], (trial, caps, budget, i)
+            assert r.allocated <= c
+            if r.saturated:
+                assert r.allocated == c
+        total_alloc = sum(r.allocated for r in got.values())
+        assert total_alloc <= budget
+        assert got["g0"].leftover == budget - total_alloc
+        if k < n:
+            assert budget - total_alloc < n - k  # floor residue bound
+
+
+def test_waterfill_saturation_monotonicity(spark):
+    """The saturated set is ALWAYS a prefix of the capacity-ascending
+    order (the closed form's correctness hinges on this)."""
+    import random
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        waterfill_allocate,
+    )
+
+    rng = random.Random(99)
+    for _ in range(4):
+        caps = [rng.randint(1, 500) for _ in range(rng.randint(2, 12))]
+        df = spark.createDataFrame(
+            [(f"g{i}", c) for i, c in enumerate(caps)],
+            "grp string, capacity long")
+        rows = waterfill_allocate(df, "grp", "capacity", 4, 5).collect()
+        by_cap = sorted(rows, key=lambda r: (r.capacity, r.grp))
+        flags = [r.saturated for r in by_cap]
+        assert flags == sorted(flags, reverse=True), flags  # prefix-true
+
+
+def test_waterfill_param_validation(spark):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        waterfill_allocate,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "grp string, capacity long")
+    with pytest.raises(ValueError, match="budget"):
+        waterfill_allocate(df, "grp", "capacity", -1, 2)
+    with pytest.raises(ValueError, match="budget"):
+        waterfill_allocate(df, "grp", "capacity", 1, 0)

@@ -68,6 +68,9 @@ SECTIONS = [
      "count-min sketch: explode x depth feeds a partial-agg-capped "
      "shuffle (<= depth*width rows); probe = depth broadcast joins of "
      "the counter table, zero shuffles"),
+    ("x121_token_budget_waterfill",
+     "waterfill budget allocation: corpus-scan token aggregate feeds "
+     "|langs|-row rank/prefix windows + one-row stat broadcasts"),
     ("x84_quantile_binning",
      "one-row percentile-bounds aggregate broadcast into map-side bin "
      "assignment (BroadcastNestedLoopJoin of a single row) — no per-row "

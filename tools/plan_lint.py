@@ -120,6 +120,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("x98_seasonal_decomposition", "SinglePartition"):
         "moving-average/detrend windows over the daily series "
         "(<=|days| rows, three window passes on the same grain)",
+    ("x121_token_budget_waterfill", "SinglePartition"):
+        "waterfill rank/prefix windows over the per-language capacity "
+        "table (|langs| rows — operators/sampling.waterfill_allocate; "
+        "the corpus-scale work is the upstream token aggregate)",
 }
 
 
