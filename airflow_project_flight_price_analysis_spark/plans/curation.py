@@ -1616,10 +1616,12 @@ ORACLE["x120_count_min_heavy_hitters"] = f"""
     exact AS (SELECT suppkey, COUNT(*) AS exact_cnt FROM src GROUP BY 1),
     d AS (SELECT unnest(range({_X120_DEPTH})) AS i),
     sketch AS (
+        -- all four lanes slice ONE md5 digest (8 hex chars = 32 bits
+        -- each), mirroring operators/profiling.cms_buckets
         SELECT i,
-               CAST(('0x' || substring(md5(concat_ws(':',
-                   CAST(i AS VARCHAR), CAST(suppkey AS VARCHAR))),
-                   1, 15))::BIGINT % {_X120_WIDTH} AS INTEGER) AS b,
+               CAST(('0x' || substring(md5(CAST(suppkey AS VARCHAR)),
+                   8 * CAST(i AS INTEGER) + 1, 8))::BIGINT
+                   % {_X120_WIDTH} AS INTEGER) AS b,
                COUNT(*) AS cnt
         FROM src CROSS JOIN d
         GROUP BY 1, 2
@@ -1630,9 +1632,10 @@ ORACLE["x120_count_min_heavy_hitters"] = f"""
         CROSS JOIN d
         JOIN sketch s
           ON s.i = d.i
-         AND s.b = CAST(('0x' || substring(md5(concat_ws(':',
-                CAST(d.i AS VARCHAR), CAST(e.suppkey AS VARCHAR))),
-                1, 15))::BIGINT % {_X120_WIDTH} AS INTEGER)
+         AND s.b = CAST(('0x' || substring(
+                md5(CAST(e.suppkey AS VARCHAR)),
+                8 * CAST(d.i AS INTEGER) + 1, 8))::BIGINT
+                % {_X120_WIDTH} AS INTEGER)
         GROUP BY 1, 2
     ),
     j AS (

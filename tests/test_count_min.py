@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from airflow_project_flight_price_analysis_spark.operators.profiling import (
-    cms_bucket,
+    cms_buckets,
     count_min_estimates,
     count_min_sketch_table,
 )
@@ -57,10 +57,14 @@ def test_cms_counter_table_is_bounded_and_mergeable(spark):
     assert lhs == rhs
 
 
-def test_cms_bucket_range_and_param_validation(spark):
+def test_cms_bucket_range_lanes_and_param_validation(spark):
     df = spark.range(0, 100).select(F.col("id").alias("k"))
-    got = df.select(cms_bucket(0, F.col("k"), 7).alias("b")).collect()
-    assert all(0 <= r.b < 7 for r in got)
+    bs = cms_buckets(F.col("k"), 6, 7)  # 4 digest lanes + 2 seeded
+    got = df.select(*[b.alias(f"b{i}") for i, b in enumerate(bs)]).collect()
+    for r in got:
+        assert all(0 <= r[f"b{i}"] < 7 for i in range(6))
+    # lanes are not all identical for some key (independence smoke)
+    assert any(len({r[f"b{i}"] for i in range(6)}) > 1 for r in got)
     with pytest.raises(ValueError, match="depth/width"):
         count_min_sketch_table(df, "k", depth=0)
 
