@@ -477,3 +477,38 @@ def test_late_cents_topk_stays_take_ordered(spark):
         assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), (
             f"{name} pays a global sort:\n{plan}"
         )
+
+
+def test_post_exec_jlint_flags_known_anti_patterns(spark):
+    """ADVICE r12 (medium x2): the post-exec lint axis was vacuous —
+    AdaptiveSparkPlanExec is a LEAF node, so the JVM walk saw one node
+    and returned [] for every face, and the noop-sink execution never
+    finalized the df's own QueryExecution anyway. Pin the fix from both
+    ends: a deliberately bad plan (global no-partition window over a
+    data-grain table = SinglePartition funnel) must be FLAGGED, and a
+    known-clean shuffling aggregate must not. Both execute via
+    collect() first, exactly as tools/plan_lint.py --post-exec does."""
+    import sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_lint import _jlint, _jwalk
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+
+    bad = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey")))
+    bad.collect()
+    root = bad._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        assert "isFinalPlan=true" in root.toString().splitlines()[0]
+    # the unwrap must expose the whole tree, not the AQE leaf alone
+    assert sum(1 for _ in _jwalk(root)) > 3
+    findings = _jlint(root)
+    assert any(f.startswith("SinglePartition->") for f in findings), findings
+
+    good = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    good.collect()
+    assert _jlint(good._jdf.queryExecution().executedPlan()) == []

@@ -32,9 +32,11 @@ IMPROVE on it at runtime (broadcast conversion, skew splits), so a
 clean initial plan is the conservative bar.
 
 ``--post-exec`` (r11 verdict item 7) adds a second axis: every bench
-HEADLINE face is additionally EXECUTED once at sf0.001 (noop sink) and
-the FINAL adaptive plan (``isFinalPlan=true`` — what actually ran,
-after AQE's runtime re-planning) is linted with the same rules. This
+HEADLINE face is additionally EXECUTED once at sf0.001 (``collect()``,
+which drives the df's OWN QueryExecution — a noop ``write()`` spawns a
+separate one and leaves this plan un-finalized, ADVICE r12) and the
+FINAL adaptive plan (``isFinalPlan=true`` — what actually ran, after
+AQE's runtime re-planning) is linted with the same rules. This
 catches a funnel that only materializes at runtime (e.g. an AQE
 coalesce collapsing a window's input to one partition) that the
 initial-plan sweep cannot see.
@@ -202,6 +204,12 @@ def _lint(plan: str) -> list[str]:
 
 def _jchildren(node) -> list:
     cname = node.getClass().getSimpleName()
+    if cname == "AdaptiveSparkPlanExec":
+        # AQE's root (and any nested root inside a cached relation) is
+        # a LEAF node (children().size() == 0) — without this unwrap
+        # the walk sees exactly one node and the lint is vacuous
+        # (ADVICE r12: the whole post-exec axis silently passed).
+        return [node.executedPlan()]
     if cname.endswith("QueryStageExec"):
         return [node.plan()]
     if cname == "InMemoryTableScanExec":
@@ -230,14 +238,18 @@ def _jbnlj_is_bounded(node) -> bool:
 
 def _jthrough(node):
     """Descend through transparent wrappers (query stages, AQE shuffle
-    reads, exchange reuse) to the first materially-executing node."""
+    reads, exchange reuse, codegen collapse) to the first
+    materially-executing node."""
     while True:
         cname = node.getClass().getSimpleName()
-        if cname.endswith("QueryStageExec"):
+        if cname == "AdaptiveSparkPlanExec":
+            node = node.executedPlan()
+        elif cname.endswith("QueryStageExec"):
             node = node.plan()
         elif cname == "ReusedExchangeExec":
             node = node.child()
-        elif cname == "AQEShuffleReadExec":
+        elif cname in ("AQEShuffleReadExec", "WholeStageCodegenExec",
+                       "InputAdapter"):
             node = node.children().apply(0)
         else:
             return node
@@ -283,13 +295,19 @@ def main(post_exec: bool = False) -> int:
         n_linted += 1
         checks = [("", _lint(plan))]
         if name in post_exec_faces:
-            # run the face once; the SAME QueryExecution's plan is now
-            # the final adaptive one (isFinalPlan=true) — walked as a
-            # JVM tree, not text (see the post-exec section above)
-            df.write.mode("overwrite").format("noop").save()
-            checks.append(
-                ("post-exec ",
-                 _jlint(df._jdf.queryExecution().executedPlan())))
+            # run the face once via collect(): a write()/noop sink
+            # spawns a SEPARATE QueryExecution, leaving THIS df's plan
+            # un-executed (isFinalPlan=false — ADVICE r12, verified
+            # empirically); collect() drives the df's own
+            # QueryExecution, matching tests/test_plan_shapes.py::
+            # _final_plan. sf0.001 keeps the collected sets tiny.
+            df.collect()
+            root = df._jdf.queryExecution().executedPlan()
+            if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                assert "isFinalPlan=true" in \
+                    root.toString().splitlines()[0], (
+                        f"{name}: post-exec plan did not finalize")
+            checks.append(("post-exec ", _jlint(root)))
             n_post += 1
         for axis, pats in checks:
             for pat in pats:
