@@ -408,11 +408,20 @@ def waterfill_allocate(cap: DataFrame, key_col: str, capacity_col: str,
     alloc = (
         ranked.crossJoin(F.broadcast(kstat))
         .withColumn(
+            # the common-level branch is unreachable when EVERY group
+            # saturates (k == n, e.g. budget >= total capacity) — but
+            # guard the divisor explicitly rather than lean on CaseWhen
+            # short-circuiting, mirroring the oracle's
+            # `WHEN n > k ... ELSE 0` so the two engines' expressions
+            # stay structurally parallel (ADVICE r12)
             "allocated",
             F.when(F.col("saturated"), F.col(capacity_col))
-            .otherwise(F.expr(
-                "CAST((budget - __wf_prefix_k) DIV (__wf_n - __wf_k) "
-                "AS BIGINT)"))
+            .otherwise(F.when(
+                F.col("__wf_n") > F.col("__wf_k"),
+                F.expr(
+                    "CAST((budget - __wf_prefix_k) DIV (__wf_n - __wf_k) "
+                    "AS BIGINT)"),
+            ).otherwise(F.lit(0)))
             .cast("long"),
         )
     )

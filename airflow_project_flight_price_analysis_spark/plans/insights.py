@@ -472,21 +472,28 @@ ORACLE["x82_bigram_surprisal"] = r"""
 _X83_BROADCAST_SUPPLIER_CAP = 3_000
 
 
-def _parquet_num_rows(path: str) -> int:
+def _parquet_num_rows(path: str) -> int | None:
     """Row count from parquet footers only (driver-side, a few KiB of
-    metadata IO — the bounded file-footer-stats pattern)."""
+    metadata IO — the bounded file-footer-stats pattern). Returns
+    ``None`` when the footers can't be read locally (non-local
+    ``sf_dir`` such as s3:// or hdfs://, or an unexpected layout) —
+    callers must treat ``None`` as over-cap and take their shuffled
+    fallback rather than fail the plan build (ADVICE r12)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(f"{path}/*.parquet")) or sorted(
-            glob.glob(f"{path}/part-*"))
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files under {path}")
-        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-    return pq.ParquetFile(path).metadata.num_rows
+    try:
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(f"{path}/*.parquet")) or sorted(
+                glob.glob(f"{path}/part-*"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — any unreadable footer ⇒ size unknown
+        return None
 
 
 def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,7 +589,7 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oe.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
     a_u = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
-    if n_sup <= _X83_BROADCAST_SUPPLIER_CAP:
+    if n_sup is not None and n_sup <= _X83_BROADCAST_SUPPLIER_CAP:
         a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
     tri = (
         oe.join(a_u, "u").join(a_v, "v")

@@ -162,3 +162,44 @@ def test_waterfill_param_validation(spark):
         waterfill_allocate(df, "grp", "capacity", -1, 2)
     with pytest.raises(ValueError, match="budget"):
         waterfill_allocate(df, "grp", "capacity", 1, 0)
+
+
+def test_waterfill_all_saturate_guards_divisor(spark):
+    """budget >= total capacity ⇒ EVERY group saturates (k == n) and
+    the common-level branch's divisor (n − k) is zero. The expression
+    must guard that branch explicitly (ADVICE r12 — mirroring the
+    oracle's `WHEN n > k ... ELSE 0`), not lean on CaseWhen
+    short-circuiting: every group keeps its capacity, leftover is the
+    full surplus."""
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        waterfill_allocate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 250), ("c", 0)], "grp string, capacity long")
+    # num/den = 3/2 ⇒ budget = 390 > total = 260
+    rows = {r.grp: r for r in waterfill_allocate(
+        df, "grp", "capacity", 3, 2).collect()}
+    assert all(r.saturated for r in rows.values())
+    assert {g: r.allocated for g, r in rows.items()} == \
+        {"a": 10, "b": 250, "c": 0}
+    assert rows["a"].leftover == 390 - 260
+
+
+def test_parquet_num_rows_returns_none_on_unreadable(tmp_path):
+    """x83's broadcast gate reads parquet footers driver-side; on any
+    non-local or unreadable path it must report 'unknown' (None) so the
+    face falls back to the shuffled equi-join instead of raising at
+    plan-build time (ADVICE r12)."""
+    from airflow_project_flight_price_analysis_spark.plans.insights import (
+        _parquet_num_rows,
+    )
+
+    assert _parquet_num_rows("/nonexistent/supplier.parquet") is None
+    assert _parquet_num_rows(str(tmp_path)) is None  # empty dir
+    junk = tmp_path / "supplier.parquet"
+    junk.write_bytes(b"not parquet at all")
+    assert _parquet_num_rows(str(junk)) is None
+    real = "/root/testdata/sf0.001/supplier.parquet"
+    n = _parquet_num_rows(real)
+    assert isinstance(n, int) and n > 0
