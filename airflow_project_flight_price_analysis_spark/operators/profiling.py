@@ -111,3 +111,94 @@ def count_min_estimates(keys: DataFrame, sketch: DataFrame, key_col: str,
     return out.withColumn("cms_est", est).drop(
         *[c for i in range(depth) for c in (f"__cms_b{i}", f"__cms_c{i}")]
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: mergeable distinct counting
+# --------------------------------------------------------------------------
+# The fourth mergeable sketch (HLL x12/x57, KLL x12, count-min x120):
+# keep the k SMALLEST distinct hash values of a key; the kth minimum
+# estimates cardinality as (k-1)/U_k where U_k is the kth min mapped to
+# (0,1). Like the count-min table (and unlike HLL's opaque binary), the
+# whole sketch is md5-derived rows, so bucket-for-bucket it replays in
+# any engine with md5 — bottom-k membership, the kth minimum, and the
+# estimate all value-certify in DuckDB. Merge law: the bottom-k of a
+# union IS the bottom-k of the concatenated member sketches (each
+# member keeps ALL its values below its own kth min, so no global
+# bottom-k element can be missing) — union → re-bottom-k, the x54/x57
+# merge algebra for distinct counts.
+
+#: 16^15 = 2^60: the hash domain — 15 hex chars of md5 parsed as an
+#: integer, small enough to stay exact in a signed 64-bit long AND in
+#: a double's 53-bit... no: 2^60 > 2^53, so estimate arithmetic keeps
+#: the RATIO in doubles only after an exact integer compare; see
+#: kmv_estimate.
+_KMV_DOMAIN = 16 ** 15
+
+
+def kmv_hash(key) -> "F.Column":
+    """The 60-bit sketch hash: first 15 hex chars of md5(key) as a
+    long. NULL keys hash via the same coalesce-to-'' convention as
+    cms_buckets, so NULL occupies one deterministic slot."""
+    return F.conv(
+        F.substring(F.md5(F.coalesce(key.cast("string"), F.lit(""))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def kmv_sketch_table(df: DataFrame, key_col: str, k: int = 256,
+                     prefilter_denom: int | None = None) -> DataFrame:
+    """The KMV sketch as a DataFrame: the ``k`` smallest DISTINCT hash
+    values, one column ``h``, ≤ k rows.
+
+    Scale shape: ``distinct → orderBy → limit k`` compiles to a partial
+    (map-side) hash aggregate — each upstream partition forwards only
+    its own distinct hashes — followed by TakeOrdered's per-partition
+    top-k merge; nothing after the scan exceeds the distinct set, and
+    with ``prefilter_denom`` set nothing exceeds ~distinct/denom: only
+    hashes below ``2^60/denom`` can reach the sketch, and the filter is
+    an integer compare PUSHED INTO THE SCAN projection, so at 100 TB
+    the shuffle carries the sampled fraction, not the key space. The
+    prefilter is SELF-CERTIFYING: every true bottom-k member is below
+    any threshold that leaves ≥ k survivors, so a sketch that still
+    has k rows is exactly the unfiltered sketch (callers needing the
+    estimate must check ``count == k`` — kmv_estimate does); a tighter
+    threshold can only SHRINK the table below k rows, never corrupt
+    it. Pick denom from a coarse lower bound on cardinality
+    (denom ≤ n_min/(2k) leaves ~2k expected survivors).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if prefilter_denom is not None and prefilter_denom < 1:
+        raise ValueError(
+            f"prefilter_denom must be >= 1, got {prefilter_denom}")
+    hashes = df.select(kmv_hash(F.col(key_col)).alias("h"))
+    if prefilter_denom is not None:
+        hashes = hashes.filter(F.col("h") < F.lit(_KMV_DOMAIN // prefilter_denom))
+    return hashes.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row estimate from a sketch table: ``n_sketch`` (must equal
+    ``k`` for the estimate to be meaningful — fewer rows means the
+    corpus, or a prefilter, ran out of values and ``kmv_est`` falls
+    back to the exact survivor count), ``kth_min`` (the raw kth
+    minimum hash — the value the gate certifies), and ``kmv_est =
+    floor((k-1) · 2^60 / kth_min)``. The ratio is computed in doubles
+    (single multiply, single divide, floor — one IEEE rounding each,
+    so DuckDB replays bit-for-bit) and floored to an integer."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "n_sketch",
+        "kth_min",
+        F.when(
+            F.col("n_sketch") < k, F.col("n_sketch").cast("long")
+        ).otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(float(_KMV_DOMAIN))
+                / F.col("kth_min").cast("double")
+            )
+        ).cast("long").alias("kmv_est"),
+    )

@@ -24,21 +24,23 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 12: no semantics changed, so tier 1 carries ONLY freshness
-    # pins (the x67b precedent from r11). The r11 verdict item 1 wants
-    # all 14 r7-stale rows green this round; 12 of them land at tier-3
-    # positions 0-11 automatically, but family suppression defers the
-    # other two past the budget (q11 keeps the dim-family slot, x103
-    # the codec-family slot). Pinning q12 and x105 retires the whole
-    # r7 cohort; the remaining ~36 budget slots flow into the 45-row
-    # r8 cohort stalest-first, moving the freshness floor to r8.
-    "q12_dim_date",
-    "x105_bmp_decode_stats",
+    # Round 13: the r12 pins (q12/x105) served their purpose — their
+    # green rows landed in CORRECTNESS_r12, retiring the r7 cohort.
+    # This round's tier 1 carries the two faces whose physical
+    # composition changed (values unchanged, plans not): x120 now
+    # persists the shared sketch + probe table (r12 verdict item 1 —
+    # 17 lineitem scans → 2), and x121's allocation expression grew
+    # the explicit all-saturated divisor guard (ADVICE r12). Both need
+    # a fresh driver row against the new shapes; the remaining ~48
+    # budget slots continue the rotation into the r8 cohort
+    # stalest-first (x66, x68-x73, x106-x109), moving the freshness
+    # floor toward r9.
+    "x120_count_min_heavy_hitters",
+    "x121_token_budget_waterfill",
 )
-# Tier 2 (automatic, no green row) as of round-12: empty — every one
-# of the 206 registered queries has a green driver row (r11 closed the
-# last seven: x113-x119). New faces added this round, if any, enter
-# tier 2 automatically.
+# Tier 2 (automatic, no green row) as of round-13: empty — every
+# registered query has a green driver row (208/208 after r12). New
+# faces added this round, if any, enter tier 2 automatically.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its
 # driver row lands in CORRECTNESS_r05 via the no-green-row tier.)

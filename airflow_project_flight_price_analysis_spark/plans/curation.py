@@ -4019,3 +4019,153 @@ ORACLE["x110_pack_concat_chunks"] = f"""
     FROM fan
     ORDER BY pack_id, pack_offset
 """
+
+
+# --- X6 extension: KMV bottom-k distinct sketch (r13) ------------------------
+
+_X122_K = 256
+#: Prefilter: only hashes below 2^60/4 can reach the sketch — an
+#: integer compare pushed to the scan, so the distinct-aggregate
+#: shuffle carries ~1/4 of the key space instead of all of it. The
+#: filter is self-certifying (profiling.kmv_sketch_table): a sketch
+#: that still has k rows is EXACTLY the unfiltered sketch. Probed at
+#: round start: survivors 386 / 3 739 / 37 120 at sf0.001/0.01/0.1 —
+#: ≥ k everywhere, and the prefiltered estimates equal the
+#: unfiltered ones at every sf (651/624/660 bp error).
+_X122_PREFILTER_DENOM = 4
+#: 3σ of the KMV estimator's relative error at k=256 (σ ≈ 1/√(k−2)
+#: ≈ 6.3%) in basis points — the envelope the law column checks.
+_X122_ENVELOPE_BP = 1875
+
+
+def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch, fully
+    certified — the fourth mergeable sketch next to HLL (x12/x57), KLL
+    (x12), and count-min (x120), and the VALUE-certifiable distinct
+    counter: where HLL's binary sketch can only be certified as an
+    error envelope, the KMV sketch is md5-derived rows
+    (profiling.kmv_hash — the x106/x120 technique), so DuckDB replays
+    bottom-k membership, the kth minimum, and the estimate
+    ``floor((k−1)·2^60 / kth_min)`` exactly.
+
+    One row over ``lineitem.l_orderkey`` (≈1.5k/15k/147k distinct at
+    the three test sfs): ``n_sketch`` (= k — the prefilter left enough
+    survivors), ``kth_min``, ``kmv_est``, exact ``n_exact``
+    (certification harness, like x120's exact counts), integer
+    ``rel_err_bp`` with its ``within_envelope`` law, and
+    ``merge_consistent`` — the sketch of the whole corpus must equal
+    bottom-k of the UNION of per-half sketches (keys split by parity:
+    the x54/x57 merge algebra, here value-exact rather than
+    envelope-checked; a half whose survivor set is smaller than k
+    keeps everything, so the law holds at every scale).
+
+    Scale shape: the survivor table (distinct prefiltered hashes +
+    parity, ~n/denom rows) is built in ONE corpus scan and persisted;
+    all three sketches (full / even / odd) and the merge check derive
+    from it — map-side partial aggregation dedupes before the shuffle,
+    TakeOrdered caps everything after at k rows. The only other scan
+    is the exact count, which exists (like x120's) purely to certify;
+    the 100 TB product path keeps the ≤k-row sketch alone.
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..operators.profiling import (  # noqa: PLC0415
+        _KMV_DOMAIN,
+        kmv_estimate,
+        kmv_hash,
+    )
+
+    k = _X122_K
+    thr = _KMV_DOMAIN // _X122_PREFILTER_DENOM
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"))
+    surv = (
+        li.select(kmv_hash(F.col("key")).alias("h"),
+                  (F.col("key") % 2).cast("int").alias("par"))
+        .filter(F.col("h") < F.lit(thr))
+        .distinct()
+        .transform(track_persist)
+    )
+    sketch = surv.select("h").distinct().orderBy("h").limit(k)
+    even = surv.filter(F.col("par") == 0).select("h").orderBy("h").limit(k)
+    odd = surv.filter(F.col("par") == 1).select("h").orderBy("h").limit(k)
+    merged = even.unionAll(odd).distinct().orderBy("h").limit(k)
+    est = kmv_estimate(sketch, k)
+    exact = li.agg(F.countDistinct("key").cast("long").alias("n_exact"))
+    # set equality via distinct-union cardinality: |sketch ∪ merged|
+    # == |sketch| iff merged ⊆ sketch, and both are bottom-k of
+    # supersets of each other's inputs, so equal counts ⇒ equal sets
+    consistency = (
+        sketch.unionAll(merged).distinct()
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(consistency))
+        .crossJoin(F.broadcast(n_merged))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_sketch").cast("long").alias("n_sketch"),
+            F.col("kth_min").cast("long").alias("kth_min"),
+            F.col("kmv_est").cast("long").alias("kmv_est"),
+            "n_exact",
+            F.expr("CAST((ABS(kmv_est - n_exact) * 10000) DIV n_exact "
+                   "AS BIGINT)").alias("rel_err_bp"),
+            (F.expr("(ABS(kmv_est - n_exact) * 10000) DIV n_exact")
+             <= _X122_ENVELOPE_BP).alias("within_envelope"),
+            ((F.col("n_union") == F.col("n_sketch"))
+             & (F.col("n_merged") == F.col("n_sketch")))
+            .alias("merge_consistent"),
+        )
+    )
+
+
+QUERIES["x122_kmv_distinct"] = x122_kmv_distinct
+
+ORACLE["x122_kmv_distinct"] = f"""
+    WITH src AS (SELECT l_orderkey AS key FROM lineitem),
+    surv AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                   AS h,
+               CAST(key % 2 AS INTEGER) AS par
+        FROM src
+        WHERE ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+              < {16 ** 15 // _X122_PREFILTER_DENOM}
+    ),
+    sketch AS (SELECT DISTINCT h FROM surv ORDER BY h LIMIT {_X122_K}),
+    even AS (SELECT h FROM surv WHERE par = 0 ORDER BY h LIMIT {_X122_K}),
+    odd AS (SELECT h FROM surv WHERE par = 1 ORDER BY h LIMIT {_X122_K}),
+    merged AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM even UNION ALL SELECT h FROM odd)
+        ORDER BY h LIMIT {_X122_K}
+    ),
+    est AS (
+        SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_min,
+               CASE WHEN COUNT(*) < {_X122_K} THEN COUNT(*)
+                    ELSE CAST(FLOOR({float(_X122_K - 1)} * {float(16 ** 15)}
+                              / MAX(h)) AS BIGINT)
+               END AS kmv_est
+        FROM sketch
+    ),
+    exact AS (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) AS n_exact FROM src),
+    cons AS (
+        SELECT COUNT(*) AS n_union FROM (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM sketch UNION ALL SELECT h FROM merged))
+    ),
+    nm AS (SELECT COUNT(*) AS n_merged FROM merged)
+    SELECT CAST({_X122_K} AS BIGINT) AS k,
+           CAST(est.n_sketch AS BIGINT) AS n_sketch,
+           CAST(est.kth_min AS BIGINT) AS kth_min,
+           CAST(est.kmv_est AS BIGINT) AS kmv_est,
+           exact.n_exact,
+           (ABS(est.kmv_est - exact.n_exact) * 10000) // exact.n_exact
+               AS rel_err_bp,
+           (ABS(est.kmv_est - exact.n_exact) * 10000) // exact.n_exact
+               <= {_X122_ENVELOPE_BP} AS within_envelope,
+           cons.n_union = est.n_sketch AND nm.n_merged = est.n_sketch
+               AS merge_consistent
+    FROM est, exact, cons, nm
+"""

@@ -176,6 +176,10 @@ HEADLINE = [
     # round-12: token-budget water-filling — one corpus-scan token
     # aggregate + |langs|-row window math (the epoch-planning shape)
     "x121_token_budget_waterfill",
+    # round-13: KMV bottom-k distinct sketch — prefilter-pushed scan +
+    # map-side-deduped distinct + TakeOrdered cap (the value-certified
+    # distinct-count path next to HLL's envelope-only x12)
+    "x122_kmv_distinct",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -1,12 +1,18 @@
-"""Count-min sketch operator laws (operators/profiling.py, x120)."""
+"""Mergeable-sketch operator laws (operators/profiling.py): count-min
+(x120) and KMV bottom-k distinct (x122), plus the waterfill allocator
+(x121)."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from airflow_project_flight_price_analysis_spark.operators.profiling import (
+    _KMV_DOMAIN,
     cms_buckets,
     count_min_estimates,
     count_min_sketch_table,
+    kmv_estimate,
+    kmv_hash,
+    kmv_sketch_table,
 )
 
 
@@ -203,3 +209,109 @@ def test_parquet_num_rows_returns_none_on_unreadable(tmp_path):
     real = "/root/testdata/sf0.001/supplier.parquet"
     n = _parquet_num_rows(real)
     assert isinstance(n, int) and n > 0
+
+
+# --- KMV bottom-k distinct sketch (x122) ------------------------------------
+
+def _brute_kmv(spark, keys, k):
+    """Reference bottom-k: hash every distinct key driver-side."""
+    import hashlib
+
+    hs = sorted({int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+                 for key in keys})
+    return hs[:k]
+
+
+def test_kmv_sketch_is_exact_bottom_k(spark):
+    keys = [f"doc-{i}" for i in range(500)] * 3  # duplicates must not count
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    got = [r.h for r in kmv_sketch_table(df, "key", 32).collect()]
+    assert sorted(got) == _brute_kmv(spark, keys, 32)
+
+
+def test_kmv_prefilter_is_lossless_when_k_survive(spark):
+    """Any threshold leaving >= k survivors yields EXACTLY the
+    unfiltered sketch — the self-certifying property the x122 face's
+    scale path rides."""
+    df = spark.createDataFrame([(i,) for i in range(2000)], "key long")
+    base = [r.h for r in kmv_sketch_table(df, "key", 64).collect()]
+    filt = [r.h for r in
+            kmv_sketch_table(df, "key", 64, prefilter_denom=8).collect()]
+    assert sorted(filt) == sorted(base)
+    # estimates identical too
+    e0 = kmv_estimate(kmv_sketch_table(df, "key", 64), 64).collect()[0]
+    e1 = kmv_estimate(
+        kmv_sketch_table(df, "key", 64, prefilter_denom=8), 64).collect()[0]
+    assert (e0.n_sketch, e0.kth_min, e0.kmv_est) == \
+        (e1.n_sketch, e1.kth_min, e1.kmv_est)
+
+
+def test_kmv_too_tight_prefilter_shrinks_and_falls_back(spark):
+    """A threshold leaving < k survivors can only SHRINK the sketch
+    (never corrupt it): the rows that survive are still true bottom-k
+    members, n_sketch < k, and the estimate falls back to the exact
+    survivor count instead of extrapolating from a wrong kth min."""
+    df = spark.createDataFrame([(i,) for i in range(40)], "key long")
+    # denom so large that only a handful of the 40 hashes survive
+    sk = kmv_sketch_table(df, "key", 32, prefilter_denom=8)
+    rows = sk.collect()
+    assert 0 < len(rows) < 32
+    base = _brute_kmv(spark, [i for i in range(40)], 32)
+    assert sorted(r.h for r in rows) == base[:len(rows)]
+    est = kmv_estimate(sk, 32).collect()[0]
+    assert est.n_sketch == len(rows)
+    assert est.kmv_est == len(rows)  # fallback, not extrapolation
+
+
+def test_kmv_merge_law(spark):
+    """bottom-k(union of member sketches) == sketch of the whole
+    corpus, for an arbitrary 3-way split — the distinct-count merge
+    algebra, value-exact."""
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{i}" for i in range(900)]
+    parts = [[], [], []]
+    for key in keys:
+        parts[rng.randrange(3)].append(key)
+    k = 48
+    whole = kmv_sketch_table(
+        spark.createDataFrame([(x,) for x in keys], "key string"), "key", k)
+    members = [
+        kmv_sketch_table(
+            spark.createDataFrame([(x,) for x in p], "key string"), "key", k)
+        for p in parts if p
+    ]
+    merged = members[0]
+    for m in members[1:]:
+        merged = merged.unionAll(m)
+    merged = merged.distinct().orderBy("h").limit(k)
+    assert [r.h for r in merged.collect()] == [r.h for r in whole.collect()]
+
+
+def test_kmv_estimate_formula_and_validation(spark):
+    df = spark.createDataFrame([(i,) for i in range(3000)], "key long")
+    k = 128
+    sk = kmv_sketch_table(df, "key", k)
+    hs = sorted(r.h for r in sk.collect())
+    est = kmv_estimate(sk, k).collect()[0]
+    assert est.kth_min == hs[-1]
+    import math
+    assert est.kmv_est == math.floor((k - 1) * float(_KMV_DOMAIN) / hs[-1])
+    # ballpark sanity only (this fixed key set happens to draw ~3.5σ,
+    # 31% — the formula lines above are the real pin; the x122 face's
+    # envelope law checks a 3σ bound on its own corpus)
+    assert abs(est.kmv_est - 3000) / 3000 < 0.4
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch_table(df, "key", 1)
+    with pytest.raises(ValueError, match="prefilter_denom"):
+        kmv_sketch_table(df, "key", 8, prefilter_denom=0)
+
+
+def test_kmv_null_key_occupies_one_slot(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "key string")
+    got = sorted(r.h for r in kmv_sketch_table(df, "key", 16).collect())
+    assert len(got) == 3  # a, b, and the single NULL slot
+    import hashlib
+    assert int(hashlib.md5(b"").hexdigest()[:15], 16) in got
