@@ -434,3 +434,37 @@ def waterfill_allocate(cap: DataFrame, key_col: str, capacity_col: str,
         .drop("total", "__wf_n", "__wf_rk", "__wf_prefix",
               "__wf_k", "__wf_prefix_k")
     )
+
+
+def hash_bottomk_sample(df: DataFrame, key_cols: "list[str]", k: int,
+                        prefilter_denom: int | None = None) -> DataFrame:
+    """Deterministic uniform row sample: the ``k`` rows whose md5-derived
+    60-bit hash of ``key_cols`` (colon-joined, the content_hash64
+    canonical form) is smallest — every engine with md5 draws the SAME
+    sample, so sample-based estimators (x123's quantiles) value-certify
+    instead of being envelope-only like rng-seeded sampling. md5 is a
+    uniform hash, so bottom-k by hash is a uniform without-replacement
+    sample of the distinct key space.
+
+    Scale shape mirrors profiling.kmv_sketch_table: with
+    ``prefilter_denom`` set, only hashes below ``2^60/denom`` pass the
+    scan (integer compare, row-level filter before any shuffle), and
+    TakeOrdered caps everything after at k rows. Same self-certifying
+    property: any threshold leaving ≥ k survivors yields EXACTLY the
+    unfiltered sample; a tighter one only shrinks it (callers see the
+    true sample size in their own count). Keys are assumed unique rows
+    (duplicate keys would enter once per duplicate — pre-distinct if
+    that matters)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if prefilter_denom is not None and prefilter_denom < 1:
+        raise ValueError(
+            f"prefilter_denom must be >= 1, got {prefilter_denom}")
+    from .profiling import _KMV_DOMAIN, kmv_hash  # noqa: PLC0415
+
+    h = kmv_hash(F.concat_ws(":", *[F.col(c) for c in key_cols]))
+    out = df.withColumn("__sample_h", h)
+    if prefilter_denom is not None:
+        out = out.filter(
+            F.col("__sample_h") < F.lit(_KMV_DOMAIN // prefilter_denom))
+    return out.orderBy("__sample_h").limit(k)

@@ -4169,3 +4169,145 @@ ORACLE["x122_kmv_distinct"] = f"""
                AS merge_consistent
     FROM est, exact, cons, nm
 """
+
+
+# --- sampling extension: hash-sample quantile estimation (r13) ---------------
+
+_X123_K = 512
+_X123_PREFILTER_DENOM = 4
+#: Quantiles probed, in basis points of the CDF.
+_X123_QS = (2500, 5000, 7500, 9000, 9900)
+#: Per-quantile envelope: 3σ of the empirical CDF at q for an m-row
+#: uniform sample, σ = √(q(1−q)/m), in basis points — the binomial
+#: (pointwise DKW) bound the law column checks. Every operand is
+#: CAST to DOUBLE explicitly: a bare ``10000.0`` literal parses as
+#: DECIMAL in Spark SQL (decimal division then ROUNDS — measured
+#: off-by-one vs DuckDB's double math at q=2500/7500/9900) but as
+#: DOUBLE in DuckDB; the casts pin both engines to the same IEEE ops.
+_X123_ENV_SQL = (
+    "CAST(FLOOR(CAST(30000 AS DOUBLE) * SQRT("
+    "(CAST(q_bp AS DOUBLE) / CAST(10000 AS DOUBLE)) * "
+    "(CAST(1 AS DOUBLE) - CAST(q_bp AS DOUBLE) / CAST(10000 AS DOUBLE)) "
+    "/ CAST(m AS DOUBLE))) AS BIGINT)")
+
+
+def x123_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a DETERMINISTIC uniform sample — the
+    100 TB profiling path, value-certified: x12 could only
+    envelope-check ``percentile_approx`` (KLL's binary sketch isn't
+    SQL-replayable) and q69's exact percentile sorts full groups; here
+    the sample itself is reproducible (sampling.hash_bottomk_sample —
+    the k=512 rows with the smallest md5-derived hash of the unique
+    row key, prefilter denom 4 pushed into the scan), so BOTH engines
+    draw the identical sample and the estimates value-hash exactly.
+
+    One row per probed quantile of ``lineitem.l_extendedprice``
+    (25/50/75/90/99%): the sampled estimate (``est`` = the
+    ceil(q·m)-th order statistic of the sample), the estimate's TRUE
+    CDF position in the full corpus (``cdf_bp`` — the certification
+    harness: count(v ≤ est)·10⁴ DIV n), the gap to the target, and a
+    per-quantile 3σ binomial envelope law (σ = √(q(1−q)/m); a sampled
+    quantile whose true rank drifts past it means the sampler is
+    biased — the law the gate replays).
+
+    Scale shape: the sample build is one prefilter-pushed scan capped
+    by TakeOrdered at k rows; the CDF certification is ONE more corpus
+    scan computing all five conditional counts in a single partial
+    aggregate (the ≤k-row sorted sample array rides a one-row
+    broadcast — the keys=[] statistic-attachment pattern). At 100 TB
+    the product path keeps the k-row sample alone; every quantile of
+    any column of the sampled rows is then a driver-side lookup.
+    """
+    from ..operators.sampling import hash_bottomk_sample  # noqa: PLC0415
+
+    k = _X123_K
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("v"))
+    samp = hash_bottomk_sample(
+        li, ["l_orderkey", "l_linenumber"], k,
+        prefilter_denom=_X123_PREFILTER_DENOM)
+    srow = samp.agg(
+        F.sort_array(F.collect_list("v")).alias("arr"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    ests = {
+        q: F.element_at(
+            F.col("arr"),
+            F.expr(f"CAST(({q} * m + 9999) DIV 10000 AS INT)"))
+        for q in _X123_QS
+    }
+    stats = (
+        li.crossJoin(F.broadcast(srow))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("m").alias("m"),
+            *[F.sum(F.when(F.col("v") <= est, 1).otherwise(0))
+              .alias(f"c{q}") for q, est in ests.items()],
+            *[F.first(est).alias(f"e{q}") for q, est in ests.items()],
+        )
+    )
+    per_q = F.array(*[
+        F.struct(
+            F.lit(q).cast("long").alias("q_bp"),
+            F.col(f"e{q}").alias("est"),
+            F.expr(f"CAST(c{q} * 10000 DIV n AS BIGINT)").alias("cdf_bp"),
+        )
+        for q in _X123_QS
+    ])
+    return (
+        stats.select(F.explode(per_q).alias("r"), "n", "m")
+        .select(
+            F.col("r.q_bp").alias("q_bp"), F.col("r.est").alias("est"),
+            F.col("r.cdf_bp").alias("cdf_bp"),
+            F.col("n").cast("long").alias("n"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .withColumn("gap_bp", F.abs(F.col("cdf_bp") - F.col("q_bp")))
+        .withColumn("env_bp", F.expr(_X123_ENV_SQL))
+        .withColumn("within_envelope", F.col("gap_bp") <= F.col("env_bp"))
+        .orderBy("q_bp")
+    )
+
+
+QUERIES["x123_sampled_quantiles"] = x123_sampled_quantiles
+
+ORACLE["x123_sampled_quantiles"] = f"""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem
+    ),
+    hs AS (
+        SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+               v
+        FROM src
+        WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+              < {16 ** 15 // _X123_PREFILTER_DENOM}
+    ),
+    samp AS (SELECT v FROM hs ORDER BY h LIMIT {_X123_K}),
+    srow AS (
+        SELECT list_sort(list(v)) AS arr, COUNT(*) AS m FROM samp
+    ),
+    qs AS (SELECT unnest({list(_X123_QS)}) AS q_bp),
+    est AS (
+        SELECT qs.q_bp,
+               srow.arr[CAST((qs.q_bp * srow.m + 9999) // 10000 AS INTEGER)]
+                   AS est,
+               srow.m
+        FROM qs CROSS JOIN srow
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    cdf AS (
+        SELECT e.q_bp, e.est, e.m, tot.n,
+               (SELECT COUNT(*) FROM src WHERE src.v <= e.est) * 10000
+                   // tot.n AS cdf_bp
+        FROM est e CROSS JOIN tot
+    )
+    SELECT CAST(q_bp AS BIGINT) AS q_bp, est,
+           CAST(cdf_bp AS BIGINT) AS cdf_bp, n, CAST(m AS BIGINT) AS m,
+           CAST(ABS(cdf_bp - q_bp) AS BIGINT) AS gap_bp,
+           {_X123_ENV_SQL} AS env_bp,
+           ABS(cdf_bp - q_bp) <= {_X123_ENV_SQL} AS within_envelope
+    FROM cdf
+    ORDER BY q_bp
+"""

@@ -180,6 +180,11 @@ HEADLINE = [
     # map-side-deduped distinct + TakeOrdered cap (the value-certified
     # distinct-count path next to HLL's envelope-only x12)
     "x122_kmv_distinct",
+    # round-13: hash-sample quantile estimation — prefilter-pushed
+    # bottom-k sample + one-scan multi-quantile CDF certification (the
+    # sampled profiling path; value-certified where x12's KLL is
+    # envelope-only)
+    "x123_sampled_quantiles",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -315,3 +315,40 @@ def test_kmv_null_key_occupies_one_slot(spark):
     assert len(got) == 3  # a, b, and the single NULL slot
     import hashlib
     assert int(hashlib.md5(b"").hexdigest()[:15], 16) in got
+
+
+# --- hash bottom-k row sampling (x123) ---------------------------------------
+
+def test_hash_bottomk_sample_is_exact_and_prefilter_lossless(spark):
+    import hashlib
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        hash_bottomk_sample,
+    )
+
+    rows = [(i, j, float(i * 10 + j)) for i in range(200) for j in (1, 2)]
+    df = spark.createDataFrame(rows, "a long, b long, v double")
+
+    def brute(k):
+        hs = sorted(
+            (int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:15], 16), v)
+            for a, b, v in rows)
+        return hs[:k]
+
+    got = sorted((r["__sample_h"], r.v)
+                 for r in hash_bottomk_sample(df, ["a", "b"], 37).collect())
+    assert got == brute(37)
+    # prefilter leaving >= k survivors yields the identical sample
+    filt = sorted((r["__sample_h"], r.v) for r in hash_bottomk_sample(
+        df, ["a", "b"], 37, prefilter_denom=4).collect())
+    assert filt == got
+    # too-tight prefilter only SHRINKS the sample, never corrupts it
+    tight = sorted((r["__sample_h"], r.v) for r in hash_bottomk_sample(
+        df, ["a", "b"], 37, prefilter_denom=64).collect())
+    assert tight == brute(400)[:len(tight)]
+    assert 0 < len(tight) < 37
+
+    with pytest.raises(ValueError, match="k must be"):
+        hash_bottomk_sample(df, ["a"], 0)
+    with pytest.raises(ValueError, match="prefilter_denom"):
+        hash_bottomk_sample(df, ["a"], 5, prefilter_denom=0)
