@@ -4311,3 +4311,111 @@ ORACLE["x123_sampled_quantiles"] = f"""
     FROM cdf
     ORDER BY q_bp
 """
+
+
+# --- X6 x X7 bridge: streaming KMV sketch maintenance (r13) ------------------
+
+_X124_K = 256
+#: denom=2 (not x122's 4): events has ~1k distinct ids at sf0.001 and
+#: the prefilter must leave >= k survivors — probed at round start:
+#: 495 / 4 982 / 49 981 survivors at sf0.001/0.01/0.1.
+_X124_PREFILTER_DENOM = 2
+
+
+def x124_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the KMV distinct sketch through the
+    REAL streaming engine — the X7 face of x122: the events backlog is
+    written as four parquet files and consumed one file per
+    micro-batch (``maxFilesPerTrigger=1``), ``foreachBatch`` computes
+    each batch's bottom-k distributed and folds it into the running
+    sketch (streaming/sketches.stream_kmv_sketch). The DuckDB oracle
+    computes the ONE-SHOT batch sketch of the same keys; the stream
+    must reproduce it value-for-value — the merge law (bottom-k of a
+    union == bottom-k of concatenated member bottom-ks) makes the
+    result independent of how the backlog splits, so the equality is
+    designed, not lucky (the x111 replay-exactness discipline). The
+    ``multi_batch`` law column pins that >= 2 micro-batches actually
+    merged — a single-batch run would certify nothing.
+
+    Output mirrors x122 minus the parity-split check (the micro-batch
+    split IS the merge exercise here): estimate row + exact
+    certification count + integer error with the 3σ envelope.
+
+    Scale shape: per micro-batch one scan capped at k rows after the
+    prefilter-pushed TakeOrdered; driver state O(k); the exact count
+    is certification-only, as in x120/x122.
+    """
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..operators.profiling import kmv_estimate  # noqa: PLC0415
+    from ..streaming.sketches import stream_kmv_sketch  # noqa: PLC0415
+
+    k = _X124_K
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    root = tempfile.mkdtemp(prefix="x124_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(root)
+        stream = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        hs, n_batches = stream_kmv_sketch(
+            stream, "event_id", k, prefilter_denom=_X124_PREFILTER_DENOM)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    sketch = spark.createDataFrame([(h,) for h in hs], "h long")
+    est = kmv_estimate(sketch, k)
+    exact = ev.agg(F.countDistinct("event_id").cast("long").alias("n_exact"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_sketch").cast("long").alias("n_sketch"),
+            F.col("kth_min").cast("long").alias("kth_min"),
+            F.col("kmv_est").cast("long").alias("kmv_est"),
+            "n_exact",
+            F.expr("CAST((ABS(kmv_est - n_exact) * 10000) DIV n_exact "
+                   "AS BIGINT)").alias("rel_err_bp"),
+            (F.expr("(ABS(kmv_est - n_exact) * 10000) DIV n_exact")
+             <= _X122_ENVELOPE_BP).alias("within_envelope"),
+            F.lit(n_batches >= 2).alias("multi_batch"),
+        )
+    )
+
+
+QUERIES["x124_stream_kmv_merge"] = x124_stream_kmv_merge
+
+ORACLE["x124_stream_kmv_merge"] = f"""
+    WITH src AS (SELECT DISTINCT event_id AS key FROM events),
+    hs AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM src
+        WHERE ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+              < {16 ** 15 // _X124_PREFILTER_DENOM}
+    ),
+    sk AS (SELECT h FROM hs ORDER BY h LIMIT {_X124_K}),
+    est AS (
+        SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_min,
+               CASE WHEN COUNT(*) < {_X124_K} THEN COUNT(*)
+                    ELSE CAST(FLOOR({float(_X124_K - 1)} * {float(16 ** 15)}
+                              / MAX(h)) AS BIGINT)
+               END AS kmv_est
+        FROM sk
+    ),
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM src)
+    SELECT CAST({_X124_K} AS BIGINT) AS k,
+           CAST(est.n_sketch AS BIGINT) AS n_sketch,
+           CAST(est.kth_min AS BIGINT) AS kth_min,
+           CAST(est.kmv_est AS BIGINT) AS kmv_est,
+           exact.n_exact,
+           (ABS(est.kmv_est - exact.n_exact) * 10000) // exact.n_exact
+               AS rel_err_bp,
+           (ABS(est.kmv_est - exact.n_exact) * 10000) // exact.n_exact
+               <= {_X122_ENVELOPE_BP} AS within_envelope,
+           TRUE AS multi_batch
+    FROM est CROSS JOIN exact
+"""

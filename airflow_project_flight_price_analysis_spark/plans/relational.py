@@ -2452,54 +2452,44 @@ QUERIES.update({"q69_interval_merge": q69_interval_merge})
 
 ORACLE.update({
     "q69_interval_merge": """
+        -- WINDOW-FREE on purpose (r13): DuckDB 1.0.0's parallel window
+        -- executor mis-evaluates island windows non-deterministically —
+        -- r12 already dodged one offset-frame bug by rewriting to
+        -- cumulative-MAX + LAG, but THAT form still disagrees with
+        -- threads=1 / Spark on the full table at sf0.1, and under CPU
+        -- contention it flaked at sf0.01 too (r13: 6/40 contended runs
+        -- diverged, 3 distinct outputs; a LAG-only variant flaked 5/40
+        -- in a different session — the race is in the window executor
+        -- generally, not one frame shape). Joins + group-bys evaluate
+        -- deterministically under any thread count, so the islands are
+        -- derived relationally: fixed 7-day windows mean duplicates
+        -- never matter (DISTINCT dates), an island START is a date
+        -- with no other date in the preceding 7 days (anti-join over
+        -- the 7 explicit offsets), and every date belongs to the
+        -- LATEST start at or before it (max-start-<=-date theta join;
+        -- <= 122 starts per supplier at every test sf, probed r13).
         WITH iv AS (
-            SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
-                   CAST(l_shipdate AS DATE) + 7 AS e
+            SELECT DISTINCT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS s
             FROM lineitem
         ),
-        cmax AS (
-            -- cumulative max TO CURRENT ROW + LAG instead of the
-            -- direct `MAX ... ROWS BETWEEN UNBOUNDED PRECEDING AND
-            -- 1 PRECEDING` frame: DuckDB 1.0.0's parallel window MAX
-            -- mis-evaluates that offset frame on large partitions
-            -- (verified at sf0.1: full-table multi-thread disagreed
-            -- with both threads=1 and the per-key filtered run by
-            -- +8..10 covered days on 3 suppliers; Spark and
-            -- single-thread DuckDB agree). LAG(cummax) is the same
-            -- exclusive running max — cummax is monotone, so the
-            -- value is tie-order invariant — through the well-tested
-            -- cumulative-frame path.
-            SELECT l_suppkey, s, e,
-                   MAX(e) OVER (
-                       PARTITION BY l_suppkey ORDER BY s, e
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS mx
-            FROM iv
+        k AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS k),
+        starts AS (
+            SELECT a.sk, a.s
+            FROM iv a CROSS JOIN k LEFT JOIN iv b
+              ON b.sk = a.sk AND b.s = a.s - k.k
+            GROUP BY 1, 2
+            HAVING COUNT(b.s) = 0
         ),
-        flagged AS (
-            SELECT l_suppkey, s, e,
-                   CASE WHEN LAG(mx) OVER (
-                            PARTITION BY l_suppkey ORDER BY s, e
-                        ) IS NULL
-                        OR s > LAG(mx) OVER (
-                            PARTITION BY l_suppkey ORDER BY s, e
-                        )
-                        THEN 1 ELSE 0 END AS new_island
-            FROM cmax
-        ),
-        numbered AS (
-            SELECT l_suppkey, s, e,
-                   SUM(new_island) OVER (
-                       PARTITION BY l_suppkey ORDER BY s, e
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS island
-            FROM flagged
+        assigned AS (
+            SELECT d.sk, d.s AS d, MAX(st.s) AS island_start
+            FROM iv d JOIN starts st ON st.sk = d.sk AND st.s <= d.s
+            GROUP BY 1, 2
         ),
         islands AS (
-            SELECT l_suppkey, island, MIN(s) AS i_start, MAX(e) AS i_end
-            FROM numbered GROUP BY 1, 2
+            SELECT sk, island_start AS i_start, MAX(d) + 7 AS i_end
+            FROM assigned GROUP BY 1, 2
         )
-        SELECT l_suppkey,
+        SELECT sk AS l_suppkey,
                CAST(COUNT(*) AS BIGINT) AS n_islands,
                CAST(SUM(i_end - i_start) AS BIGINT) AS covered_days,
                CAST(MAX(i_end - i_start) AS BIGINT) AS longest_island_days

@@ -185,6 +185,10 @@ HEADLINE = [
     # sampled profiling path; value-certified where x12's KLL is
     # envelope-only)
     "x123_sampled_quantiles",
+    # round-13: streaming KMV maintenance — per-micro-batch bottom-k
+    # fold through foreachBatch (builder runs the availableNow stream
+    # eagerly, like x111; build time lands in the builder column)
+    "x124_stream_kmv_merge",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -733,3 +733,44 @@ def test_ingest_replay_survives_partial_ledger_write(spark, tmp_path):
     sink(batch, 0)
     assert spark.read.parquet(bronze).filter("epoch_id = 0").count() == 2
     assert spark.read.parquet(ledger).filter("epoch_id = 0").count() == 2
+
+
+# --- streaming KMV sketch maintenance (streaming/sketches.py, x124) ----------
+
+def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
+    """The folded streaming sketch must equal the one-shot batch sketch
+    REGARDLESS of how the backlog splits into micro-batches (the merge
+    law) — here three files with overlapping key ranges, one file per
+    trigger."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_sketch_table,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_kmv_sketch,
+    )
+
+    root = str(tmp_path / "backlog")
+    whole = spark.range(0, 900).select(F.col("id").alias("key"))
+    # overlapping thirds (0-399, 300-699, 500-899): duplicates across
+    # batches exercise the distinct-merge, not just concatenation
+    for i, (lo, hi) in enumerate([(0, 400), (300, 700), (500, 900)]):
+        (whole.filter((F.col("key") >= lo) & (F.col("key") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/f{i}"))
+    files = spark.read.parquet(f"{root}/f0", f"{root}/f1", f"{root}/f2")
+    staged = str(tmp_path / "staged")
+    # re-stage as exactly 3 files so maxFilesPerTrigger=1 -> 3 batches
+    for i in range(3):
+        (spark.read.parquet(f"{root}/f{i}").coalesce(1)
+         .write.mode("append").parquet(staged))
+    stream = (spark.readStream.schema("key long")
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    hs, n_batches = stream_kmv_sketch(stream, "key", 64)
+    assert n_batches == 3
+    batch = [r.h for r in kmv_sketch_table(files, "key", 64).collect()]
+    assert hs == sorted(batch)
+    assert len(hs) == 64
+    with pytest.raises(ValueError, match="k must be"):
+        stream_kmv_sketch(stream, "key", 1)
