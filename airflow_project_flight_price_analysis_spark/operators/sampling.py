@@ -468,3 +468,88 @@ def hash_bottomk_sample(df: DataFrame, key_cols: "list[str]", k: int,
         out = out.filter(
             F.col("__sample_h") < F.lit(_KMV_DOMAIN // prefilter_denom))
     return out.orderBy("__sample_h").limit(k)
+
+
+def weighted_systematic_sample(df: DataFrame, key_col: str, weight_col: str,
+                               n_picks: int, n_bands: int = 8) -> DataFrame:
+    """EXACT weight-proportional systematic sampling — the "sample by
+    tokens, not by documents" selection step of corpus mixing: lay the
+    rows out on a cumulative integer-weight axis in a deterministic
+    hash order, drop ``n_picks`` equally-spaced targets
+    ``t_j = j · (W DIV n_picks)`` on it, and give each row one
+    multiplicity per target inside its weight interval. Heavy rows can
+    win several picks (multiplicity ∈ {w DIV step, w DIV step + 1} —
+    proportionality is exact to ±1, a pinned law), light rows
+    proportionally few; Σ multiplicity == n_picks EXACTLY. Everything
+    is integer arithmetic over md5-derived ordering, so any engine
+    replays the selection row-for-row (no rand(), no float thresholds
+    — the sampling.py determinism discipline).
+
+    Scale shape: the global prefix sum uses the x110 two-phase scan —
+    rows shard into ``n_bands`` contiguous md5 bands (band = h DIV
+    bandwidth, so band order IS hash order), per-band totals make an
+    ``n_bands``-row offsets table (bounded window), and the in-band
+    cumulative runs partition-bounded windows. No data-grain
+    single-partition funnel; one shuffle by band + one bounded
+    broadcast back.
+
+    Returns the SELECTED rows only (≤ n_picks): key, weight,
+    ``multiplicity`` (≥ 1), plus ``total_w`` and ``step`` for the
+    caller's accounting. Requires total weight ≥ n_picks (step ≥ 1) —
+    raises inside the plan otherwise (data-dependent, so it cannot be
+    validated at build time)."""
+    if n_picks < 1:
+        raise ValueError(f"n_picks must be >= 1, got {n_picks}")
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    from .profiling import kmv_hash  # noqa: PLC0415
+
+    width = md5_band_width(n_bands)
+    d = df.select(
+        key_col, weight_col,
+        kmv_hash(F.col(key_col)).alias("__ws_h"),
+    ).withColumn("__ws_band", F.expr(f"__ws_h DIV {width}L").cast("int"))
+    bt = d.groupBy("__ws_band").agg(
+        F.sum(weight_col).cast("long").alias("__ws_bw"))
+    off = bt.withColumn(
+        "__ws_off",
+        F.coalesce(
+            F.sum("__ws_bw").over(
+                W.orderBy("__ws_band").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    ).select("__ws_band", "__ws_off")
+    tot = bt.agg(F.sum("__ws_bw").cast("long").alias("total_w"))
+    inb = d.withColumn(
+        "__ws_cum",
+        F.sum(weight_col).over(
+            W.partitionBy("__ws_band").orderBy("__ws_h", key_col)
+            .rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    guarded_step = F.when(
+        F.expr(f"total_w DIV {int(n_picks)}L") < 1,
+        F.raise_error(F.lit(
+            f"weighted_systematic_sample: total weight < n_picks="
+            f"{n_picks} — step would be 0")),
+    ).otherwise(F.expr(f"total_w DIV {int(n_picks)}L"))
+    return (
+        inb.join(F.broadcast(off), "__ws_band")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("step", guarded_step.cast("long"))
+        .withColumn("__ws_cend", F.col("__ws_off") + F.col("__ws_cum"))
+        .withColumn("__ws_cstart", F.col("__ws_cend") - F.col(weight_col))
+        .withColumn(
+            "multiplicity",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.expr("(__ws_cend + step - 1) DIV step"),
+                    F.lit(int(n_picks)).cast("long"),
+                ) - F.expr("(__ws_cstart + step - 1) DIV step"),
+            ).cast("long"),
+        )
+        .filter(F.col("multiplicity") > 0)
+        .select(key_col, weight_col, "multiplicity", "total_w", "step")
+    )

@@ -4419,3 +4419,105 @@ ORACLE["x124_stream_kmv_merge"] = f"""
            TRUE AS multi_batch
     FROM est CROSS JOIN exact
 """
+
+
+# --- sampling extension: weighted systematic selection (r13) -----------------
+
+_X125_PICKS = 64
+
+
+def x125_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted corpus selection, exactly and reproducibly — the
+    "sample by tokens, not documents" step of corpus mixing: 64
+    systematic picks over the cumulative token axis in md5 order
+    (operators/sampling.weighted_systematic_sample), each document
+    winning one multiplicity per target inside its token interval.
+    Integer arithmetic end-to-end, so DuckDB replays the selected set
+    and every multiplicity token-for-token.
+
+    Law columns on every row: ``picks_assigned`` (Σ multiplicity —
+    must equal 64 EXACTLY: systematic sampling neither overspends nor
+    drops picks) and ``within_one`` (every multiplicity is w DIV step
+    or w DIV step + 1 — exact ±1 proportionality; a sampler drifting
+    further is biased).
+
+    Scale shape: one corpus scan + the x110-style two-phase banded
+    prefix (8 contiguous md5 bands: bounded offsets window,
+    partition-bounded in-band cumulative); the selected set is ≤ 64
+    rows by construction.
+    """
+    from ..functions.text import token_count_expr  # noqa: PLC0415
+    from ..operators.sampling import weighted_systematic_sample  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").cast("long").alias("tokens"))
+    sel = weighted_systematic_sample(docs, "doc_id", "tokens", _X125_PICKS)
+    law = sel.agg(
+        F.sum("multiplicity").cast("long").alias("picks_assigned"),
+        F.max(
+            F.col("multiplicity") - F.expr("tokens DIV step")
+        ).cast("long").alias("max_over"),
+        F.min(
+            F.col("multiplicity") - F.expr("tokens DIV step")
+        ).cast("long").alias("min_over"),
+    )
+    return (
+        sel.crossJoin(F.broadcast(law))
+        .select(
+            "doc_id", "tokens", "multiplicity", "total_w", "step",
+            "picks_assigned",
+            ((F.col("max_over") <= 1) & (F.col("min_over") >= 0))
+            .alias("within_one"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["x125_weighted_systematic_sample"] = x125_weighted_systematic_sample
+
+ORACLE["x125_weighted_systematic_sample"] = rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS BIGINT) AS tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_w FROM d),
+    pre AS (
+        SELECT doc_id, tokens, h,
+               SUM(tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cend
+        FROM d
+    ),
+    m AS (
+        SELECT p.doc_id, p.tokens, t.total_w,
+               t.total_w // {_X125_PICKS} AS step,
+               GREATEST(0, LEAST(
+                   (p.cend + t.total_w // {_X125_PICKS} - 1)
+                       // (t.total_w // {_X125_PICKS}),
+                   {_X125_PICKS})
+                 - ((p.cend - p.tokens + t.total_w // {_X125_PICKS} - 1)
+                       // (t.total_w // {_X125_PICKS}))
+               ) AS multiplicity
+        FROM pre p CROSS JOIN tot t
+    ),
+    sel AS (SELECT * FROM m WHERE multiplicity > 0),
+    law AS (
+        SELECT CAST(SUM(multiplicity) AS BIGINT) AS picks_assigned,
+               MAX(multiplicity - tokens // step) AS max_over,
+               MIN(multiplicity - tokens // step) AS min_over
+        FROM sel
+    )
+    SELECT sel.doc_id, sel.tokens,
+           CAST(sel.multiplicity AS BIGINT) AS multiplicity,
+           sel.total_w, CAST(sel.step AS BIGINT) AS step,
+           law.picks_assigned,
+           law.max_over <= 1 AND law.min_over >= 0 AS within_one
+    FROM sel CROSS JOIN law
+    ORDER BY sel.doc_id
+"""

@@ -189,6 +189,9 @@ HEADLINE = [
     # fold through foreachBatch (builder runs the availableNow stream
     # eagerly, like x111; build time lands in the builder column)
     "x124_stream_kmv_merge",
+    # round-13: weighted systematic selection — the x110 two-phase
+    # banded prefix scan driving an exact token-proportional pick
+    "x125_weighted_systematic_sample",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

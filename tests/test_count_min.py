@@ -352,3 +352,82 @@ def test_hash_bottomk_sample_is_exact_and_prefilter_lossless(spark):
         hash_bottomk_sample(df, ["a"], 0)
     with pytest.raises(ValueError, match="prefilter_denom"):
         hash_bottomk_sample(df, ["a"], 5, prefilter_denom=0)
+
+
+# --- weighted systematic sampling (x125) -------------------------------------
+
+def _ws_reference(rows, n_picks):
+    """Brute-force reference: hash order, cumulative axis, targets
+    t_j = j*step."""
+    import hashlib
+
+    hashed = sorted(
+        (int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16), key, w)
+        for key, w in rows)
+    total = sum(w for _, _, w in hashed)
+    step = total // n_picks
+    out, c = {}, 0
+    targets = [j * step for j in range(n_picks)]
+    for _, key, w in hashed:
+        m = sum(1 for t in targets if c <= t < c + w)
+        if m:
+            out[key] = m
+        c += w
+    return out, total, step
+
+
+def test_weighted_systematic_sample_matches_reference(spark):
+    import random
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rng = random.Random(5)
+    for trial in range(3):
+        rows = [(f"d{i}", rng.randint(0, 40)) for i in range(300)]
+        # one heavy row so the multi-win branch (multiplicity > 1) runs
+        rows.append(("whale", 5000))
+        df = spark.createDataFrame(rows, "key string, w long")
+        got = {r.key: r for r in weighted_systematic_sample(
+            df, "key", "w", 32).collect()}
+        ref, total, step = _ws_reference(rows, 32)
+        assert {k: r.multiplicity for k, r in got.items()} == ref, trial
+        assert got["whale"].multiplicity > 1  # the heavy row multi-wins
+        assert sum(r.multiplicity for r in got.values()) == 32
+        for k, r in got.items():
+            w = dict(rows)[k]
+            assert w // step <= r.multiplicity <= w // step + 1
+        assert all(r.total_w == total and r.step == step
+                   for r in got.values())
+
+
+def test_weighted_systematic_sample_band_invariance_and_guards(spark):
+    import pytest
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(f"k{i}", (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, w long")
+    base = {r.key: r.multiplicity for r in weighted_systematic_sample(
+        df, "key", "w", 16, n_bands=8).collect()}
+    for nb in (1, 3, 64):
+        got = {r.key: r.multiplicity for r in weighted_systematic_sample(
+            df, "key", "w", 16, n_bands=nb).collect()}
+        assert got == base, nb  # the band split is an execution detail
+    # zero-weight rows are never selected
+    zdf = spark.createDataFrame(
+        [("z", 0), ("a", 10), ("b", 10)], "key string, w long")
+    got = {r.key for r in weighted_systematic_sample(
+        zdf, "key", "w", 4).collect()}
+    assert "z" not in got
+    with pytest.raises(ValueError, match="n_picks"):
+        weighted_systematic_sample(df, "key", "w", 0)
+    with pytest.raises(ValueError, match="n_bands"):
+        weighted_systematic_sample(df, "key", "w", 4, n_bands=0)
+    # total weight < n_picks -> step would be 0 -> in-plan raise
+    tiny = spark.createDataFrame([("a", 1), ("b", 1)], "key string, w long")
+    with pytest.raises(Exception, match="total weight < n_picks"):
+        weighted_systematic_sample(tiny, "key", "w", 8).collect()

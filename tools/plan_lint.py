@@ -126,6 +126,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "waterfill rank/prefix windows over the per-language capacity "
         "table (|langs| rows — operators/sampling.waterfill_allocate; "
         "the corpus-scale work is the upstream token aggregate)",
+    ("x125_weighted_systematic_sample", "SinglePartition"):
+        "band-offsets window over the |bands|=8-row per-band totals "
+        "(operators/sampling.weighted_systematic_sample — the x110 "
+        "two-phase prefix-scan OFFSETS side; the data-scale cumulative "
+        "runs partition-bounded windows keyed by band)",
 }
 
 
