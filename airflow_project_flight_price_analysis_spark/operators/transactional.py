@@ -460,3 +460,66 @@ class BucketedMergeTable:
         finally:
             src.unpersist()
 
+
+
+def snapshot_diff(spark: SparkSession, table: "BucketedMergeTable",
+                  v_old: int, v_new: int, *,
+                  include_unchanged: bool = False) -> DataFrame:
+    """CDC between two committed versions of a :class:`BucketedMergeTable`
+    — the "what changed between yesterday's snapshot and today's"
+    question every incremental training-data pipeline asks before
+    reprocessing. Full outer join of the two time-travel reads on the
+    table key; per key, ``diff_status`` is ``added`` (key only in
+    ``v_new``), ``removed`` (only in ``v_old``), ``changed`` (both
+    present, any non-key column differs — struct comparison, so NULLs
+    compare null-safely), or ``unchanged`` (excluded unless
+    ``include_unchanged``). Non-key columns come back twice, prefixed
+    ``old_`` / ``new_`` (NULL on the absent side).
+
+    Scale shape: both sides read only their manifests' parquet; the
+    join shuffles on the table key — co-partitioned by the table's own
+    bucket layout at the file level, and the diff output is bounded by
+    the churn, not the table. No window functions, no driver rows.
+    """
+    dfs = []
+    for v in (v_old, v_new):
+        try:
+            df = table.read(spark, v)
+        except FileNotFoundError:
+            df = None
+        if df is None:
+            raise ValueError(f"snapshot_diff: version {v} does not exist")
+        dfs.append(df)
+    old_df, new_df = dfs
+    key = table.key
+    vals = [c for c in old_df.columns if c != key]
+    if set(new_df.columns) != set(old_df.columns):
+        raise ValueError(
+            f"snapshot_diff: schema drift between v{v_old} and v{v_new} "
+            f"({sorted(old_df.columns)} vs {sorted(new_df.columns)}) — "
+            "diff columns are undefined")
+    o = old_df.select(
+        F.col(key).alias("__dk_old"),
+        *[F.col(c).alias(f"old_{c}") for c in vals])
+    n = new_df.select(
+        F.col(key).alias("__dk_new"),
+        *[F.col(c).alias(f"new_{c}") for c in vals])
+    j = o.join(n, F.col("__dk_old").eqNullSafe(F.col("__dk_new")), "full_outer")
+    old_struct = F.struct(*[F.col(f"old_{c}") for c in vals])
+    new_struct = F.struct(*[F.col(f"new_{c}") for c in vals])
+    out = (
+        j.withColumn(
+            "diff_status",
+            F.when(F.col("__dk_old").isNull(), F.lit("added"))
+            .when(F.col("__dk_new").isNull(), F.lit("removed"))
+            .when(~old_struct.eqNullSafe(new_struct), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .withColumn(key, F.coalesce(F.col("__dk_old"), F.col("__dk_new")))
+        .drop("__dk_old", "__dk_new")
+        .select(key, "diff_status",
+                *[f"old_{c}" for c in vals], *[f"new_{c}" for c in vals])
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("diff_status") != "unchanged")
+    return out

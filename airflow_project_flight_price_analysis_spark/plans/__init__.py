@@ -63,7 +63,10 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # parquet/catalog sink round-trip harness (S7/S8/S9 + MERGE + fold
     # all write, re-read, and compare through the same scratch kit)
     ("q70_sink_roundtrip", "q74_catalog_roundtrip",
-     "q86_merge_roundtrip", "x109_ledger_compaction_fold"),
+     "q86_merge_roundtrip", "x109_ledger_compaction_fold",
+     # q87 (r13): snapshot_diff rides the same BucketedMergeTable
+     # scratch harness as q86, one MERGE-DELETE version further
+     "q87_snapshot_diff"),
     # concat-then-split approximate packer: unsharded + sharded twin
     ("x31_sequence_packing", "x34_sequence_packing_sharded"),
     # r10 additions (r9 verdict item 5):
@@ -103,6 +106,12 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # (cosine_topk + least(recall, floor)); x06, the baseline's own
     # value-level face, deliberately stays standalone
     ("x07_lsh_topk", "x15_ivf_topk", "x115_quantized_ann"),
+    # the KMV sketch family (r13): the batch face and its streaming
+    # maintenance twin certify the same kmv_sketch_table/kmv_estimate
+    # expressions (x124 adds the foreachBatch fold on top); x120 (CMS)
+    # and x123 (bottom-k row sampling) stay standalone — different
+    # operators despite the shared md5-hash technique
+    ("x122_kmv_distinct", "x124_stream_kmv_merge"),
 )
 
 

@@ -3689,3 +3689,87 @@ ORACLE.update({
         ORDER BY s_suppkey
     """,
 })
+
+
+def q87_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``operators/transactional.snapshot_diff`` — CDC
+    between two committed versions of the bucketed copy-on-write table
+    (the q86 harness extended one version further): seed v1 with the
+    supplier dim (cents-exact balances), MERGE v2 with updates
+    (suppkey % 10 == 3: +1000.00) and provably-disjoint shadow inserts
+    (suppkey % 10 == 7 at max+1 offset — the q86 keyspace discipline),
+    then MERGE-DELETE v3 (suppkey % 10 == 5, when_matched='delete'),
+    and return ``snapshot_diff(v1, v3)``: every shadow key `added`,
+    every %5 key `removed`, every %3 key `changed` with both balances,
+    everything else excluded. The DuckDB oracle derives the exact diff
+    from the supplier table directly — a diff that misses a delete,
+    invents a change, or leaks an unchanged row value-mismatches.
+
+    Scale posture: time-travel reads are manifest-driven (only the
+    snapshots' own parquet), the diff join shuffles on the table key,
+    and the output is churn-bounded. Scratch root wiped per run (q70
+    idempotence discipline).
+    """
+    import shutil  # noqa: PLC0415
+
+    from ..operators.transactional import (  # noqa: PLC0415
+        BucketedMergeTable,
+        snapshot_diff,
+    )
+    from ._scratch import scratch_dir  # noqa: PLC0415
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint")
+        .alias("acctbal_cents"),
+    )
+    root = scratch_dir("diff_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = BucketedMergeTable(root, "s_suppkey", n_buckets=8)
+    t.merge(spark, sup)                                    # v1: seed
+    updates = sup.filter(F.col("s_suppkey") % 10 == 3).withColumn(
+        "acctbal_cents", F.col("acctbal_cents") + F.lit(100000))
+    off = sup.agg(F.max("s_suppkey")).first()[0] + 1
+    inserts = sup.filter(F.col("s_suppkey") % 10 == 7).select(
+        (F.col("s_suppkey") + F.lit(off)).alias("s_suppkey"),
+        "s_nationkey", "acctbal_cents")
+    t.merge(spark, updates.unionByName(inserts))           # v2
+    t.merge(spark, sup.filter(F.col("s_suppkey") % 10 == 5),
+            when_matched="delete")                         # v3
+    return (
+        snapshot_diff(spark, t, 1, 3)
+        .select(
+            "s_suppkey", "diff_status",
+            "old_acctbal_cents", "new_acctbal_cents",
+            "old_s_nationkey", "new_s_nationkey",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES.update({"q87_snapshot_diff": q87_snapshot_diff})
+
+ORACLE.update({
+    "q87_snapshot_diff": """
+        WITH base AS (
+            SELECT s_suppkey, s_nationkey,
+                   CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+            FROM supplier
+        )
+        SELECT s_suppkey, 'changed' AS diff_status,
+               cents AS old_acctbal_cents,
+               cents + 100000 AS new_acctbal_cents,
+               s_nationkey AS old_s_nationkey,
+               s_nationkey AS new_s_nationkey
+        FROM base WHERE s_suppkey % 10 = 3
+        UNION ALL
+        SELECT s_suppkey, 'removed',
+               cents, NULL, s_nationkey, NULL
+        FROM base WHERE s_suppkey % 10 = 5
+        UNION ALL
+        SELECT s_suppkey + (SELECT MAX(s_suppkey) + 1 FROM supplier),
+               'added', NULL, cents, NULL, s_nationkey
+        FROM base WHERE s_suppkey % 10 = 7
+        ORDER BY 1
+    """,
+})

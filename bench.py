@@ -192,6 +192,9 @@ HEADLINE = [
     # round-13: weighted systematic selection — the x110 two-phase
     # banded prefix scan driving an exact token-proportional pick
     "x125_weighted_systematic_sample",
+    # round-13: snapshot CDC — three real MERGE commits + the
+    # time-travel diff join (builder does the writes, like q86)
+    "q87_snapshot_diff",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

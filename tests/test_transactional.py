@@ -350,3 +350,43 @@ def test_parameterless_open_of_missing_root_fabricates_nothing(tmp_path):
     with pytest.raises(ValueError, match="first open"):
         BucketedMergeTable(bad)
     assert not os.path.exists(bad)
+
+
+# --- snapshot_diff (q87) ------------------------------------------------------
+
+def test_snapshot_diff_statuses_and_flags(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.transactional import (
+        BucketedMergeTable,
+        snapshot_diff,
+    )
+
+    t = BucketedMergeTable(str(tmp_path / "t"), "k", n_buckets=4)
+    v1_rows = [(1, 10, "a"), (2, 20, None), (3, 30, "c"), (4, 40, "d")]
+    t.merge(spark, spark.createDataFrame(v1_rows, "k long, v long, s string"))
+    # v2: change k=1 (value), change k=2 (NULL -> non-NULL: null-safe
+    # struct compare must call this 'changed', not 'unchanged'),
+    # delete k=3, add k=9
+    t.merge(spark, spark.createDataFrame(
+        [(1, 11, "a"), (2, 20, "z"), (9, 90, "i")],
+        "k long, v long, s string"))
+    t.merge(spark, spark.createDataFrame([(3,)], "k long")
+            .withColumn("v", F.lit(0)).withColumn("s", F.lit("")),
+            when_matched="delete")
+    got = {r.k: r for r in snapshot_diff(spark, t, 1, 3).collect()}
+    assert {k: r.diff_status for k, r in got.items()} == \
+        {1: "changed", 2: "changed", 3: "removed", 9: "added"}
+    assert got[1].old_v == 10 and got[1].new_v == 11
+    assert got[2].old_s is None and got[2].new_s == "z"
+    assert got[3].new_v is None and got[9].old_v is None
+    # include_unchanged surfaces k=4
+    all_rows = {r.k: r.diff_status for r in snapshot_diff(
+        spark, t, 1, 3, include_unchanged=True).collect()}
+    assert all_rows[4] == "unchanged" and len(all_rows) == 5
+    # identical versions diff to empty
+    assert snapshot_diff(spark, t, 2, 2).count() == 0
+    # missing version raises
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_diff(spark, t, 1, 99)

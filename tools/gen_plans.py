@@ -71,6 +71,19 @@ SECTIONS = [
     ("x121_token_budget_waterfill",
      "waterfill budget allocation: corpus-scan token aggregate feeds "
      "|langs|-row rank/prefix windows + one-row stat broadcasts"),
+    ("x122_kmv_distinct",
+     "KMV bottom-k distinct sketch: integer prefilter at the scan, "
+     "map-side-deduped distinct, TakeOrdered caps everything at k "
+     "rows; one persisted survivor table feeds sketch + parity-half "
+     "merge check"),
+    ("x123_sampled_quantiles",
+     "hash-sample quantiles: prefilter-pushed bottom-k sample; ONE "
+     "corpus scan computes all five CDF counts in a single partial "
+     "aggregate with the sorted sample array on a one-row broadcast"),
+    ("x125_weighted_systematic_sample",
+     "weighted systematic pick: x110-style two-phase banded prefix "
+     "(|bands|-row offsets window + partition-bounded in-band "
+     "cumulative), integer target arithmetic, <= n_picks output rows"),
     ("x84_quantile_binning",
      "one-row percentile-bounds aggregate broadcast into map-side bin "
      "assignment (BroadcastNestedLoopJoin of a single row) — no per-row "
