@@ -511,8 +511,15 @@ def weighted_systematic_sample(df: DataFrame, key_col: str, weight_col: str,
         key_col, weight_col,
         kmv_hash(F.col(key_col)).alias("__ws_h"),
     ).withColumn("__ws_band", F.expr(f"__ws_h DIV {width}L").cast("int"))
+    # the |bands|-row totals feed BOTH the offsets window and the grand
+    # total — persist them or each consumer re-scans the corpus (the
+    # r13 RepeatedScan lint rule caught exactly this: 5 source scans
+    # where 2 suffice)
+    from ..cache import track_persist  # noqa: PLC0415
+
     bt = d.groupBy("__ws_band").agg(
-        F.sum(weight_col).cast("long").alias("__ws_bw"))
+        F.sum(weight_col).cast("long").alias("__ws_bw")
+    ).transform(track_persist)
     off = bt.withColumn(
         "__ws_off",
         F.coalesce(

@@ -1250,13 +1250,24 @@ def tfidf_cosine_pairs(docs: DataFrame, posting_cap: int = TFIDF_POSTING_CAP,
         )
     )
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
-    # Also not persisted, same measurement: the three consumers (norms +
-    # both pair-join sides) recompute a cheap broadcast-join projection,
-    # and Spark reuses the exchange under AQE where it matters; caching
-    # it measured 1.17s vs 1.05s uncached at sf0.1.
+    # PERSISTED since r13 (reversing the r4 measurement-based call): the
+    # three consumers (norms + both pair-join sides) each re-ran the
+    # whole tokenize → tf → df pipeline — the RepeatedScan lint rule
+    # counted NINE corpus scans in the final plan. Locally the idle
+    # cores absorbed the redundancy (uncached measured 1.05 s vs
+    # 1.17 s cached at sf0.1 — within noise), but at 100 TB an ~5×
+    # corpus re-read dominates everything; the x120 r12 ruling applies:
+    # scan count wins over sub-100 ms local latency. ``w`` is the
+    # narrow post-prune weighted-posting frame — exactly the x08
+    # persist class — not the wide raw explode (``terms`` stays
+    # unpersisted; its two consumers are the tf and df aggregates that
+    # the persist of ``w`` already collapses into one materialization).
+    from ..cache import track_persist  # noqa: PLC0415
+
     w = (
         tf.join(F.broadcast(df_t), "term")
         .select("doc_id", "term", (F.col("tf") * idf).alias("w"))
+        .transform(track_persist)
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")
@@ -4070,7 +4081,6 @@ def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import track_persist  # noqa: PLC0415
     from ..operators.profiling import (  # noqa: PLC0415
         _KMV_DOMAIN,
-        kmv_estimate,
         kmv_hash,
     )
 
@@ -4089,20 +4099,36 @@ def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = surv.filter(F.col("par") == 0).select("h").orderBy("h").limit(k)
     odd = surv.filter(F.col("par") == 1).select("h").orderBy("h").limit(k)
     merged = even.unionAll(odd).distinct().orderBy("h").limit(k)
-    est = kmv_estimate(sketch, k)
     exact = li.agg(F.countDistinct("key").cast("long").alias("n_exact"))
-    # set equality via distinct-union cardinality: |sketch ∪ merged|
-    # == |sketch| iff merged ⊆ sketch, and both are bottom-k of
-    # supersets of each other's inputs, so equal counts ⇒ equal sets
-    consistency = (
-        sketch.unionAll(merged).distinct()
-        .agg(F.count(F.lit(1)).alias("n_union"))
+    # ONE law aggregate over the tagged union of the two ≤k-row sets
+    # (r13 measured: the first cut ran estimate / set-consistency /
+    # merged-count as THREE separate aggregates, each its own job +
+    # broadcast — pure serialized latency). Set equality still reads
+    # off distinct-union cardinality: |sketch ∪ merged| == |sketch| ==
+    # |merged| ⇒ equal sets (both are bottom-k of supersets of each
+    # other's inputs). kth_min/n_sketch reproduce kmv_estimate's
+    # contract on the sketch-tagged rows.
+    law = (
+        sketch.select("h", F.lit("s").alias("t"))
+        .unionAll(merged.select("h", F.lit("m").alias("t")))
+        .agg(
+            F.sum(F.when(F.col("t") == "s", 1).otherwise(0))
+            .cast("long").alias("n_sketch"),
+            F.max(F.when(F.col("t") == "s", F.col("h"))).alias("kth_min"),
+            F.countDistinct("h").cast("long").alias("n_union"),
+            F.sum(F.when(F.col("t") == "m", 1).otherwise(0))
+            .cast("long").alias("n_merged"),
+        )
+        .withColumn(
+            "kmv_est",
+            F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+            .otherwise(F.floor(
+                F.lit(float(k - 1)) * F.lit(float(_KMV_DOMAIN))
+                / F.col("kth_min").cast("double"))).cast("long"),
+        )
     )
-    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
     return (
-        est.crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(consistency))
-        .crossJoin(F.broadcast(n_merged))
+        law.crossJoin(F.broadcast(exact))
         .select(
             F.lit(k).cast("long").alias("k"),
             F.col("n_sketch").cast("long").alias("n_sketch"),
@@ -4449,9 +4475,15 @@ def x125_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
     from ..functions.text import token_count_expr  # noqa: PLC0415
     from ..operators.sampling import weighted_systematic_sample  # noqa: PLC0415
 
+    from ..cache import track_persist  # noqa: PLC0415
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_count_expr("text").cast("long").alias("tokens"))
-    sel = weighted_systematic_sample(docs, "doc_id", "tokens", _X125_PICKS)
+    # ≤ n_picks rows, consumed by the law aggregate AND the output —
+    # persist or the whole selection pipeline runs twice (RepeatedScan
+    # lint rule, r13)
+    sel = weighted_systematic_sample(
+        docs, "doc_id", "tokens", _X125_PICKS).transform(track_persist)
     law = sel.agg(
         F.sum("multiplicity").cast("long").alias("picks_assigned"),
         F.max(

@@ -613,14 +613,22 @@ def x115_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_cosine_topk,
     )
 
+    from ..cache import track_persist  # noqa: PLC0415
+
+    # Persist BOTH shared frames (r13 RepeatedScan rule: the original
+    # composition re-scanned embeddings 9× — queries / float baseline /
+    # quantized top-k / stats / both error-join sides each re-read the
+    # source). The float frame is certification harness (at 100 TB only
+    # the quantized path runs); the quantized frame is the 4×-smaller
+    # product-path projection with three consumers.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
+    ).transform(track_persist)
     queries = emb.filter(F.col("vec_id") < 10)
     widen = F.transform(F.col("qvec"), lambda x: x.cast("double"))
     qv = quantize_embeddings(emb).filter(F.col("qscale") > 0).select(
         "vec_id", widen.alias("qd")
-    )
+    ).transform(track_persist)
     stats = qv.agg(
         F.count("*").cast("bigint").alias("n_vectors"),
         F.sum(

@@ -825,13 +825,21 @@ def x86_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, one window pass per source over the value grid, one
     |sources|-row max aggregate.
     """
+    from ..cache import track_persist  # noqa: PLC0415
+
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
-    n_s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    cnt_s = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    cnt_g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cg"))
-    total = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    # ONE corpus scan: the (source, n_chars) counts are the bounded
+    # |sources|×|distinct lengths| grain every other statistic is an
+    # aggregate OF — persist them and derive n_s/cnt_g/total/the value
+    # grid downstream. The original five independent aggregates of the
+    # raw projection re-scanned documents 5× (r13 RepeatedScan rule).
+    cnt_s = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")).transform(track_persist)
+    n_s = cnt_s.groupBy("source").agg(F.sum("c").alias("n_src"))
+    cnt_g = cnt_s.groupBy("n_chars").agg(F.sum("c").alias("cg"))
+    total = cnt_s.agg(F.sum("c").alias("n_tot"))
     grid = (
-        d.select("n_chars").distinct()
+        cnt_g.select("n_chars")
         .crossJoin(F.broadcast(n_s))
         .join(cnt_s, ["source", "n_chars"], "left")
         .withColumn("c", F.coalesce("c", F.lit(0)))

@@ -260,6 +260,59 @@ def _jthrough(node):
             return node
 
 
+#: Max times ONE source relation may be scanned in a single final
+#: adaptive plan. The r13 x120 lesson: a shared subtree consumed per
+#: branch without a persist re-scans its sources once per consumer —
+#: 17 lineitem scans where 2 were intended, an ~8× corpus-re-read
+#: multiplier invisible to every other rule (each individual subtree
+#: was well-shaped). ReusedExchange/InMemoryTableScan consumers don't
+#: count (that's the fix working); only distinct physical FileScans of
+#: the same root path do.
+MAX_SCANS_PER_RELATION = 4
+
+
+def _jscan_counts(root) -> dict[str, int]:
+    """Physical FileScan count per source root path in the plan tree.
+    Reused exchanges are NOT re-walked (a ReusedExchangeExec consumer
+    shares the original's single execution), so the count reflects
+    real re-reads."""
+    import re as _re
+
+    counts: dict[str, int] = {}
+    seen_reuse: set[int] = set()
+
+    def walk(node):
+        cname = node.getClass().getSimpleName()
+        if cname == "ReusedExchangeExec":
+            # count the shared subtree once, no matter how many reuses
+            ident = node.child().hashCode()
+            if ident in seen_reuse:
+                return
+            seen_reuse.add(ident)
+        if cname == "InMemoryTableScanExec":
+            # a cached relation MATERIALIZES once; its build subtree's
+            # scans must not be charged once per cache consumer
+            ident = node.relation().cachedPlan().hashCode()
+            if ident in seen_reuse:
+                return
+            seen_reuse.add(ident)
+        if cname == "FileSourceScanExec":
+            try:
+                roots = node.relation().location().rootPaths()
+                path = ";".join(
+                    roots.apply(i).toString() for i in range(roots.size()))
+            except Exception:  # noqa: BLE001 — fall back to the text form
+                m = _re.search(r"Location:[^\[]*\[([^\]]*)",
+                               node.simpleString(3))
+                path = m.group(1) if m else node.nodeName()
+            counts[path] = counts.get(path, 0) + 1
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(root)
+    return counts
+
+
 def _jlint(root) -> list[str]:
     found: list[str] = []
     for n in _jwalk(root):
@@ -278,6 +331,9 @@ def _jlint(root) -> list[str]:
                     "SinglePartition" in feeder.simpleString(10):
                 found.append(
                     f"SinglePartition->({cname.removesuffix('Exec')})")
+    for path, cnt in _jscan_counts(root).items():
+        if cnt > MAX_SCANS_PER_RELATION:
+            found.append(f"RepeatedScan->({cnt}x {path[:50]})")
     return found
 
 
