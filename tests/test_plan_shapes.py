@@ -512,3 +512,53 @@ def test_post_exec_jlint_flags_known_anti_patterns(spark):
     good = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
     good.collect()
     assert _jlint(good._jdf.queryExecution().executedPlan()) == []
+
+
+def test_repeated_scan_rule_counts_real_reads_only(spark):
+    """r13 lint rule: a shared subtree consumed per branch without a
+    persist re-scans its sources once per consumer. Pin both
+    directions: six unpersisted aggregate branches of one scan ARE
+    flagged (> MAX_SCANS_PER_RELATION), and the same composition over
+    a persisted frame is NOT — cached relations materialize once, so
+    their consumers must not be charged."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_lint import MAX_SCANS_PER_RELATION, _jlint, _jscan_counts
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_suppkey", "l_quantity")
+
+    def six_branches(src):
+        aggs = [
+            src.agg(F.sum("l_quantity").alias("v")),
+            src.agg(F.count(F.lit(1)).alias("v")),
+            src.agg(F.max("l_quantity").alias("v")),
+            src.agg(F.min("l_quantity").alias("v")),
+            src.agg(F.avg("l_quantity").alias("v")),
+            src.agg(F.sum(F.col("l_quantity") * 2).alias("v")),
+        ]
+        out = aggs[0]
+        for a in aggs[1:]:
+            out = out.unionByName(a.select(F.col("v").cast("double")))
+        return out
+
+    bad = six_branches(li)
+    bad.collect()
+    counts = _jscan_counts(bad._jdf.queryExecution().executedPlan())
+    assert max(counts.values()) > MAX_SCANS_PER_RELATION, counts
+    assert any(f.startswith("RepeatedScan->") for f in
+               _jlint(bad._jdf.queryExecution().executedPlan()))
+
+    cached = li.persist()
+    try:
+        good = six_branches(cached)
+        good.collect()
+        counts = _jscan_counts(good._jdf.queryExecution().executedPlan())
+        assert max(counts.values()) <= 1, counts
+        assert not any(f.startswith("RepeatedScan->") for f in
+                       _jlint(good._jdf.queryExecution().executedPlan()))
+    finally:
+        cached.unpersist()
