@@ -202,3 +202,49 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
             )
         ).cast("long").alias("kmv_est"),
     )
+
+
+def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
+                        k: int = 128) -> DataFrame:
+    """Per-group KMV sketches in one pass: ``(group, h)`` rows holding
+    each group's ≤ k smallest distinct key hashes — the GROUP BY
+    companion of :func:`kmv_sketch_table` ("distinct users per source",
+    "vocabulary per language": per-partition distinct estimation is the
+    shape corpus dashboards actually ask for). One distinct aggregate
+    over (group, hash) then a rank window PARTITIONED BY GROUP (never a
+    global funnel); output ≤ k·|groups| rows, mergeable per group by
+    the usual union → re-bottom-k law."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    hashes = df.select(
+        F.col(group_col).alias("g"),
+        kmv_hash(F.col(key_col)).alias("h"),
+    ).distinct()
+    w = W.partitionBy("g").orderBy("h")
+    return (
+        hashes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_group_estimates(sketch: DataFrame, k: int) -> DataFrame:
+    """Per-group estimates from a :func:`kmv_sketch_by_group` table:
+    ``(g, n_sketch, kth_min, kmv_est)`` with the same fallback contract
+    as :func:`kmv_estimate` (a group whose distinct count is below k
+    keeps its whole hash set, so the exact survivor count IS the
+    answer)."""
+    return (
+        sketch.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_min"))
+        .select(
+            "g", "n_sketch", "kth_min",
+            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("long"))
+            .otherwise(F.floor(
+                F.lit(float(k - 1)) * F.lit(float(_KMV_DOMAIN))
+                / F.col("kth_min").cast("double"))).cast("long")
+            .alias("kmv_est"),
+        )
+    )

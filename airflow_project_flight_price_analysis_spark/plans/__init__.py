@@ -111,7 +111,10 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # expressions (x124 adds the foreachBatch fold on top); x120 (CMS)
     # and x123 (bottom-k row sampling) stay standalone — different
     # operators despite the shared md5-hash technique
-    ("x122_kmv_distinct", "x124_stream_kmv_merge"),
+    ("x122_kmv_distinct", "x124_stream_kmv_merge",
+     # x126 (r13): the GROUP BY face of the same kmv_hash/bottom-k/
+     # estimate expressions
+     "x126_kmv_by_group"),
 )
 
 

@@ -4553,3 +4553,99 @@ ORACLE["x125_weighted_systematic_sample"] = rf"""
     FROM sel CROSS JOIN law
     ORDER BY sel.doc_id
 """
+
+
+# --- X6 extension: per-group KMV distinct estimation (r13) -------------------
+
+_X126_K = 128
+#: 3σ envelope at k=128 (σ ≈ 1/√(k−2) ≈ 8.9%) in basis points; groups
+#: whose cardinality is below k take the exact-fallback branch and
+#: report zero error.
+_X126_ENVELOPE_BP = 2700
+
+
+def x126_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct estimation — "distinct users per event type"
+    in one pass (profiling.kmv_sketch_by_group / kmv_group_estimates),
+    the GROUP BY face of the x122 sketch: one distinct aggregate over
+    (group, hash), a group-partitioned rank window (never a global
+    funnel), per-group estimates from each group's own kth minimum.
+    The sf ladder exercises BOTH estimator branches: at sf0.001 every
+    group holds 15 distinct users (< k ⇒ the sketch IS the answer,
+    exact fallback, zero error), at sf0.01/0.1 (150/1500) the groups
+    estimate from kth_min under the 3σ envelope. All sketch rows are
+    md5-derived, so DuckDB replays per-group membership, kth minima,
+    and estimates exactly (the x122 discipline, per group).
+
+    Scale shape: shuffle O(distinct (group, key)) with map-side
+    dedupe; the rank window partitions by group (bounded by the
+    group's own distinct count); output |groups| rows. The exact
+    per-group counts are the certification harness.
+    """
+    from ..operators.profiling import (  # noqa: PLC0415
+        kmv_group_estimates,
+        kmv_sketch_by_group,
+    )
+
+    k = _X126_K
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch_by_group(ev, "event_type", "user_id", k)
+    est = kmv_group_estimates(sk, k)
+    exact = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n_sketch").cast("long").alias("n_sketch"),
+            F.col("kth_min").cast("long").alias("kth_min"),
+            "kmv_est", "n_exact",
+            F.expr("CAST((ABS(kmv_est - n_exact) * 10000) DIV n_exact "
+                   "AS BIGINT)").alias("rel_err_bp"),
+            (F.expr("(ABS(kmv_est - n_exact) * 10000) DIV n_exact")
+             <= _X126_ENVELOPE_BP).alias("within_envelope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["x126_kmv_by_group"] = x126_kmv_by_group
+
+ORACLE["x126_kmv_by_group"] = f"""
+    WITH hs AS (
+        SELECT DISTINCT event_type AS g,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT g, h,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM hs
+    ),
+    sk AS (SELECT g, h FROM ranked WHERE rk <= {_X126_K}),
+    est AS (
+        SELECT g, COUNT(*) AS n_sketch, MAX(h) AS kth_min,
+               CASE WHEN COUNT(*) < {_X126_K} THEN COUNT(*)
+                    ELSE CAST(FLOOR({float(_X126_K - 1)} * {float(16 ** 15)}
+                              / MAX(h)) AS BIGINT)
+               END AS kmv_est
+        FROM sk GROUP BY 1
+    ),
+    exact AS (
+        SELECT event_type AS g,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT est.g AS event_type,
+           CAST(est.n_sketch AS BIGINT) AS n_sketch,
+           CAST(est.kth_min AS BIGINT) AS kth_min,
+           CAST(est.kmv_est AS BIGINT) AS kmv_est,
+           exact.n_exact,
+           (ABS(est.kmv_est - exact.n_exact) * 10000) // exact.n_exact
+               AS rel_err_bp,
+           (ABS(est.kmv_est - exact.n_exact) * 10000) // exact.n_exact
+               <= {_X126_ENVELOPE_BP} AS within_envelope
+    FROM est JOIN exact USING (g)
+    ORDER BY event_type
+"""

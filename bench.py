@@ -195,6 +195,9 @@ HEADLINE = [
     # round-13: snapshot CDC — three real MERGE commits + the
     # time-travel diff join (builder does the writes, like q86)
     "q87_snapshot_diff",
+    # round-13: per-group KMV — distinct-per-group estimation via one
+    # deduped shuffle + a group-partitioned rank window
+    "x126_kmv_by_group",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

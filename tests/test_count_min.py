@@ -431,3 +431,62 @@ def test_weighted_systematic_sample_band_invariance_and_guards(spark):
     tiny = spark.createDataFrame([("a", 1), ("b", 1)], "key string, w long")
     with pytest.raises(Exception, match="total weight < n_picks"):
         weighted_systematic_sample(tiny, "key", "w", 8).collect()
+
+
+# --- per-group KMV (x126) ----------------------------------------------------
+
+def test_kmv_by_group_matches_brute_force_and_merges(spark):
+    import hashlib
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_group_estimates,
+        kmv_sketch_by_group,
+    )
+
+    rows = [(f"g{i % 3}", f"u{j}") for i in range(3) for j in range(50 * (i % 3 + 1))]
+    df = spark.createDataFrame(rows, "g string, k string")
+    k = 16
+    got = {}
+    for r in kmv_sketch_by_group(df, "g", "k", k).collect():
+        got.setdefault(r.g, []).append(r.h)
+
+    def brute(keys):
+        return sorted({int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                       for x in keys})[:k]
+
+    by_g = {}
+    for g, key in rows:
+        by_g.setdefault(g, set()).add(key)
+    for g, keys in by_g.items():
+        assert sorted(got[g]) == brute(keys), g
+    # estimates: fallback for small groups, formula otherwise
+    import math
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        _KMV_DOMAIN,
+    )
+    ests = {r.g: r for r in kmv_group_estimates(
+        kmv_sketch_by_group(df, "g", "k", k), k).collect()}
+    for g, keys in by_g.items():
+        e = ests[g]
+        if len(keys) < k:
+            assert e.n_sketch == len(keys) and e.kmv_est == len(keys)
+        else:
+            assert e.n_sketch == k
+            assert e.kmv_est == math.floor(
+                (k - 1) * float(_KMV_DOMAIN) / brute(keys)[-1])
+    # per-group merge law: union of half-sketches re-bottom-k'd == whole
+    from pyspark.sql import functions as F
+    h1 = kmv_sketch_by_group(df.filter(F.length("k") % 2 == 0), "g", "k", k)
+    h2 = kmv_sketch_by_group(df.filter(F.length("k") % 2 == 1), "g", "k", k)
+    from pyspark.sql.window import Window as W
+    merged = (h1.unionAll(h2).distinct()
+              .withColumn("__rk", F.row_number().over(
+                  W.partitionBy("g").orderBy("h")))
+              .filter(F.col("__rk") <= k).select("g", "h"))
+    lhs = {(r.g, r.h) for r in merged.collect()}
+    rhs = {(r.g, r.h) for r in kmv_sketch_by_group(df, "g", "k", k).collect()}
+    assert lhs == rhs
+    import pytest
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch_by_group(df, "g", "k", 1)
