@@ -26,17 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round 13: the r12 pins (q12/x105) served their purpose — their
     # green rows landed in CORRECTNESS_r12, retiring the r7 cohort.
-    # This round's tier 1 carries the two faces whose physical
-    # composition changed (values unchanged, plans not): x120 now
-    # persists the shared sketch + probe table (r12 verdict item 1 —
-    # 17 lineitem scans → 2), and x121's allocation expression grew
-    # the explicit all-saturated divisor guard (ADVICE r12). Both need
-    # a fresh driver row against the new shapes; the remaining ~48
-    # budget slots continue the rotation into the r8 cohort
-    # stalest-first (x66, x68-x73, x106-x109), moving the freshness
-    # floor toward r9.
+    # This round's tier 1 carries every face whose ORACLE or physical
+    # composition changed (values unchanged throughout, shapes not):
+    # x120 persists the shared sketch + probe table (r12 verdict item
+    # 1 — 17 lineitem scans → 2); x121's allocation expression grew
+    # the explicit all-saturated divisor guard (ADVICE r12); q69's
+    # DuckDB oracle was rewritten WINDOW-FREE (the r13 root-cause of
+    # its one-in-five-sweeps flake — DuckDB 1.0.0's parallel window
+    # race); x53/x86/x115 were restructured by the new RepeatedScan
+    # lint rule (persisted shared frames / single-scan derivation).
+    # Six pins + six new tier-2 faces ≈ 12 slots; the remaining ~38
+    # continue the rotation into the r8 cohort stalest-first,
+    # moving the freshness floor toward r9.
     "x120_count_min_heavy_hitters",
     "x121_token_budget_waterfill",
+    "q69_interval_merge",
+    "x53_tfidf_cosine_pairs",
+    "x86_ks_drift",
+    "x115_quantized_ann",
 )
 # Tier 2 (automatic, no green row) as of round-13: empty — every
 # registered query has a green driver row (208/208 after r12). New
