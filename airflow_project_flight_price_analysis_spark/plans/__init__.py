@@ -115,13 +115,16 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     ("x07_lsh_topk", "x15_ivf_topk", "x115_quantized_ann"),
     # the KMV sketch family (r13): the batch face and its streaming
     # maintenance twin certify the same kmv_sketch_table/kmv_estimate
-    # expressions (x124 adds the foreachBatch fold on top); x120 (CMS)
-    # and x123 (bottom-k row sampling) stay standalone — different
-    # operators despite the shared md5-hash technique
+    # expressions (x124 adds the foreachBatch fold on top); x123
+    # (bottom-k row sampling) stays standalone — a different operator
+    # despite the shared md5-hash technique
     ("x122_kmv_distinct", "x124_stream_kmv_merge",
      # x126 (r13): the GROUP BY face of the same kmv_hash/bottom-k/
      # estimate expressions
      "x126_kmv_by_group"),
+    # the CMS family (r13): x127's streaming fold certifies the same
+    # count_min_sketch_table expressions x120 builds batch-side
+    ("x120_count_min_heavy_hitters", "x127_stream_cms_merge"),
 )
 
 

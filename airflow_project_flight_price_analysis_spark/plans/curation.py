@@ -4649,3 +4649,88 @@ ORACLE["x126_kmv_by_group"] = f"""
     FROM est JOIN exact USING (g)
     ORDER BY event_type
 """
+
+
+# --- X6 x X7 bridge: streaming count-min maintenance (r13) -------------------
+
+_X127_DEPTH, _X127_WIDTH = 4, 256
+
+
+def x127_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the count-min sketch — the X7 face of
+    x120, completing the streaming-sketch pair next to x124's KMV:
+    the events backlog staged as four files, one per micro-batch,
+    ``foreachBatch`` building each batch's counter table DISTRIBUTED
+    and adding it counter-wise into the running sketch
+    (streaming/sketches.stream_cms_sketch). Counter-wise addition is
+    EXACT by linearity — counter[i][b] = Σ over batches — so the
+    DuckDB oracle's one-shot whole-corpus sketch certifies the stream
+    value-for-value regardless of the batch split (the x111/x124
+    replay-exactness discipline).
+
+    Output: one row per depth lane (i, n_buckets, sum_cnt, max_cnt) —
+    sum_cnt must equal the corpus row count in EVERY lane (each row
+    increments exactly one counter per lane; a fold that dropped or
+    double-added a batch breaks all four) — plus the ``multi_batch``
+    law pinning that ≥ 2 micro-batches actually merged.
+
+    Scale shape: per micro-batch one scan capped at depth·width
+    counter rows by partial aggregation; driver state O(depth·width);
+    merge cost O(depth·width) per batch, independent of batch size.
+    """
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.sketches import stream_cms_sketch  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="x127_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(root)
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        counters, n_batches = stream_cms_sketch(
+            stream, "user_id", _X127_DEPTH, _X127_WIDTH)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    sketch = spark.createDataFrame(counters, "i int, b int, cnt long")
+    return (
+        sketch.groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("cnt").cast("long").alias("sum_cnt"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+        )
+        .withColumn("multi_batch", F.lit(n_batches >= 2))
+        .select(F.col("i").cast("long").alias("i"),
+                "n_buckets", "sum_cnt", "max_cnt", "multi_batch")
+        .orderBy("i")
+    )
+
+
+QUERIES["x127_stream_cms_merge"] = x127_stream_cms_merge
+
+ORACLE["x127_stream_cms_merge"] = f"""
+    WITH src AS (SELECT user_id AS key FROM events),
+    d AS (SELECT unnest(range({_X127_DEPTH})) AS i),
+    sketch AS (
+        SELECT i,
+               CAST(('0x' || substring(md5(CAST(key AS VARCHAR)),
+                   8 * CAST(i AS INTEGER) + 1, 8))::BIGINT
+                   % {_X127_WIDTH} AS INTEGER) AS b,
+               COUNT(*) AS cnt
+        FROM src CROSS JOIN d
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i AS BIGINT) AS i,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           TRUE AS multi_batch
+    FROM sketch
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -54,3 +54,39 @@ def stream_kmv_sketch(stream_df: DataFrame, key_col: str, k: int,
     )
     q.awaitTermination()
     return sorted(state["hs"]), state["batches"]
+
+
+def stream_cms_sketch(stream_df: DataFrame, key_col: str,
+                      depth: int = 4, width: int = 256,
+                      ) -> tuple[list[tuple[int, int, int]], int]:
+    """Fold a count-min sketch over a streaming DataFrame: per
+    micro-batch, build the batch-local counter table distributed
+    (operators/profiling.count_min_sketch_table — ≤ depth·width rows by
+    construction) and ADD it counter-wise into the running sketch —
+    the x54/x57 merge algebra for frequencies, exact by linearity:
+    counter[i][b] = Σ over batches of the batch's counter, no matter
+    how the backlog splits. Returns ``(sorted (i, b, cnt) rows,
+    n_batches)``; driver state is O(depth·width)."""
+    from ..operators.profiling import count_min_sketch_table  # noqa: PLC0415
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    state: dict = {"counters": {}, "batches": 0}
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        bk = count_min_sketch_table(batch_df, key_col, depth, width)
+        for r in bk.collect():  # ≤ depth·width rows — bounded collect
+            key = (r.i, r.b)
+            state["counters"][key] = state["counters"].get(key, 0) + r.cnt
+        state["batches"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        sorted((i, b, c) for (i, b), c in state["counters"].items()),
+        state["batches"],
+    )

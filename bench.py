@@ -198,6 +198,9 @@ HEADLINE = [
     # round-13: per-group KMV — distinct-per-group estimation via one
     # deduped shuffle + a group-partitioned rank window
     "x126_kmv_by_group",
+    # round-13: streaming CMS maintenance — counter-wise foreachBatch
+    # fold (eager builder, x111/x124 class)
+    "x127_stream_cms_merge",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -774,3 +774,36 @@ def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
     assert len(hs) == 64
     with pytest.raises(ValueError, match="k must be"):
         stream_kmv_sketch(stream, "key", 1)
+
+
+def test_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
+    """Counter-wise fold across micro-batches == one-shot batch sketch
+    (linearity), for a 3-file split with overlapping key ranges."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        count_min_sketch_table,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_cms_sketch,
+    )
+
+    whole = spark.range(0, 600).select((F.col("id") % 37).alias("key"))
+    staged = str(tmp_path / "staged")
+    for lo, hi in [(0, 250), (250, 450), (450, 600)]:
+        (whole.filter((F.col("id") >= lo) & (F.col("id") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+    stream = (spark.readStream.schema("key long")
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    # the files PARTITION [0,600) exactly — unlike the KMV fold
+    # (idempotent set union), CMS counts the multiset, so overlapping
+    # file ranges would legitimately double-count; duplicates here
+    # exist only in KEYS (id % 37), which is what the counters count
+    counters, n_batches = stream_cms_sketch(stream, "key", 3, 32)
+    assert n_batches == 3
+    batch = sorted((r.i, r.b, r.cnt) for r in
+                   count_min_sketch_table(whole, "key", 3, 32).collect())
+    assert counters == batch
+    with pytest.raises(ValueError, match="depth/width"):
+        stream_cms_sketch(stream, "key", 0, 32)
