@@ -497,7 +497,12 @@ def weighted_systematic_sample(df: DataFrame, key_col: str, weight_col: str,
     ``multiplicity`` (≥ 1), plus ``total_w`` and ``step`` for the
     caller's accounting. Requires total weight ≥ n_picks (step ≥ 1) —
     raises inside the plan otherwise (data-dependent, so it cannot be
-    validated at build time)."""
+    validated at build time). ``key_col`` values must be UNIQUE (the
+    hash_bottomk_sample precondition, ADVICE r13): the in-band
+    cumulative window orders by (hash, key), so duplicate keys tie and
+    their positions — hence per-row multiplicities — would depend on
+    arbitrary tie order; pre-aggregate weights by key first if the
+    input can repeat keys."""
     if n_picks < 1:
         raise ValueError(f"n_picks must be >= 1, got {n_picks}")
     if n_bands < 1:

@@ -24,29 +24,30 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 13: the r12 pins (q12/x105) served their purpose — their
-    # green rows landed in CORRECTNESS_r12, retiring the r7 cohort.
-    # This round's tier 1 carries every face whose ORACLE or physical
-    # composition changed (values unchanged throughout, shapes not):
-    # x120 persists the shared sketch + probe table (r12 verdict item
-    # 1 — 17 lineitem scans → 2); x121's allocation expression grew
-    # the explicit all-saturated divisor guard (ADVICE r12); q69's
-    # DuckDB oracle was rewritten WINDOW-FREE (the r13 root-cause of
-    # its one-in-five-sweeps flake — DuckDB 1.0.0's parallel window
-    # race); x53/x86/x115 were restructured by the new RepeatedScan
-    # lint rule (persisted shared frames / single-scan derivation).
-    # Six pins + six new tier-2 faces ≈ 12 slots; the remaining ~38
-    # continue the rotation into the r8 cohort stalest-first,
-    # moving the freshness floor toward r9.
-    "x120_count_min_heavy_hitters",
-    "x121_token_budget_waterfill",
-    "q69_interval_merge",
-    "x53_tfidf_cosine_pairs",
-    "x86_ks_drift",
-    "x115_quantized_ann",
+    # Round 14: the r13 pins served their purpose (all green in
+    # CORRECTNESS_r13). This round's tier 1 carries every face whose
+    # ORACLE text or composition changed (values unchanged, text /
+    # physical shape not): x127 is the round's headline — the
+    # streaming CMS fold became replay-idempotent (durable
+    # versioned-watermark state, r13 verdict item 1) and the face now
+    # exercises the crash-replay window IN BAND with a new `replayed`
+    # law column; x122/x124 carry the corrected 3σ envelope constant
+    # (1875 → 1882 bp, ADVICE r13) plus the NULL-coalesce oracle
+    # mirror; x125/x126/x107 carry the NULL-coalesce mirror alone.
+    # x108 is pinned for freshness: it and x107 are the last r8 rows
+    # (family suppression would let only one rotate), so pinning both
+    # moves the staleness floor to r9 — the remaining ~40 tier-3
+    # slots then sweep the 17-row r9 cohort and into r10.
+    "x127_stream_cms_merge",
+    "x122_kmv_distinct",
+    "x124_stream_kmv_merge",
+    "x125_weighted_systematic_sample",
+    "x126_kmv_by_group",
+    "x107_temperature_mixture",
+    "x108_stratified_threshold",
 )
-# Tier 2 (automatic, no green row) as of round-13: empty — every
-# registered query has a green driver row (208/208 after r12). New
+# Tier 2 (automatic, no green row) as of round-14: empty — every
+# registered query has a green driver row (215/215 after r13). New
 # faces added this round, if any, enter tier 2 automatically.
 
 # No deliberate overflow this round. (Round 4 declared x77 here; its

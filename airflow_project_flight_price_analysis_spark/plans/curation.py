@@ -3705,7 +3705,7 @@ ORACLE["x107_temperature_mixture"] = """
     ),
     h AS (
         SELECT lang, doc_id,
-               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+               ('0x' || substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '')),
                                   1, 15))::BIGINT AS eh
         FROM documents
     )
@@ -4044,9 +4044,11 @@ _X122_K = 256
 #: ≥ k everywhere, and the prefiltered estimates equal the
 #: unfiltered ones at every sf (651/624/660 bp error).
 _X122_PREFILTER_DENOM = 4
-#: 3σ of the KMV estimator's relative error at k=256 (σ ≈ 1/√(k−2)
-#: ≈ 6.3%) in basis points — the envelope the law column checks.
-_X122_ENVELOPE_BP = 1875
+#: 3σ of the KMV estimator's relative error at k=256 (σ = 1/√(k−2) =
+#: 1/√254 ⇒ 3σ ≈ 1882 bp) — the envelope the law column checks
+#: (ADVICE r13: the prior 1875 was tighter than the documented bound;
+#: measured error is ~651 bp, far inside either).
+_X122_ENVELOPE_BP = 1882
 
 
 def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4152,11 +4154,11 @@ ORACLE["x122_kmv_distinct"] = f"""
     WITH src AS (SELECT l_orderkey AS key FROM lineitem),
     surv AS (
         SELECT DISTINCT
-               ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+               ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')), 1, 15))::BIGINT
                    AS h,
                CAST(key % 2 AS INTEGER) AS par
         FROM src
-        WHERE ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+        WHERE ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')), 1, 15))::BIGINT
               < {16 ** 15 // _X122_PREFILTER_DENOM}
     ),
     sketch AS (SELECT DISTINCT h FROM surv ORDER BY h LIMIT {_X122_K}),
@@ -4387,7 +4389,7 @@ def x124_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(root)
         )
-        hs, n_batches = stream_kmv_sketch(
+        hs, n_batches, _ = stream_kmv_sketch(
             stream, "event_id", k, prefilter_denom=_X124_PREFILTER_DENOM)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4417,10 +4419,10 @@ ORACLE["x124_stream_kmv_merge"] = f"""
     WITH src AS (SELECT DISTINCT event_id AS key FROM events),
     hs AS (
         SELECT DISTINCT
-               ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+               ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')), 1, 15))::BIGINT
                    AS h
         FROM src
-        WHERE ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+        WHERE ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')), 1, 15))::BIGINT
               < {16 ** 15 // _X124_PREFILTER_DENOM}
     ),
     sk AS (SELECT h FROM hs ORDER BY h LIMIT {_X124_K}),
@@ -4513,7 +4515,7 @@ ORACLE["x125_weighted_systematic_sample"] = rf"""
                CAST(CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+'))
                     END AS BIGINT) AS tokens,
-               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               ('0x' || substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 15))::BIGINT
                    AS h
         FROM documents
     ),
@@ -4614,7 +4616,7 @@ QUERIES["x126_kmv_by_group"] = x126_kmv_by_group
 ORACLE["x126_kmv_by_group"] = f"""
     WITH hs AS (
         SELECT DISTINCT event_type AS g,
-               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               ('0x' || substring(md5(COALESCE(CAST(user_id AS VARCHAR), '')), 1, 15))::BIGINT
                    AS h
         FROM events
     ),
@@ -4661,23 +4663,36 @@ def x127_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     x120, completing the streaming-sketch pair next to x124's KMV:
     the events backlog staged as four files, one per micro-batch,
     ``foreachBatch`` building each batch's counter table DISTRIBUTED
-    and adding it counter-wise into the running sketch
-    (streaming/sketches.stream_cms_sketch). Counter-wise addition is
-    EXACT by linearity — counter[i][b] = Σ over batches — so the
-    DuckDB oracle's one-shot whole-corpus sketch certifies the stream
-    value-for-value regardless of the batch split (the x111/x124
-    replay-exactness discipline).
+    and adding it counter-wise into the running DURABLE sketch
+    (streaming/sketches.stream_cms_sketch with ``state_path`` — the
+    versioned-watermark fold, r13 verdict item 1). Counter-wise
+    addition is EXACT by linearity — counter[i][b] = Σ over batches —
+    so the DuckDB oracle's one-shot whole-corpus sketch certifies the
+    stream value-for-value regardless of the batch split (the
+    x111/x124 replay-exactness discipline).
+
+    The face then exercises the at-least-once crash window IN BAND:
+    after the backlog drains, the last micro-batch's streaming commit
+    is deleted (fold published, commit lost — the exact window where
+    CMS's non-idempotent addition would double-count) and the stream
+    restarts from the same checkpoint + state. The replayed batch must
+    be absorbed by the watermark skip, and the FINAL counters are what
+    the oracle compares — a double-count would break ``sum_cnt ==
+    corpus rows`` in every lane and hash-mismatch the gate, so
+    replay-idempotency is certified by the oracle itself, not just
+    asserted.
 
     Output: one row per depth lane (i, n_buckets, sum_cnt, max_cnt) —
-    sum_cnt must equal the corpus row count in EVERY lane (each row
-    increments exactly one counter per lane; a fold that dropped or
-    double-added a batch breaks all four) — plus the ``multi_batch``
-    law pinning that ≥ 2 micro-batches actually merged.
+    plus the ``multi_batch`` law (≥ 2 micro-batches actually merged)
+    and the ``replayed`` law (the restart really did replay a batch
+    and folded nothing new — skipped ≥ 1, folded 0).
 
     Scale shape: per micro-batch one scan capped at depth·width
-    counter rows by partial aggregation; driver state O(depth·width);
+    counter rows by partial aggregation; driver state O(depth·width)
+    persisted as one ≤ depth·width-row parquet version per batch;
     merge cost O(depth·width) per batch, independent of batch size.
     """
+    import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
@@ -4685,15 +4700,33 @@ def x127_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
     root = tempfile.mkdtemp(prefix="x127_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    state = os.path.join(root, "state")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(root)
-        stream = (
-            spark.readStream.schema("user_id long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(root)
-        )
-        counters, n_batches = stream_cms_sketch(
-            stream, "user_id", _X127_DEPTH, _X127_WIDTH)
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        def _stream():
+            return (
+                spark.readStream.schema("user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        _, n_batches, _ = stream_cms_sketch(
+            _stream(), "user_id", _X127_DEPTH, _X127_WIDTH,
+            state_path=state, checkpoint_dir=ckpt)
+        # crash-simulate: the newest commit vanishes (fold published,
+        # commit lost); restart must skip the replay via the watermark
+        commits = os.path.join(ckpt, "commits")
+        last = max(int(f) for f in os.listdir(commits) if f.isdigit())
+        os.remove(os.path.join(commits, str(last)))
+        crc = os.path.join(commits, f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        counters, n_refolded, n_skipped = stream_cms_sketch(
+            _stream(), "user_id", _X127_DEPTH, _X127_WIDTH,
+            state_path=state, checkpoint_dir=ckpt)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     sketch = spark.createDataFrame(counters, "i int, b int, cnt long")
@@ -4705,8 +4738,11 @@ def x127_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("long").alias("max_cnt"),
         )
         .withColumn("multi_batch", F.lit(n_batches >= 2))
+        .withColumn("replayed",
+                    F.lit(n_skipped >= 1 and n_refolded == 0))
         .select(F.col("i").cast("long").alias("i"),
-                "n_buckets", "sum_cnt", "max_cnt", "multi_batch")
+                "n_buckets", "sum_cnt", "max_cnt", "multi_batch",
+                "replayed")
         .orderBy("i")
     )
 
@@ -4718,7 +4754,7 @@ ORACLE["x127_stream_cms_merge"] = f"""
     d AS (SELECT unnest(range({_X127_DEPTH})) AS i),
     sketch AS (
         SELECT i,
-               CAST(('0x' || substring(md5(CAST(key AS VARCHAR)),
+               CAST(('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')),
                    8 * CAST(i AS INTEGER) + 1, 8))::BIGINT
                    % {_X127_WIDTH} AS INTEGER) AS b,
                COUNT(*) AS cnt
@@ -4729,7 +4765,8 @@ ORACLE["x127_stream_cms_merge"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
            CAST(MAX(cnt) AS BIGINT) AS max_cnt,
-           TRUE AS multi_batch
+           TRUE AS multi_batch,
+           TRUE AS replayed
     FROM sketch
     GROUP BY 1
     ORDER BY 1

@@ -257,13 +257,20 @@ def main() -> None:
         queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
-    # ambient control: 3 runs before + 3 after the sweep (median of 6)
-    # brackets the whole measurement window, so a load spike mid-sweep
-    # moves the control too
-    controls = [_control_run(spark) for _ in range(3)]
+    # ambient control, INTERLEAVED (r13 verdict item 3: a single scalar
+    # probe can't adjudicate 10-20% swings): 2 runs before the sweep,
+    # 2 at the midpoint, 2 after — all six raw samples are recorded in
+    # order (`control_samples`), so the hand-off can attribute a drift
+    # in any query GROUP to the nearest-in-time ambient reading without
+    # a second full run. `control_sec` stays the median of all samples
+    # (round-over-round comparable with r12/r13).
+    controls = [_control_run(spark) for _ in range(2)]
+    mid_at = len(HEADLINE) // 2
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid_at:
+            controls += [_control_run(spark) for _ in range(2)]
         samples: list[float] = []
         bsamples: list[float] = []
         for _ in range(iters):
@@ -297,7 +304,7 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(0.3)
 
-    controls += [_control_run(spark) for _ in range(3)]
+    controls += [_control_run(spark) for _ in range(2)]
     control_sec = round(statistics.median(controls), 3)
     total = round(sum(timings.values()), 3)
     # The driver records only a ~2 KB window of stdout (every BENCH_r*.json
@@ -328,6 +335,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(short),
         "control_sec": control_sec,
+        # raw interleaved samples: [0:2] pre-sweep, [2:4] mid-sweep,
+        # [4:6] post-sweep
+        "control_samples": [round(c, 3) for c in controls],
         "value_control_normalized": round(
             total * CONTROL_REF_SEC / control_sec, 3) if control_sec else None,
         "build_total_sec": build_total,

@@ -767,8 +767,9 @@ def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
          .write.mode("append").parquet(staged))
     stream = (spark.readStream.schema("key long")
               .option("maxFilesPerTrigger", 1).parquet(staged))
-    hs, n_batches = stream_kmv_sketch(stream, "key", 64)
+    hs, n_batches, n_skipped = stream_kmv_sketch(stream, "key", 64)
     assert n_batches == 3
+    assert n_skipped == 0
     batch = [r.h for r in kmv_sketch_table(files, "key", 64).collect()]
     assert hs == sorted(batch)
     assert len(hs) == 64
@@ -800,10 +801,192 @@ def test_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
     # (idempotent set union), CMS counts the multiset, so overlapping
     # file ranges would legitimately double-count; duplicates here
     # exist only in KEYS (id % 37), which is what the counters count
-    counters, n_batches = stream_cms_sketch(stream, "key", 3, 32)
+    counters, n_batches, n_skipped = stream_cms_sketch(stream, "key", 3, 32)
     assert n_batches == 3
+    assert n_skipped == 0
     batch = sorted((r.i, r.b, r.cnt) for r in
                    count_min_sketch_table(whole, "key", 3, 32).collect())
     assert counters == batch
     with pytest.raises(ValueError, match="depth/width"):
         stream_cms_sketch(stream, "key", 0, 32)
+
+
+def _delete_last_commit(ckpt: str) -> int:
+    """Simulate a crash AFTER the foreachBatch fold but BEFORE the
+    streaming commit: remove the newest ``commits/<batchId>`` file.
+    On restart Spark reconstructs that batch from the offset log and
+    REPLAYS it — the exact at-least-once window the durable fold's
+    watermark skip must absorb. Returns the replayed batch id."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    last = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(last)))
+    # the local-FS checkpoint manager writes a Hadoop .crc shadow per
+    # commit file; a stale one blocks the replayed commit's rename
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return last
+
+
+def test_stream_cms_sketch_restart_mid_backlog(spark, tmp_path):
+    """The r13 verdict's weak item: kill after N batches, restart, and
+    the counters must equal the one-shot sketch — the replayed
+    uncommitted batch must NOT double-count (count-min addition is not
+    idempotent). Staged as: fold 2 files durably, crash between fold
+    and commit, land 2 more files, restart — the replay is skipped via
+    the persisted watermark, the fresh files fold on top."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        count_min_sketch_table,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_cms_sketch,
+    )
+
+    whole = spark.range(0, 800).select((F.col("id") % 53).alias("key"))
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    spans = [(0, 200), (200, 450), (450, 650), (650, 800)]
+    for lo, hi in spans[:2]:
+        (whole.filter((F.col("id") >= lo) & (F.col("id") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+
+    def _stream():
+        return (spark.readStream.schema("key long")
+                .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    c1, folded1, skipped1 = stream_cms_sketch(
+        _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)
+    assert (folded1, skipped1) == (2, 0)
+    _delete_last_commit(ckpt)
+    for lo, hi in spans[2:]:
+        (whole.filter((F.col("id") >= lo) & (F.col("id") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+    c2, folded2, skipped2 = stream_cms_sketch(
+        _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)
+    # batch 1 replayed (skipped via watermark), batches 2-3 are fresh
+    assert (folded2, skipped2) == (2, 1)
+    one_shot = sorted((r.i, r.b, r.cnt) for r in
+                      count_min_sketch_table(whole, "key", 3, 32).collect())
+    assert c2 == one_shot
+    # and the in-memory fold WOULD have double-counted: the replayed
+    # batch is non-empty, so skipping it changed the outcome
+    assert c2 != c1
+
+
+def test_stream_cms_sketch_replay_without_new_data(spark, tmp_path):
+    """Pure-replay restart (crash after the LAST batch's fold): the
+    second run folds nothing, skips the replayed batch, and the
+    persisted counters already equal the one-shot sketch."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        count_min_sketch_table,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_cms_sketch,
+    )
+
+    whole = spark.range(0, 300).select((F.col("id") % 29).alias("key"))
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    for lo, hi in [(0, 150), (150, 300)]:
+        (whole.filter((F.col("id") >= lo) & (F.col("id") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+
+    def _stream():
+        return (spark.readStream.schema("key long")
+                .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    c1, folded1, _ = stream_cms_sketch(
+        _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)
+    assert folded1 == 2
+    _delete_last_commit(ckpt)
+    c2, folded2, skipped2 = stream_cms_sketch(
+        _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)
+    assert (folded2, skipped2) == (0, 1)
+    one_shot = sorted((r.i, r.b, r.cnt) for r in
+                      count_min_sketch_table(whole, "key", 3, 32).collect())
+    assert c1 == one_shot
+    assert c2 == one_shot
+
+
+def test_stream_kmv_sketch_durable_restart(spark, tmp_path):
+    """KMV durable mode: restart resumes from the persisted bottom-k
+    (in-memory state dies with the driver) and the watermark skip
+    spares the replayed batch's scan; result equals the one-shot
+    sketch."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_sketch_table,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_kmv_sketch,
+    )
+
+    whole = spark.range(0, 600).select(F.col("id").alias("key"))
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    for lo, hi in [(0, 300), (200, 600)]:
+        (whole.filter((F.col("key") >= lo) & (F.col("key") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+
+    def _stream():
+        return (spark.readStream.schema("key long")
+                .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    hs1, folded1, _ = stream_kmv_sketch(
+        _stream(), "key", 64, state_path=state, checkpoint_dir=ckpt)
+    assert folded1 == 2
+    _delete_last_commit(ckpt)
+    hs2, folded2, skipped2 = stream_kmv_sketch(
+        _stream(), "key", 64, state_path=state, checkpoint_dir=ckpt)
+    assert (folded2, skipped2) == (0, 1)
+    batch = sorted(r.h for r in kmv_sketch_table(whole, "key", 64).collect())
+    assert hs1 == batch
+    assert hs2 == batch
+
+
+def test_stream_sketch_fold_checkpoint_coherence(spark, tmp_path):
+    """Wiping the checkpoint while the sketch state persists restarts
+    batch ids at 0 BEHIND the watermark — the fold must raise (the
+    streaming/coherence.py hazard), not silently skip fresh data."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_cms_sketch,
+    )
+
+    whole = spark.range(0, 200).select((F.col("id") % 17).alias("key"))
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    for lo, hi in [(0, 100), (100, 200)]:
+        (whole.filter((F.col("id") >= lo) & (F.col("id") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+
+    def _stream():
+        return (spark.readStream.schema("key long")
+                .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _, folded1, _ = stream_cms_sketch(
+        _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)
+    assert folded1 == 2
+    shutil.rmtree(ckpt)
+    # the RuntimeError surfaces wrapped in the engine's query-failure
+    # envelope; the coherence message must ride through it
+    with pytest.raises(StreamingQueryException, match="reset or relocated"):
+        stream_cms_sketch(
+            _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)

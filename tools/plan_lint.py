@@ -284,11 +284,13 @@ def _jscan_counts(root) -> dict[str, int]:
     def walk(node):
         cname = node.getClass().getSimpleName()
         if cname == "ReusedExchangeExec":
-            # count the shared subtree once, no matter how many reuses
-            ident = node.child().hashCode()
-            if ident in seen_reuse:
-                return
-            seen_reuse.add(ident)
+            # NEVER descend: the referenced exchange subtree sits at its
+            # own position in this same tree and is walked there — a
+            # first-reuse descent would charge its FileScans twice
+            # (ADVICE r13). The walk-once-then-skip pattern below is
+            # only for InMemoryTableScanExec, whose cached build plan
+            # appears nowhere else in the tree.
+            return
         if cname == "InMemoryTableScanExec":
             # a cached relation MATERIALIZES once; its build subtree's
             # scans must not be charged once per cache consumer
