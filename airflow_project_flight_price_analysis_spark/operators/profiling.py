@@ -92,25 +92,33 @@ def count_min_estimates(keys: DataFrame, sketch: DataFrame, key_col: str,
                         depth: int = 4, width: int = 256) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: appends
     ``cms_est = min_i counter[i][bucket_i(key)]`` (0 for a key whose
-    bucket was never touched). depth broadcast hash joins on the
-    ≤ depth·width-row counter table — ZERO shuffles, so probing scales
-    to any key-table size; the broadcast is bounded by construction,
-    not by luck. depth/width must match the sketch's build parameters
-    (a mismatched probe reads the wrong counters)."""
-    out = keys
-    cols = []
+    bucket was never touched). ONE bounded broadcast — the
+    ≤ depth·width-row counter table pivots into a single-row map keyed
+    by ``i·width + b`` (a keys=[] aggregate, so the build side is
+    one row by construction) and every lane probes that one map column
+    via ``element_at`` — ZERO shuffles and a single broadcast barrier,
+    so probing scales to any key-table size. (r13 verdict item 5: the
+    previous form built depth separate filtered broadcasts, serializing
+    4 broadcast-build barriers per probe site for identical values —
+    A/B'd at sf0.1: never slower, ~3 fewer jobs.) depth/width must
+    match the sketch's build parameters (a mismatched probe reads the
+    wrong counters)."""
+    m = sketch.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct(
+            (F.col("i").cast("long") * width + F.col("b")).alias("key"),
+            F.col("cnt").alias("value"),
+        ))).alias("__cms_m"))
     buckets = cms_buckets(F.col(key_col), depth, width)
-    for i in range(depth):
-        s_i = sketch.filter(F.col("i") == i).select(
-            F.col("b").alias(f"__cms_b{i}"), F.col("cnt").alias(f"__cms_c{i}")
-        )
-        out = out.withColumn(f"__cms_b{i}", buckets[i]) \
-            .join(F.broadcast(s_i), f"__cms_b{i}", "left")
-        cols.append(F.coalesce(F.col(f"__cms_c{i}"), F.lit(0)))
-    est = cols[0] if len(cols) == 1 else F.least(*cols)
-    return out.withColumn("cms_est", est).drop(
-        *[c for i in range(depth) for c in (f"__cms_b{i}", f"__cms_c{i}")]
-    )
+    cols = [
+        F.coalesce(
+            F.element_at(F.col("__cms_m"),
+                         (F.lit(i) * width + buckets[i]).cast("long")),
+            F.lit(0))
+        for i in range(depth)
+    ]
+    est = cols[0] if depth == 1 else F.least(*cols)
+    return (keys.crossJoin(F.broadcast(m))
+            .withColumn("cms_est", est).drop("__cms_m"))
 
 
 # --------------------------------------------------------------------------

@@ -39,12 +39,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # moves the staleness floor to r9 — the remaining ~40 tier-3
     # slots then sweep the 17-row r9 cohort and into r10.
     "x127_stream_cms_merge",
+    # x120: count_min_estimates collapsed its 4 per-lane broadcasts
+    # into one single-row map broadcast (r13 verdict item 5) — values
+    # identical, physical probe shape new
+    "x120_count_min_heavy_hitters",
     "x122_kmv_distinct",
     "x124_stream_kmv_merge",
     "x125_weighted_systematic_sample",
     "x126_kmv_by_group",
     "x107_temperature_mixture",
     "x108_stratified_threshold",
+    # q87: the version history is now built as seed + ONE mixed-op
+    # MERGE (op_col CDC batch) and every merge write is
+    # bucket-clustered — values and oracle unchanged, composition new
+    "q87_snapshot_diff",
 )
 # Tier 2 (automatic, no green row) as of round-14: empty — every
 # registered query has a green driver row (215/215 after r13). New
@@ -126,6 +134,13 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # the CMS family (r13): x127's streaming fold certifies the same
     # count_min_sketch_table expressions x120 builds batch-side
     ("x120_count_min_heavy_hitters", "x127_stream_cms_merge"),
+    # the sampled-certification family (r14, r13 verdict item 6): both
+    # faces certify deterministic md5 bottom-k selection with
+    # brute-force parity harnesses (x123 quantile CDF over
+    # hash_bottomk_sample; x125 exact weighted systematic multiplicity)
+    # — the brute-force checks are the bench/build cost, so at most
+    # one re-certifies per driver round
+    ("x123_sampled_quantiles", "x125_weighted_systematic_sample"),
 )
 
 

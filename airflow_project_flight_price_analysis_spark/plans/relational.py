@@ -3694,16 +3694,21 @@ ORACLE.update({
 def q87_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver face of ``operators/transactional.snapshot_diff`` — CDC
     between two committed versions of the bucketed copy-on-write table
-    (the q86 harness extended one version further): seed v1 with the
-    supplier dim (cents-exact balances), MERGE v2 with updates
-    (suppkey % 10 == 3: +1000.00) and provably-disjoint shadow inserts
+    (the q86 harness extended by a mixed CDC batch): seed v1 with the
+    supplier dim (cents-exact balances), then apply ONE mixed-op MERGE
+    as v2 (r13 verdict item 7 — two commits total, not three): updates
+    (suppkey % 10 == 3: +1000.00), provably-disjoint shadow inserts
     (suppkey % 10 == 7 at max+1 offset — the q86 keyspace discipline),
-    then MERGE-DELETE v3 (suppkey % 10 == 5, when_matched='delete'),
-    and return ``snapshot_diff(v1, v3)``: every shadow key `added`,
-    every %5 key `removed`, every %3 key `changed` with both balances,
-    everything else excluded. The DuckDB oracle derives the exact diff
-    from the supplier table directly — a diff that misses a delete,
-    invents a change, or leaks an unchanged row value-mismatches.
+    and deletes (suppkey % 10 == 5) travel in a single source batch
+    routed by an ``__op`` column (``BucketedMergeTable.merge(op_col=)``
+    — the whenMatchedDelete-next-to-whenMatchedUpdate form). Return
+    ``snapshot_diff(v1, v2)``: every shadow key `added`, every %5 key
+    `removed`, every %3 key `changed` with both balances, everything
+    else excluded. The DuckDB oracle derives the exact diff from the
+    supplier table directly — a diff that misses a delete, invents a
+    change, or leaks an unchanged row value-mismatches; the oracle is
+    UNCHANGED from the three-commit form, certifying that one mixed
+    commit lands the identical end state.
 
     Scale posture: time-travel reads are manifest-driven (only the
     snapshots' own parquet), the diff join shuffles on the table key,
@@ -3733,11 +3738,15 @@ def q87_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = sup.filter(F.col("s_suppkey") % 10 == 7).select(
         (F.col("s_suppkey") + F.lit(off)).alias("s_suppkey"),
         "s_nationkey", "acctbal_cents")
-    t.merge(spark, updates.unionByName(inserts))           # v2
-    t.merge(spark, sup.filter(F.col("s_suppkey") % 10 == 5),
-            when_matched="delete")                         # v3
+    deletes = sup.filter(F.col("s_suppkey") % 10 == 5)
+    mixed = (
+        updates.withColumn("__op", F.lit("upsert"))
+        .unionByName(inserts.withColumn("__op", F.lit("upsert")))
+        .unionByName(deletes.withColumn("__op", F.lit("delete")))
+    )
+    t.merge(spark, mixed, op_col="__op")                   # v2: one CDC batch
     return (
-        snapshot_diff(spark, t, 1, 3)
+        snapshot_diff(spark, t, 1, 2)
         .select(
             "s_suppkey", "diff_status",
             "old_acctbal_cents", "new_acctbal_cents",
