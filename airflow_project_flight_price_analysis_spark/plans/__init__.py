@@ -139,8 +139,10 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # brute-force parity harnesses (x123 quantile CDF over
     # hash_bottomk_sample; x125 exact weighted systematic multiplicity)
     # — the brute-force checks are the bench/build cost, so at most
-    # one re-certifies per driver round
-    ("x123_sampled_quantiles", "x125_weighted_systematic_sample"),
+    # one re-certifies per driver round; x128 (r14) is x123's
+    # streaming-fold twin over the identical certification harness
+    ("x123_sampled_quantiles", "x125_weighted_systematic_sample",
+     "x128_stream_sample_quantiles"),
 )
 
 

@@ -4771,3 +4771,149 @@ ORACLE["x127_stream_cms_merge"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# --- X6 x X7 bridge: streaming sampled-quantile maintenance (r14) ------------
+
+_X128_K = 256
+#: denom=2, the x124 events-table geometry: survivors must stay >= k
+#: per the self-certifying-prefilter contract (probed at r13 round
+#: start: 495 / 4 982 / 49 981 event_ids pass at sf0.001/0.01/0.1).
+_X128_PREFILTER_DENOM = 2
+
+
+def x128_stream_sample_quantiles(spark: SparkSession, sf_dir: str,
+                                 ) -> DataFrame:
+    """Streaming maintenance of the deterministic quantile sample —
+    the X7 face of x123, completing the streaming-sketch TRIO (x124
+    KMV = distinct counts, x127 CMS = frequencies, this = quantiles):
+    the events backlog staged as four files, one per micro-batch,
+    ``foreachBatch`` drawing each batch's bottom-k rows by md5 key
+    hash DISTRIBUTED and folding them concatenate → re-bottom-k
+    (streaming/sketches.stream_bottomk_sample). The multiset merge law
+    (every global bottom-k row is inside its own batch's bottom-k)
+    makes the folded sample IDENTICAL to the one-shot sample, so the
+    x123 certification harness applies unchanged: the DuckDB oracle
+    draws the one-shot sample and computes the same quantile
+    estimates, and the gate value-hashes them exactly.
+
+    Output mirrors x123 — one row per probed quantile of
+    ``events.value`` (25/50/75/90/99%): sampled estimate (the
+    ceil(q·m)-th order statistic), its TRUE corpus CDF position
+    (``cdf_bp``), the gap, and the 3σ binomial envelope law — plus
+    x124's ``multi_batch`` law pinning that ≥ 2 micro-batches actually
+    merged (a single-batch run would certify nothing about folding).
+
+    Scale shape: per micro-batch one prefilter-pushed scan capped at k
+    rows by TakeOrdered; driver state O(k); the corpus CDF pass is the
+    CERTIFICATION (one scan, all five conditional counts in one
+    partial aggregate over the one-row broadcast sample array) — the
+    24/7 product path keeps the k-row sample alone.
+    """
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.sketches import stream_bottomk_sample  # noqa: PLC0415
+
+    k = _X128_K
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("v"))
+    root = tempfile.mkdtemp(prefix="x128_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(root)
+        stream = (
+            spark.readStream.schema("event_id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        sample, n_batches, _ = stream_bottomk_sample(
+            stream, ["event_id"], "v", k,
+            prefilter_denom=_X128_PREFILTER_DENOM)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    samp = spark.createDataFrame(sample, "h long, v double")
+    srow = samp.agg(
+        F.sort_array(F.collect_list("v")).alias("arr"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    ests = {
+        q: F.element_at(
+            F.col("arr"),
+            F.expr(f"CAST(({q} * m + 9999) DIV 10000 AS INT)"))
+        for q in _X123_QS
+    }
+    stats = (
+        ev.crossJoin(F.broadcast(srow))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("m").alias("m"),
+            *[F.sum(F.when(F.col("v") <= est, 1).otherwise(0))
+              .alias(f"c{q}") for q, est in ests.items()],
+            *[F.first(est).alias(f"e{q}") for q, est in ests.items()],
+        )
+    )
+    per_q = F.array(*[
+        F.struct(
+            F.lit(q).cast("long").alias("q_bp"),
+            F.col(f"e{q}").alias("est"),
+            F.expr(f"CAST(c{q} * 10000 DIV n AS BIGINT)").alias("cdf_bp"),
+        )
+        for q in _X123_QS
+    ])
+    return (
+        stats.select(F.explode(per_q).alias("r"), "n", "m")
+        .select(
+            F.col("r.q_bp").alias("q_bp"), F.col("r.est").alias("est"),
+            F.col("r.cdf_bp").alias("cdf_bp"),
+            F.col("n").cast("long").alias("n"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .withColumn("gap_bp", F.abs(F.col("cdf_bp") - F.col("q_bp")))
+        .withColumn("env_bp", F.expr(_X123_ENV_SQL))
+        .withColumn("within_envelope", F.col("gap_bp") <= F.col("env_bp"))
+        .withColumn("multi_batch", F.lit(n_batches >= 2))
+        .orderBy("q_bp")
+    )
+
+
+QUERIES["x128_stream_sample_quantiles"] = x128_stream_sample_quantiles
+
+ORACLE["x128_stream_sample_quantiles"] = f"""
+    WITH src AS (SELECT event_id, value AS v FROM events),
+    hs AS (
+        SELECT ('0x' || substring(md5(COALESCE(CAST(event_id AS VARCHAR),
+                    '')), 1, 15))::BIGINT AS h,
+               v
+        FROM src
+        WHERE ('0x' || substring(md5(COALESCE(CAST(event_id AS VARCHAR),
+                    '')), 1, 15))::BIGINT
+              < {16 ** 15 // _X128_PREFILTER_DENOM}
+    ),
+    samp AS (SELECT v FROM hs ORDER BY h LIMIT {_X128_K}),
+    srow AS (
+        SELECT list_sort(list(v)) AS arr, COUNT(*) AS m FROM samp
+    ),
+    qs AS (SELECT unnest({list(_X123_QS)}) AS q_bp),
+    est AS (
+        SELECT qs.q_bp,
+               srow.arr[CAST((qs.q_bp * srow.m + 9999) // 10000 AS INTEGER)]
+                   AS est,
+               srow.m
+        FROM qs CROSS JOIN srow
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    cdf AS (
+        SELECT e.q_bp, e.est, e.m, tot.n,
+               (SELECT COUNT(*) FROM src WHERE src.v <= e.est) * 10000
+                   // tot.n AS cdf_bp
+        FROM est e CROSS JOIN tot
+    )
+    SELECT CAST(q_bp AS BIGINT) AS q_bp, est,
+           CAST(cdf_bp AS BIGINT) AS cdf_bp, n, CAST(m AS BIGINT) AS m,
+           CAST(ABS(cdf_bp - q_bp) AS BIGINT) AS gap_bp,
+           {_X123_ENV_SQL} AS env_bp,
+           ABS(cdf_bp - q_bp) <= {_X123_ENV_SQL} AS within_envelope,
+           TRUE AS multi_batch
+    FROM cdf
+    ORDER BY q_bp
+"""

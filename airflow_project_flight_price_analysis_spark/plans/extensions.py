@@ -3062,8 +3062,11 @@ def x109_ledger_compaction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     ledger_p = os.path.join(root, "ledger")
     compact_p = os.path.join(root, "ledger_compacted")
-    sigs.filter(F.col("epoch_id") < 2).write.partitionBy("epoch_id") \
-        .parquet(ledger_p)
+    # cluster by epoch before the partitioned write (the q86/q87 r14
+    # small-files fix): one ledger file per epoch, not one per
+    # (task x epoch)
+    sigs.filter(F.col("epoch_id") < 2).repartition(2, "epoch_id") \
+        .write.partitionBy("epoch_id").parquet(ledger_p)
     compact_sig_ledger(spark, ledger_p, compact_p, upto_epoch=1)
 
     batch = sigs.filter(F.col("epoch_id") == 2).select("id", "sig")

@@ -55,6 +55,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CMS_STATE_SCHEMA = "i int, b int, cnt long"
 _KMV_STATE_SCHEMA = "h long"
@@ -167,6 +168,75 @@ def stream_kmv_sketch(stream_df: DataFrame, key_col: str, k: int,
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return sorted(state["hs"]), state["folded"], state["skipped"]
+
+
+def stream_bottomk_sample(stream_df: DataFrame, key_cols: list[str],
+                          value_col: str, k: int,
+                          prefilter_denom: int | None = None,
+                          state_path: str | None = None,
+                          checkpoint_dir: str | None = None,
+                          ) -> tuple[list[tuple[int, float]], int, int]:
+    """Fold a deterministic uniform ROW sample over a streaming
+    DataFrame — the third streaming sketch next to KMV (distinct) and
+    count-min (frequency), maintaining the quantile-estimation sample
+    of sampling.hash_bottomk_sample: per micro-batch, draw the batch's
+    bottom-k rows by md5-derived key hash DISTRIBUTED (same
+    prefilter-pushed TakeOrdered plan as the batch path, carrying
+    ``value_col``), then merge by concatenate → re-bottom-k.
+
+    The merge law holds for MULTISETS (every global bottom-k row is
+    inside its own batch's bottom-k, since a batch keeps all rows below
+    its own kth-minimum hash), so the folded sample is IDENTICAL to
+    the one-shot batch sample regardless of the backlog split — which
+    is what lets a sampled-quantile face sit behind the value-exact
+    oracle gate (the x124 discipline). Keys must be unique across the
+    whole stream (the hash_bottomk_sample precondition); a duplicate
+    key arriving in two batches enters once per occurrence, exactly as
+    it would in the one-shot sample.
+
+    Durable mode (``state_path``): the k-row sample persists under the
+    versioned-watermark protocol (module docstring). The concatenate
+    merge is replay-idempotent only WITH the watermark skip (a
+    replayed batch would re-append its rows), so durable mode applies
+    the same skip/raise rules as the CMS fold.
+
+    Returns ``(sorted (h, value) pairs — ≤ k, n_folded, n_skipped)``;
+    driver state O(k); per-batch work one scan capped at k rows."""
+    from ..operators.sampling import hash_bottomk_sample  # noqa: PLC0415
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    schema = "h long, v double"
+    spark = stream_df.sparkSession
+    wm, rows = (
+        _read_fold_state(spark, state_path, schema)
+        if state_path else (None, [])
+    )
+    state: dict = {"sample": [(r.h, r.v) for r in rows], "wm": wm,
+                   "folded": 0, "skipped": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not _check_fold_coherence(batch_id, state["wm"], "bottom-k"):
+            state["skipped"] += 1
+            return
+        bk = hash_bottomk_sample(
+            batch_df, key_cols, k, prefilter_denom
+        ).select(F.col("__sample_h").alias("h"),
+                 F.col(value_col).cast("double").alias("v"))
+        state["sample"] = sorted(
+            state["sample"] + [(r.h, r.v) for r in bk.collect()])[:k]
+        if state_path:
+            _publish_fold_state(
+                spark, state_path, schema, state["sample"], batch_id)
+        state["wm"] = batch_id
+        state["folded"] += 1
+
+    writer = stream_df.writeStream.foreachBatch(_merge)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return state["sample"], state["folded"], state["skipped"]
 
 
 def stream_cms_sketch(stream_df: DataFrame, key_col: str,

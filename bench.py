@@ -199,8 +199,13 @@ HEADLINE = [
     # deduped shuffle + a group-partitioned rank window
     "x126_kmv_by_group",
     # round-13: streaming CMS maintenance — counter-wise foreachBatch
-    # fold (eager builder, x111/x124 class)
+    # fold (eager builder, x111/x124 class; r14: durable
+    # versioned-watermark state + in-band crash-replay exercise)
     "x127_stream_cms_merge",
+    # round-14: streaming sampled-quantile maintenance — bottom-k row
+    # sample folded through foreachBatch (the third streaming sketch;
+    # eager builder, x111/x124 class)
+    "x128_stream_sample_quantiles",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -990,3 +990,47 @@ def test_stream_sketch_fold_checkpoint_coherence(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="reset or relocated"):
         stream_cms_sketch(
             _stream(), "key", 3, 32, state_path=state, checkpoint_dir=ckpt)
+
+
+def test_stream_bottomk_sample_equals_batch_sample(spark, tmp_path):
+    """The folded streaming sample must equal the one-shot batch
+    bottom-k sample (multiset merge law) regardless of the backlog
+    split; durable restart resumes from the persisted sample and skips
+    the replayed batch (concatenate-merge is NOT replay-idempotent
+    without the watermark)."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        hash_bottomk_sample,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_bottomk_sample,
+    )
+
+    whole = spark.range(0, 900).select(
+        F.col("id").alias("key"), (F.col("id") * 1.5).alias("v"))
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    for lo, hi in [(0, 300), (300, 600), (600, 900)]:
+        (whole.filter((F.col("key") >= lo) & (F.col("key") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+
+    def _stream():
+        return (spark.readStream.schema("key long, v double")
+                .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    s1, folded1, _ = stream_bottomk_sample(
+        _stream(), ["key"], "v", 64, state_path=state, checkpoint_dir=ckpt)
+    assert folded1 == 3
+    one_shot = sorted(
+        (r["__sample_h"], r["v"]) for r in hash_bottomk_sample(
+            whole, ["key"], 64).select("__sample_h", "v").collect())
+    assert s1 == one_shot
+    assert len(s1) == 64
+    # crash after last fold, before commit: replay must be skipped
+    _delete_last_commit(ckpt)
+    s2, folded2, skipped2 = stream_bottomk_sample(
+        _stream(), ["key"], "v", 64, state_path=state, checkpoint_dir=ckpt)
+    assert (folded2, skipped2) == (0, 1)
+    assert s2 == one_shot

@@ -84,6 +84,10 @@ SECTIONS = [
      "weighted systematic pick: x110-style two-phase banded prefix "
      "(|bands|-row offsets window + partition-bounded in-band "
      "cumulative), integer target arithmetic, <= n_picks output rows"),
+    ("x128_stream_sample_quantiles",
+     "streaming sampled quantiles: per-micro-batch bottom-k fold "
+     "(k-row driver state), then x123's one-scan CDF certification "
+     "with the sorted sample array on a one-row broadcast"),
     ("x84_quantile_binning",
      "one-row percentile-bounds aggregate broadcast into map-side bin "
      "assignment (BroadcastNestedLoopJoin of a single row) — no per-row "
