@@ -88,9 +88,22 @@ def _publish_fold_state(spark: SparkSession, state_path: str, schema: str,
     """Atomically publish the post-fold sketch as ``v=<batch_id>``
     (the new high-watermark), then prune superseded versions — AFTER
     the new version is durable, so every moment has a readable maximum.
-    One tiny single-file write (≤ k / depth·width rows)."""
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
+    One tiny single-file write (≤ k / depth·width rows).
+
+    The single partition comes from ``parallelize(rows, 1)``, NOT
+    ``createDataFrame(rows).coalesce(1)``: the latter parallelizes the
+    driver rows across default-parallelism Python partitions and then
+    makes ONE task drain all of them serially through the Python
+    runner — measured ~5-7 s per publish for a 1024-row sketch vs
+    ~0.4 s this way (r14 profiling; at 4+ publishes per backlog that
+    was the entire fold cost)."""
+    if rows:
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)
+    else:
+        df = spark.createDataFrame([], schema)
+    df.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"v={batch_id}"))
     for d in os.listdir(state_path):
         if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) != batch_id:
             shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
