@@ -256,3 +256,83 @@ def kmv_group_estimates(sketch: DataFrame, k: int) -> DataFrame:
             .alias("kmv_est"),
         )
     )
+
+def kmv_set_algebra(sketch_a: DataFrame, sketch_b: DataFrame,
+                    k: int) -> DataFrame:
+    """Theta-style set algebra from two KMV bottom-k sketches (Beyer et
+    al. 2007, "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations"): estimate ``|A ∪ B|``, ``|A ∩ B|``, and Jaccard from
+    the ≤ k-row sketches ALONE — the cross-corpus overlap question
+    ("how much of corpus B is already in corpus A?") answered without
+    ever joining the corpora, which at 100 TB is the difference between
+    shipping two ≤ k-row tables and shuffling two key spaces.
+
+    Estimator: let ``L`` = bottom-k of the union of the two sketches'
+    hash sets. ``L``'s kth minimum is ≤ either sketch's own kth
+    minimum, so every ``h ∈ L`` is below both sketches' thresholds and
+    membership in a sketch ⟺ membership in its corpus. Hence
+    ``union_est = (k−1)·2^60 / kth_min(L)`` (the usual KMV estimator
+    over A ∪ B), ``ρ̂ = |L ∩ A ∩ B| / |L|`` is a uniform-sample
+    estimate of Jaccard, and ``inter_est = ρ̂ · union_est``. When
+    ``|L| < k`` both sketches were unsaturated (each carries its
+    corpus's ENTIRE hash set), so all three quantities are exact.
+
+    Everything is md5-derived integers plus one double ratio per
+    estimate (division / multiply / floor — each IEEE-exactly-rounded,
+    so DuckDB replays the row bit-for-bit, the x122 discipline).
+
+    Input contract: both sketches are ``kmv_sketch_table`` outputs (or
+    per-group slices of ``kmv_sketch_by_group``) built with the SAME
+    hash and the same ``k`` passed here, each a single column ``h``.
+    Returns one row: ``n_sketch_a, n_sketch_b, n_union_sketch,
+    kth_min, n_inter_sketch, union_est, inter_est, jaccard_bp_est``
+    (Jaccard in basis points, integer-floored).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    tagged = sketch_a.select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(sketch_b.select(
+        "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    sizes = tagged.agg(
+        F.sum("in_a").cast("long").alias("n_sketch_a"),
+        F.sum("in_b").cast("long").alias("n_sketch_b"),
+    )
+    union_sketch = (
+        tagged.groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    est_lit = repr(float((k - 1) * _KMV_DOMAIN))
+    law = union_sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("h").alias("kth_min"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+        .alias("n_inter_sketch"),
+    )
+    return (
+        law.crossJoin(F.broadcast(sizes))
+        .select(
+            "n_sketch_a", "n_sketch_b", "n_union_sketch", "kth_min",
+            "n_inter_sketch",
+            F.when(F.col("n_union_sketch") < k,
+                   F.col("n_union_sketch"))
+            .otherwise(F.expr(
+                f"CAST(FLOOR(CAST({est_lit} AS DOUBLE)"
+                " / CAST(kth_min AS DOUBLE)) AS BIGINT)"))
+            .cast("long").alias("union_est"),
+            F.when(F.col("n_union_sketch") < k,
+                   F.col("n_inter_sketch"))
+            .otherwise(F.expr(
+                f"CAST(FLOOR((CAST(n_inter_sketch AS DOUBLE)"
+                f" / CAST({k} AS DOUBLE))"
+                f" * (CAST({est_lit} AS DOUBLE)"
+                " / CAST(kth_min AS DOUBLE))) AS BIGINT)"))
+            .cast("long").alias("inter_est"),
+            F.when(F.col("n_union_sketch") == 0, F.lit(0))
+            .otherwise(F.expr(
+                "n_inter_sketch * 10000 DIV n_union_sketch"))
+            .cast("long").alias("jaccard_bp_est"),
+        )
+    )

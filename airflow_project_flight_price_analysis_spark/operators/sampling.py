@@ -565,3 +565,95 @@ def weighted_systematic_sample(df: DataFrame, key_col: str, weight_col: str,
         .filter(F.col("multiplicity") > 0)
         .select(key_col, weight_col, "multiplicity", "total_w", "step")
     )
+
+def priority_sample(df: DataFrame, key_cols: "list[str]", weight_col: str,
+                    k: int) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    sampling for estimation of arbitrary subset sums"): a deterministic
+    weighted WITHOUT-replacement sample of ``k`` rows that supports
+    unbiased subset-sum estimation — the "estimate any slice's token
+    mass from one small sample" primitive corpus accounting needs at
+    100 TB, and the without-replacement complement of
+    :func:`weighted_systematic_sample`'s exact multiplicity picks.
+
+    Each row draws ``u = h / 2^60 ∈ (0, 1]`` from the md5-derived
+    60-bit hash of its key (``+1`` so u is never 0) and gets priority
+    ``p = w / u``; the sample is the ``k`` largest priorities, and
+    ``tau`` is the (k+1)-th. DLT: ``ŵ_i = max(w_i, tau)`` for sampled
+    rows (0 otherwise) satisfies ``E[ŵ_i] = w_i`` with zero pairwise
+    covariance, so ``Σ_{i ∈ S∩sample} max(w_i, tau)`` unbiasedly
+    estimates ANY subset sum ``W_S`` chosen after the fact, and
+    (Szegedy 2006) ``Var(Σŵ) ≤ W² / (k−1)``.
+
+    Determinism/replay: the only non-integer op is one double division
+    (``CAST(w AS DOUBLE) / CAST(h+1 AS DOUBLE)`` — int→double
+    conversion and division are both IEEE-exactly-rounded, so every
+    engine computes bit-identical priorities; ``tau``'s re-scaling by
+    2^60 multiplies by a power of two, which only shifts the
+    exponent). Ordering ties break by ``(h, key)``, and the boundary
+    row is identified by the lexicographic min of ``(priority, −h)``
+    — unique as long as hashes are distinct, so the cut is exact even
+    when two rows tie on priority. Distinct keys are assumed (the
+    :func:`hash_bottomk_sample` precondition — duplicate keys share a
+    hash, hence a priority and a boundary identity).
+
+    Scale shape: ``orderBy(priority).limit(k+1)`` compiles to
+    TakeOrderedAndProject — per-partition top-(k+1) then a k+1-row
+    merge, no global sort, no shuffle of the corpus. Callers that
+    derive several outputs should persist the returned ≤ k+1-row frame.
+
+    Returns the top-(k+1) frame (the boundary row INCLUDED, flagged):
+    original columns plus ``__ps_h``, ``priority``, ``tau`` (0.0 when
+    the corpus has ≤ k rows, so ``w_est`` falls back to the exact
+    weight), ``is_boundary`` (true on the (k+1)-th row — callers drop
+    it), and ``w_est = max(w, tau)`` (double). Estimate a subset sum
+    as ``SUM(w_est) FILTER (NOT is_boundary AND row ∈ S)``; for
+    cross-engine value comparison quantize each term before summing
+    (double sums are order-dependent; ``floor(w_est · 2^q)`` terms sum
+    exactly in integers in any order).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .profiling import kmv_hash  # noqa: PLC0415
+
+    h = kmv_hash(F.concat_ws(":", *[F.col(c) for c in key_cols])) + F.lit(1)
+    top = (
+        df.withColumn("__ps_h", h.cast("long"))
+        .withColumn("priority", F.expr(
+            f"CAST({weight_col} AS DOUBLE) / CAST(__ps_h AS DOUBLE)"))
+        .orderBy(F.desc("priority"), F.asc("__ps_h"),
+                 *[F.asc(c) for c in key_cols])
+        .limit(k + 1)
+    )
+    # the boundary = the LAST row in (priority DESC, h ASC) order =
+    # the lexicographic MIN of (priority, -h); a one-row aggregate,
+    # broadcast back. With ≤ k rows total there is no boundary and
+    # tau = 0 (every weight is exact).
+    stat = top.agg(
+        F.count(F.lit(1)).cast("long").alias("__ps_m"),
+        F.min(F.struct(
+            F.col("priority").alias("p"),
+            (-F.col("__ps_h")).alias("nh"),
+        )).alias("__ps_b"),
+    )
+    return (
+        top.crossJoin(F.broadcast(stat))
+        .withColumn(
+            "is_boundary",
+            (F.col("__ps_m") == k + 1)
+            & (F.col("priority") == F.col("__ps_b.p"))
+            & (F.col("__ps_h") == -F.col("__ps_b.nh")),
+        )
+        .withColumn(
+            "tau",
+            F.when(F.col("__ps_m") == k + 1,
+                   F.col("__ps_b.p") * F.lit(float(2 ** 60)))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "w_est",
+            F.greatest(F.expr(f"CAST({weight_col} AS DOUBLE)"),
+                       F.col("tau")),
+        )
+        .drop("__ps_m", "__ps_b")
+    )

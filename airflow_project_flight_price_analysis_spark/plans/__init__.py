@@ -130,7 +130,14 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     ("x122_kmv_distinct", "x124_stream_kmv_merge",
      # x126 (r13): the GROUP BY face of the same kmv_hash/bottom-k/
      # estimate expressions
-     "x126_kmv_by_group"),
+     "x126_kmv_by_group",
+     # x129/x131 (r14): the set-algebra faces — union/intersection/
+     # Jaccard (x129) and pairwise containment/FK discovery (x131)
+     # certify kmv_set_algebra / kmv_sketch_by_group over the same
+     # kmv_hash bottom-k harness; x133 composes the streaming fold
+     # with the algebra (x124's merge-law oracle, one level up)
+     "x129_kmv_set_algebra", "x131_fk_containment",
+     "x133_stream_overlap_monitor"),
     # the CMS family (r13): x127's streaming fold certifies the same
     # count_min_sketch_table expressions x120 builds batch-side
     ("x120_count_min_heavy_hitters", "x127_stream_cms_merge"),
@@ -142,7 +149,10 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     # one re-certifies per driver round; x128 (r14) is x123's
     # streaming-fold twin over the identical certification harness
     ("x123_sampled_quantiles", "x125_weighted_systematic_sample",
-     "x128_stream_sample_quantiles"),
+     "x128_stream_sample_quantiles",
+     # x130 (r14): priority sampling rides the same deterministic
+     # md5-draw selection harness with a brute-force exact side
+     "x130_priority_sample"),
 )
 
 

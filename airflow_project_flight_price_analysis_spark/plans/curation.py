@@ -4917,3 +4917,820 @@ ORACLE["x128_stream_sample_quantiles"] = f"""
     FROM cdf
     ORDER BY q_bp
 """
+
+
+# --- X6 extension: KMV theta set algebra (r14) -------------------------------
+
+_X129_K = 256
+#: Prefilter denom 2 (not x122's 4): the SMALLER corpus here (~1.1k
+#: distinct orderkeys with a returned line at sf0.001) must keep >= k
+#: survivors with margin — expected 548 at denom 2 (>4 sigma above
+#: 256) vs 274 at denom 4 (~1.3 sigma, a real flake risk).
+_X129_PREFILTER_DENOM = 2
+#: Union estimate envelope: 3 sigma of the KMV estimator at k=256
+#: (x122's constant, same k).
+_X129_UNION_ENV_BP = 1882
+#: Jaccard envelope: 3 sigma of the in-sketch intersection fraction —
+#: |L ∩ A ∩ B| is a size-k uniform sample of A ∪ B probed for
+#: membership in A ∩ B, so sigma = sqrt(rho(1-rho)/k) at the EXACT
+#: rho. All operands CAST to DOUBLE explicitly (the x123 decimal-
+#: literal lesson).
+_X129_JACC_ENV_SQL = (
+    "CAST(FLOOR(CAST(30000 AS DOUBLE) * SQRT("
+    "(CAST(jaccard_bp_exact AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    " * (CAST(1 AS DOUBLE) - CAST(jaccard_bp_exact AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE))"
+    f" / CAST({_X129_K} AS DOUBLE))) AS BIGINT)")
+#: Intersection envelope (relative, bp): first-order union bound — the
+#: product estimate rho_hat * union_est inherits 3 sigma of each
+#: factor's relative error: 3(sqrt((1-rho)/(rho k)) + 1/sqrt(k-2)).
+_X129_INTER_ENV_SQL = (
+    "CAST(FLOOR(CAST(30000 AS DOUBLE) * ("
+    "SQRT((CAST(1 AS DOUBLE) - CAST(jaccard_bp_exact AS DOUBLE)"
+    " / CAST(10000 AS DOUBLE))"
+    " / ((CAST(jaccard_bp_exact AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    f" * CAST({_X129_K} AS DOUBLE)))"
+    f" + CAST(1 AS DOUBLE) / SQRT(CAST({_X129_K - 2} AS DOUBLE))"
+    ")) AS BIGINT)")
+
+
+def x129_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV set algebra (profiling.kmv_set_algebra — Beyer
+    et al. 2007): estimate |A ∪ B|, |A ∩ B|, and Jaccard between two
+    corpora from their ≤ k-row bottom-k sketches ALONE. This is the
+    cross-corpus overlap question a training-data pipeline asks before
+    merging sources ("how much of corpus B is already in A?"), answered
+    WITHOUT joining the corpora — at 100 TB the sketches are two ≤ 256-
+    row tables shipped to one node, vs a shuffle of two key spaces.
+
+    A = orderkeys with a returned line (l_returnflag = 'R'), B =
+    orderkeys with a bulk line (l_quantity ≥ 25) — ~1.1k/11k/111k and
+    ~1.3k/13k/131k distinct keys at the three sfs, Jaccard ≈ 0.72.
+    Both membership flags come from ONE prefiltered survivor pass
+    (max() per hash), so order-level membership ("ANY line matches")
+    is computed once; the per-set sketches are bottom-k slices of that
+    persisted table.
+
+    One row: sketch sizes, the union sketch's kth minimum, the three
+    estimates, their exact counterparts (certification harness — a
+    second full scan that exists only to grade the sketch, like x120/
+    x122's exact sides; the 100 TB product path keeps the sketches
+    alone), and three law columns: the union estimate inside x122's
+    3σ envelope, the Jaccard estimate inside its binomial 3σ, and the
+    intersection estimate inside the first-order product bound.
+    DuckDB replays every hash, membership bit, and double ratio
+    exactly (the x122 discipline).
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..operators.profiling import (  # noqa: PLC0415
+        _KMV_DOMAIN,
+        kmv_hash,
+        kmv_set_algebra,
+    )
+
+    k = _X129_K
+    thr = _KMV_DOMAIN // _X129_PREFILTER_DENOM
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        (F.col("l_returnflag") == "R").cast("int").alias("a"),
+        (F.col("l_quantity") >= 25).cast("int").alias("b"),
+    )
+    surv = (
+        li.select(kmv_hash(F.col("key")).alias("h"), "a", "b")
+        .filter(F.col("h") < F.lit(thr))
+        .groupBy("h")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+        .transform(track_persist)
+    )
+    sk_a = surv.filter(F.col("in_a") == 1).select("h").orderBy("h").limit(k)
+    sk_b = surv.filter(F.col("in_b") == 1).select("h").orderBy("h").limit(k)
+    alg = kmv_set_algebra(sk_a, sk_b, k)
+    per_key = li.groupBy("key").agg(
+        F.max("a").alias("a"), F.max("b").alias("b"))
+    exact = per_key.agg(
+        F.sum(F.greatest("a", "b")).cast("long").alias("n_union_exact"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_inter_exact"),
+    )
+    return (
+        alg.crossJoin(F.broadcast(exact))
+        .withColumn("jaccard_bp_exact", F.expr(
+            "CAST(n_inter_exact * 10000 DIV n_union_exact AS BIGINT)"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_sketch_a", "n_sketch_b", "n_union_sketch", "kth_min",
+            "n_inter_sketch",
+            "union_est", "n_union_exact",
+            F.expr("CAST(ABS(union_est - n_union_exact) * 10000"
+                   " DIV n_union_exact AS BIGINT)").alias("union_err_bp"),
+            (F.expr("ABS(union_est - n_union_exact) * 10000"
+                    " DIV n_union_exact")
+             <= _X129_UNION_ENV_BP).alias("union_env_ok"),
+            "jaccard_bp_est", "jaccard_bp_exact",
+            F.expr("CAST(ABS(jaccard_bp_est - jaccard_bp_exact) AS BIGINT)")
+            .alias("jaccard_err_bp"),
+            F.expr(_X129_JACC_ENV_SQL).alias("jaccard_env_bp"),
+            (F.expr("ABS(jaccard_bp_est - jaccard_bp_exact)")
+             <= F.expr(_X129_JACC_ENV_SQL)).alias("jaccard_env_ok"),
+            "inter_est", "n_inter_exact",
+            F.expr("CAST(ABS(inter_est - n_inter_exact) * 10000"
+                   " DIV n_inter_exact AS BIGINT)").alias("inter_err_bp"),
+            F.expr(_X129_INTER_ENV_SQL).alias("inter_env_bp"),
+            (F.expr("ABS(inter_est - n_inter_exact) * 10000"
+                    " DIV n_inter_exact")
+             <= F.expr(_X129_INTER_ENV_SQL)).alias("inter_env_ok"),
+        )
+    )
+
+
+QUERIES["x129_kmv_set_algebra"] = x129_kmv_set_algebra
+
+_X129_EST_LIT = repr(float((_X129_K - 1) * 16 ** 15))
+
+ORACLE["x129_kmv_set_algebra"] = f"""
+    WITH src AS (
+        SELECT l_orderkey AS key,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+               CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS b
+        FROM lineitem
+    ),
+    hs AS (
+        SELECT ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')),
+                    1, 15))::BIGINT AS h,
+               a, b
+        FROM src
+    ),
+    surv AS (
+        SELECT h, MAX(a) AS in_a, MAX(b) AS in_b
+        FROM hs
+        WHERE h < {16 ** 15 // _X129_PREFILTER_DENOM}
+        GROUP BY h
+    ),
+    ska AS (SELECT h FROM surv WHERE in_a = 1 ORDER BY h LIMIT {_X129_K}),
+    skb AS (SELECT h FROM surv WHERE in_b = 1 ORDER BY h LIMIT {_X129_K}),
+    tagged AS (
+        SELECT h, 1 AS in_a, 0 AS in_b FROM ska
+        UNION ALL
+        SELECT h, 0 AS in_a, 1 AS in_b FROM skb
+    ),
+    sizes AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS n_sketch_a,
+               CAST(SUM(in_b) AS BIGINT) AS n_sketch_b
+        FROM tagged
+    ),
+    mem AS (
+        SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM tagged GROUP BY h
+    ),
+    usk AS (SELECT * FROM mem ORDER BY h LIMIT {_X129_K}),
+    law AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+               MAX(h) AS kth_min,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_sketch
+        FROM usk
+    ),
+    alg AS (
+        SELECT sizes.n_sketch_a, sizes.n_sketch_b,
+               law.n_union_sketch, law.kth_min, law.n_inter_sketch,
+               CAST(CASE WHEN law.n_union_sketch < {_X129_K}
+                    THEN law.n_union_sketch
+                    ELSE CAST(FLOOR(CAST({_X129_EST_LIT} AS DOUBLE)
+                         / CAST(law.kth_min AS DOUBLE)) AS BIGINT)
+               END AS BIGINT) AS union_est,
+               CAST(CASE WHEN law.n_union_sketch < {_X129_K}
+                    THEN law.n_inter_sketch
+                    ELSE CAST(FLOOR((CAST(law.n_inter_sketch AS DOUBLE)
+                         / CAST({_X129_K} AS DOUBLE))
+                         * (CAST({_X129_EST_LIT} AS DOUBLE)
+                         / CAST(law.kth_min AS DOUBLE))) AS BIGINT)
+               END AS BIGINT) AS inter_est,
+               CAST(CASE WHEN law.n_union_sketch = 0 THEN 0
+                    ELSE law.n_inter_sketch * 10000 // law.n_union_sketch
+               END AS BIGINT) AS jaccard_bp_est
+        FROM law, sizes
+    ),
+    perkey AS (
+        SELECT key, MAX(a) AS a, MAX(b) AS b FROM src GROUP BY key
+    ),
+    exact AS (
+        SELECT CAST(SUM(GREATEST(a, b)) AS BIGINT) AS n_union_exact,
+               CAST(SUM(a * b) AS BIGINT) AS n_inter_exact
+        FROM perkey
+    ),
+    wide AS (
+        SELECT alg.*, exact.n_union_exact, exact.n_inter_exact,
+               CAST(exact.n_inter_exact * 10000 // exact.n_union_exact
+                    AS BIGINT) AS jaccard_bp_exact
+        FROM alg, exact
+    )
+    SELECT CAST({_X129_K} AS BIGINT) AS k,
+           n_sketch_a, n_sketch_b, n_union_sketch, kth_min, n_inter_sketch,
+           union_est, n_union_exact,
+           CAST(ABS(union_est - n_union_exact) * 10000 // n_union_exact
+                AS BIGINT) AS union_err_bp,
+           ABS(union_est - n_union_exact) * 10000 // n_union_exact
+               <= {_X129_UNION_ENV_BP} AS union_env_ok,
+           jaccard_bp_est, jaccard_bp_exact,
+           CAST(ABS(jaccard_bp_est - jaccard_bp_exact) AS BIGINT)
+               AS jaccard_err_bp,
+           {_X129_JACC_ENV_SQL} AS jaccard_env_bp,
+           ABS(jaccard_bp_est - jaccard_bp_exact)
+               <= {_X129_JACC_ENV_SQL} AS jaccard_env_ok,
+           inter_est, n_inter_exact,
+           CAST(ABS(inter_est - n_inter_exact) * 10000 // n_inter_exact
+                AS BIGINT) AS inter_err_bp,
+           {_X129_INTER_ENV_SQL} AS inter_env_bp,
+           ABS(inter_est - n_inter_exact) * 10000 // n_inter_exact
+               <= {_X129_INTER_ENV_SQL} AS inter_env_ok
+    FROM wide
+"""
+
+
+# --- sampling extension: priority sampling for subset sums (r14) -------------
+
+_X130_K = 512
+#: repr(float(2^60)) — exact (power of two); scales the (k+1)-th
+#: priority quotient w/h back into weight units (tau = w/u).
+_X130_TAU_SCALE = repr(float(2 ** 60))
+#: Quantization for order-independent double summation: each sampled
+#: row's max(w, tau) is floored at 2^-20 granularity (multiply by 2^20
+#: is exact — power of two — so FLOOR sees the true product) and the
+#: integer terms sum exactly in any order; the final estimate divides
+#: back. Double sums would differ between engines by summation order.
+_X130_QUANT = 2 ** 20
+
+
+def x130_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling for arbitrary subset sums (sampling.
+    priority_sample — Duffield, Lund & Thorup 2007; variance bound
+    Szegedy 2006): ONE k=512 weighted sample of lineitem rows
+    (weight = l_quantity) answers ANY after-the-fact "total quantity
+    in slice S" question, here graded on the three l_returnflag
+    slices. The deterministic md5 draw makes the whole scheme
+    value-replayable: both engines compute bit-identical priorities
+    (one IEEE division per row), the same top-(k+1), the same
+    boundary row and tau, and exactly equal quantized estimates —
+    rng-free weighted sampling, the x123/x125 discipline extended to
+    without-replacement weighted selection.
+
+    Scale shape: the sample is TakeOrderedAndProject (per-partition
+    top-(k+1), a 513-row merge — no shuffle, no global sort); the
+    ≤ 513-row frame is persisted and every downstream aggregate is
+    bounded by it. The exact per-flag sums are the certification
+    harness (one more scan that exists only to grade the estimator).
+
+    One row per l_returnflag: sample rows landing in the flag,
+    quantized DLT estimate ``w_est = Σ max(w_i, tau)``, exact
+    ``w_exact``, error, and the Szegedy envelope law
+    ``|est − exact| ≤ 3·W/√(k−1)`` (per-row estimators are unbiased
+    with zero pairwise covariance, so Var of ANY subset sum is at
+    most Var of the total, which Szegedy bounds by W²/(k−1)).
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..operators.sampling import priority_sample  # noqa: PLC0415
+
+    k = _X130_K
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    top = priority_sample(li, ["k1", "k2"], "w", k).transform(track_persist)
+    est = (
+        top.filter(~F.col("is_boundary"))
+        .withColumn("wq", F.expr(
+            f"CAST(FLOOR(w_est * CAST({_X130_QUANT} AS DOUBLE)) AS BIGINT)"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.expr(f"CAST(SUM(wq) DIV {_X130_QUANT} AS BIGINT)")
+            .alias("w_est_flag"),
+        )
+    )
+    exact = li.groupBy("flag").agg(
+        F.sum("w").cast("long").alias("w_exact"))
+    total = li.agg(F.sum("w").cast("long").alias("total_w"))
+    env = (f"CAST(FLOOR(CAST(3 AS DOUBLE) * CAST(total_w AS DOUBLE)"
+           f" / SQRT(CAST({k - 1} AS DOUBLE))) AS BIGINT)")
+    return (
+        exact.join(est, "flag", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "flag",
+            F.coalesce(F.col("n_sample"), F.lit(0)).cast("long")
+            .alias("n_sample"),
+            "w_exact",
+            F.coalesce(F.col("w_est_flag"), F.lit(0)).cast("long")
+            .alias("w_est"),
+            F.expr("CAST(ABS(COALESCE(w_est_flag, 0) - w_exact)"
+                   " AS BIGINT)").alias("abs_err"),
+            F.expr(env).alias("env_abs"),
+            (F.expr("ABS(COALESCE(w_est_flag, 0) - w_exact)")
+             <= F.expr(env)).alias("within_envelope"),
+        )
+        .orderBy("flag")
+    )
+
+
+QUERIES["x130_priority_sample"] = x130_priority_sample
+
+ORACLE["x130_priority_sample"] = f"""
+    WITH src AS (
+        SELECT l_orderkey AS k1, l_linenumber AS k2,
+               CAST(l_quantity AS BIGINT) AS w, l_returnflag AS flag
+        FROM lineitem
+    ),
+    pri AS (
+        SELECT *,
+               ('0x' || substring(md5(COALESCE(CAST(concat_ws(':',
+                    CAST(k1 AS VARCHAR), CAST(k2 AS VARCHAR)) AS VARCHAR),
+                    '')), 1, 15))::BIGINT + 1 AS h
+        FROM src
+    ),
+    p2 AS (
+        SELECT *, CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS p FROM pri
+    ),
+    top AS (
+        SELECT * FROM p2
+        ORDER BY p DESC, h ASC, k1 ASC, k2 ASC
+        LIMIT {_X130_K + 1}
+    ),
+    m AS (SELECT COUNT(*) AS c FROM top),
+    bnd AS (SELECT p, h FROM top ORDER BY p ASC, h DESC LIMIT 1),
+    samp AS (
+        SELECT t.flag,
+               CASE WHEN m.c = {_X130_K + 1}
+                    THEN bnd.p * CAST({_X130_TAU_SCALE} AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE)
+               END AS tau,
+               t.w
+        FROM top t, m, bnd
+        WHERE m.c < {_X130_K + 1} OR NOT (t.p = bnd.p AND t.h = bnd.h)
+    ),
+    est AS (
+        SELECT flag,
+               CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(SUM(CAST(FLOOR(GREATEST(CAST(w AS DOUBLE), tau)
+                    * CAST({_X130_QUANT} AS DOUBLE)) AS BIGINT))
+                    // {_X130_QUANT} AS BIGINT) AS w_est_flag
+        FROM samp GROUP BY flag
+    ),
+    exact AS (
+        SELECT flag, CAST(SUM(w) AS BIGINT) AS w_exact
+        FROM src GROUP BY flag
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM src)
+    SELECT exact.flag,
+           CAST(COALESCE(est.n_sample, 0) AS BIGINT) AS n_sample,
+           exact.w_exact,
+           CAST(COALESCE(est.w_est_flag, 0) AS BIGINT) AS w_est,
+           CAST(ABS(COALESCE(est.w_est_flag, 0) - exact.w_exact)
+                AS BIGINT) AS abs_err,
+           CAST(FLOOR(CAST(3 AS DOUBLE) * CAST(tot.total_w AS DOUBLE)
+                / SQRT(CAST({_X130_K - 1} AS DOUBLE))) AS BIGINT)
+               AS env_abs,
+           ABS(COALESCE(est.w_est_flag, 0) - exact.w_exact)
+               <= CAST(FLOOR(CAST(3 AS DOUBLE) * CAST(tot.total_w AS DOUBLE)
+                   / SQRT(CAST({_X130_K - 1} AS DOUBLE))) AS BIGINT)
+               AS within_envelope
+    FROM exact LEFT JOIN est ON est.flag = exact.flag
+    CROSS JOIN tot
+    ORDER BY exact.flag
+"""
+
+
+# --- X6 extension: sketch-based containment / FK discovery (r14) -------------
+
+_X131_K = 256
+#: Directed column pairs probed for containment(child ⊆ parent):
+#: the four star-schema FK edges and their reverses (the reverse
+#: containments are < 1 wherever parents exist without children —
+#: customers who never ordered, parts never ordered, etc.), so the
+#: face grades both the ≈1.0 and the interior-rho estimator paths.
+_X131_PAIRS: tuple = (
+    ("o_custkey", "c_custkey"),
+    ("c_custkey", "o_custkey"),
+    ("l_orderkey", "o_orderkey"),
+    ("o_orderkey", "l_orderkey"),
+    ("l_partkey", "p_partkey"),
+    ("p_partkey", "l_partkey"),
+    ("l_suppkey", "s_suppkey"),
+    ("s_suppkey", "l_suppkey"),
+)
+_X131_COLS: dict = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+
+
+def x131_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery from per-column KMV
+    sketches — the schema-profiling question ("which column is
+    contained in which?") answered over ALL candidate column pairs
+    from ≤ k-row sketches, never a join of the key spaces. Build one
+    bottom-k sketch per column (profiling.kmv_sketch_by_group over a
+    melted one-scan-per-table keyspace), then for each directed pair
+    (child, parent) estimate containment |child ∩ parent| / |child|
+    from the bottom-k of the pair's UNION: every hash there is below
+    both sketches' thresholds (the x129 theta argument), so its child
+    members are a uniform sample of the child's distinct values,
+    membership-probed against the parent. At 100 TB the pairwise
+    phase touches 8 sketches of ≤ 256 rows — column count, not data
+    size, is the cost driver, which is what lets a profiler sweep
+    every column pair of a warehouse.
+
+    Probes the four star-schema FK edges and their reverses (mixed
+    saturation by design: s_suppkey's 10/100/1000 distinct values keep
+    the sketch unsaturated at the small sfs, exercising the exact
+    fallback, while l_orderkey saturates everywhere). One row per
+    pair: in-sketch counts, containment estimate (bp), exact
+    containment (certification harness — computed from the same
+    persisted keyspace, not the sketches), error, the binomial 3σ
+    envelope law at the exact rate (σ = √(c(1−c)/k_child); exactly 0
+    when c = 1, where the estimator is deterministically exact), and
+    the ``fk_candidate`` verdict (est ≥ 9900 bp).
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..operators.profiling import kmv_sketch_by_group  # noqa: PLC0415
+
+    k = _X131_K
+    parts = []
+    for t, cs in _X131_COLS.items():
+        tdf = load_table(spark, sf_dir, t)
+        parts.append(tdf.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("g"),
+                     F.col(c).cast("long").alias("key"))
+            for c in cs
+        ])).alias("e")).select("e.g", "e.key"))
+    ks = parts[0]
+    for p in parts[1:]:
+        ks = ks.unionAll(p)
+    ks = ks.distinct().transform(track_persist)
+    sk = kmv_sketch_by_group(ks, "g", "key", k)
+
+    roles = spark.createDataFrame(
+        [(f"{c}->{p}", "c", c) for c, p in _X131_PAIRS]
+        + [(f"{c}->{p}", "p", p) for c, p in _X131_PAIRS],
+        "pair_id string, role string, colname string",
+    )
+    mem = (
+        F.broadcast(roles).join(sk, F.col("colname") == F.col("g"))
+        .groupBy("pair_id", "h")
+        .agg(
+            F.max((F.col("role") == "c").cast("int")).alias("in_c"),
+            F.max((F.col("role") == "p").cast("int")).alias("in_p"),
+        )
+    )
+    usk = (
+        mem.withColumn(
+            "__rk",
+            F.row_number().over(W.partitionBy("pair_id").orderBy("h")))
+        .filter(F.col("__rk") <= k)
+    )
+    plaw = usk.groupBy("pair_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum("in_c").cast("long").alias("k_child"),
+        F.sum(F.col("in_c") * F.col("in_p")).cast("long").alias("k_inter"),
+    )
+    ex = (
+        F.broadcast(roles).join(ks, F.col("colname") == F.col("g"))
+        .groupBy("pair_id", "key")
+        .agg(
+            F.max((F.col("role") == "c").cast("int")).alias("in_c"),
+            F.max((F.col("role") == "p").cast("int")).alias("in_p"),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.sum("in_c").cast("long").alias("n_child_exact"),
+            F.sum(F.col("in_c") * F.col("in_p")).cast("long")
+            .alias("n_inter_exact"),
+        )
+    )
+    env = ("CAST(FLOOR(CAST(30000 AS DOUBLE) * SQRT("
+           "(CAST(cont_bp_exact AS DOUBLE) / CAST(10000 AS DOUBLE))"
+           " * (CAST(1 AS DOUBLE) - CAST(cont_bp_exact AS DOUBLE)"
+           " / CAST(10000 AS DOUBLE))"
+           " / CAST(k_child AS DOUBLE))) AS BIGINT)")
+    return (
+        plaw.join(ex, "pair_id")
+        .withColumn("cont_bp_est", F.expr(
+            "CAST(k_inter * 10000 DIV k_child AS BIGINT)"))
+        .withColumn("cont_bp_exact", F.expr(
+            "CAST(n_inter_exact * 10000 DIV n_child_exact AS BIGINT)"))
+        .select(
+            F.expr("split(pair_id, '->')[0]").alias("child_col"),
+            F.expr("split(pair_id, '->')[1]").alias("parent_col"),
+            "n_child_exact", "n_inter_exact", "cont_bp_exact",
+            "n_union_sketch", "k_child", "k_inter", "cont_bp_est",
+            F.expr("CAST(ABS(cont_bp_est - cont_bp_exact) AS BIGINT)")
+            .alias("err_bp"),
+            F.expr(env).alias("env_bp"),
+            (F.expr("ABS(cont_bp_est - cont_bp_exact)")
+             <= F.expr(env)).alias("within_envelope"),
+            (F.col("cont_bp_est") >= 9900).alias("fk_candidate"),
+        )
+        .orderBy("child_col", "parent_col")
+    )
+
+
+QUERIES["x131_fk_containment"] = x131_fk_containment
+
+_X131_KEYSPACE_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT DISTINCT '{c}' AS g, CAST({c} AS BIGINT) AS key"
+    f" FROM {t}"
+    for t, cs in _X131_COLS.items() for c in cs
+)
+_X131_ROLES_SQL = ",\n".join(
+    f"            ('{c}->{p}', 'c', '{c}'), ('{c}->{p}', 'p', '{p}')"
+    for c, p in _X131_PAIRS
+)
+
+ORACLE["x131_fk_containment"] = f"""
+    WITH ks AS (
+{_X131_KEYSPACE_SQL}
+    ),
+    kh AS (
+        SELECT DISTINCT g,
+               ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')),
+                    1, 15))::BIGINT AS h
+        FROM ks
+    ),
+    sk AS (
+        SELECT g, h FROM (
+            SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+            FROM kh
+        ) WHERE rk <= {_X131_K}
+    ),
+    roles(pair_id, role, colname) AS (
+        VALUES
+{_X131_ROLES_SQL}
+    ),
+    mem AS (
+        SELECT r.pair_id, s.h,
+               MAX(CASE WHEN r.role = 'c' THEN 1 ELSE 0 END) AS in_c,
+               MAX(CASE WHEN r.role = 'p' THEN 1 ELSE 0 END) AS in_p
+        FROM roles r JOIN sk s ON s.g = r.colname
+        GROUP BY r.pair_id, s.h
+    ),
+    usk AS (
+        SELECT * FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY pair_id ORDER BY h) AS rk
+            FROM mem
+        ) WHERE rk <= {_X131_K}
+    ),
+    plaw AS (
+        SELECT pair_id,
+               CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+               CAST(SUM(in_c) AS BIGINT) AS k_child,
+               CAST(SUM(in_c * in_p) AS BIGINT) AS k_inter
+        FROM usk GROUP BY pair_id
+    ),
+    exk AS (
+        SELECT r.pair_id, k.key,
+               MAX(CASE WHEN r.role = 'c' THEN 1 ELSE 0 END) AS in_c,
+               MAX(CASE WHEN r.role = 'p' THEN 1 ELSE 0 END) AS in_p
+        FROM roles r JOIN ks k ON k.g = r.colname
+        GROUP BY r.pair_id, k.key
+    ),
+    ex AS (
+        SELECT pair_id,
+               CAST(SUM(in_c) AS BIGINT) AS n_child_exact,
+               CAST(SUM(in_c * in_p) AS BIGINT) AS n_inter_exact
+        FROM exk GROUP BY pair_id
+    ),
+    wide AS (
+        SELECT plaw.pair_id, plaw.n_union_sketch, plaw.k_child,
+               plaw.k_inter, ex.n_child_exact, ex.n_inter_exact,
+               CAST(plaw.k_inter * 10000 // plaw.k_child AS BIGINT)
+                   AS cont_bp_est,
+               CAST(ex.n_inter_exact * 10000 // ex.n_child_exact AS BIGINT)
+                   AS cont_bp_exact
+        FROM plaw JOIN ex ON ex.pair_id = plaw.pair_id
+    )
+    SELECT split_part(pair_id, '->', 1) AS child_col,
+           split_part(pair_id, '->', 2) AS parent_col,
+           n_child_exact, n_inter_exact, cont_bp_exact,
+           n_union_sketch, k_child, k_inter, cont_bp_est,
+           CAST(ABS(cont_bp_est - cont_bp_exact) AS BIGINT) AS err_bp,
+           CAST(FLOOR(CAST(30000 AS DOUBLE) * SQRT(
+               (CAST(cont_bp_exact AS DOUBLE) / CAST(10000 AS DOUBLE))
+               * (CAST(1 AS DOUBLE) - CAST(cont_bp_exact AS DOUBLE)
+                  / CAST(10000 AS DOUBLE))
+               / CAST(k_child AS DOUBLE))) AS BIGINT) AS env_bp,
+           ABS(cont_bp_est - cont_bp_exact)
+               <= CAST(FLOOR(CAST(30000 AS DOUBLE) * SQRT(
+                   (CAST(cont_bp_exact AS DOUBLE) / CAST(10000 AS DOUBLE))
+                   * (CAST(1 AS DOUBLE) - CAST(cont_bp_exact AS DOUBLE)
+                      / CAST(10000 AS DOUBLE))
+                   / CAST(k_child AS DOUBLE))) AS BIGINT)
+               AS within_envelope,
+           cont_bp_est >= 9900 AS fk_candidate
+    FROM wide
+    ORDER BY child_col, parent_col
+"""
+
+
+# --- X7 extension: streaming cross-corpus overlap monitor (r14) --------------
+
+def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the x129 set algebra — the live
+    "overlap between what's arriving and what we already have"
+    dashboard a 24/7 ingest pipeline runs: TWO KMV sketches (corpus A
+    = orderkeys with a returned line, corpus B = orderkeys with a bulk
+    line, the x129 predicates) are folded over the SAME lineitem
+    backlog by two availableNow passes of
+    streaming/sketches.stream_kmv_sketch, then
+    profiling.kmv_set_algebra estimates |A ∪ B| / |A ∩ B| / Jaccard
+    from the two ≤ k-row folded states. The KMV merge law (bottom-k of
+    a union == bottom-k of concatenated member bottom-ks) makes each
+    folded sketch IDENTICAL to its one-shot batch sketch regardless of
+    the backlog split, so the DuckDB oracle — which computes the
+    BATCH sketches — certifies the whole streaming composition by
+    value (the x124 discipline, composed through the algebra).
+
+    Output: the x129 row (estimates + exact certification counts +
+    the three 3σ envelope laws) plus ``multi_batch`` pinning that both
+    streams actually folded ≥ 2 micro-batches.
+
+    Scale shape: per micro-batch one scan capped at k rows after the
+    prefilter-pushed TakeOrdered; driver state O(k) per sketch; the
+    pairwise phase touches two ≤ k-row tables; the exact counts are
+    certification-only (x120/x122 discipline).
+    """
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..operators.profiling import kmv_set_algebra  # noqa: PLC0415
+    from ..streaming.sketches import stream_kmv_sketch  # noqa: PLC0415
+
+    k = _X129_K
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        (F.col("l_returnflag") == "R").cast("int").alias("a"),
+        (F.col("l_quantity") >= 25).cast("int").alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="x133_")
+    try:
+        li.repartition(4).write.mode("overwrite").parquet(root)
+        batches = []
+        for flag in ("a", "b"):
+            stream = (
+                spark.readStream.schema("key long, a int, b int")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(root)
+                .filter(F.col(flag) == 1)
+                .select("key")
+            )
+            hs, n_batches, _ = stream_kmv_sketch(
+                stream, "key", k,
+                prefilter_denom=_X129_PREFILTER_DENOM)
+            batches.append((hs, n_batches))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    sk_a = spark.createDataFrame([(h,) for h in batches[0][0]], "h long")
+    sk_b = spark.createDataFrame([(h,) for h in batches[1][0]], "h long")
+    alg = kmv_set_algebra(sk_a, sk_b, k)
+    per_key = li.groupBy("key").agg(
+        F.max("a").alias("a"), F.max("b").alias("b"))
+    exact = per_key.agg(
+        F.sum(F.greatest("a", "b")).cast("long").alias("n_union_exact"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_inter_exact"),
+    )
+    return (
+        alg.crossJoin(F.broadcast(exact))
+        .withColumn("jaccard_bp_exact", F.expr(
+            "CAST(n_inter_exact * 10000 DIV n_union_exact AS BIGINT)"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_sketch_a", "n_sketch_b", "n_union_sketch", "kth_min",
+            "n_inter_sketch",
+            "union_est", "n_union_exact",
+            F.expr("CAST(ABS(union_est - n_union_exact) * 10000"
+                   " DIV n_union_exact AS BIGINT)").alias("union_err_bp"),
+            (F.expr("ABS(union_est - n_union_exact) * 10000"
+                    " DIV n_union_exact")
+             <= _X129_UNION_ENV_BP).alias("union_env_ok"),
+            "jaccard_bp_est", "jaccard_bp_exact",
+            F.expr("CAST(ABS(jaccard_bp_est - jaccard_bp_exact) AS BIGINT)")
+            .alias("jaccard_err_bp"),
+            (F.expr("ABS(jaccard_bp_est - jaccard_bp_exact)")
+             <= F.expr(_X129_JACC_ENV_SQL)).alias("jaccard_env_ok"),
+            "inter_est", "n_inter_exact",
+            F.expr("CAST(ABS(inter_est - n_inter_exact) * 10000"
+                   " DIV n_inter_exact AS BIGINT)").alias("inter_err_bp"),
+            (F.expr("ABS(inter_est - n_inter_exact) * 10000"
+                    " DIV n_inter_exact")
+             <= F.expr(_X129_INTER_ENV_SQL)).alias("inter_env_ok"),
+            F.lit(batches[0][1] >= 2 and batches[1][1] >= 2)
+            .alias("multi_batch"),
+        )
+    )
+
+
+QUERIES["x133_stream_overlap_monitor"] = x133_stream_overlap_monitor
+
+# The oracle is the BATCH set algebra (x129's SQL) — the merge law
+# guarantees the streamed sketches equal the one-shot ones — with the
+# env_bp columns dropped (they are x129's certification detail; this
+# face keeps the boolean laws) and the multi_batch law appended.
+ORACLE["x133_stream_overlap_monitor"] = f"""
+    WITH src AS (
+        SELECT l_orderkey AS key,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+               CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS b
+        FROM lineitem
+    ),
+    hs AS (
+        SELECT ('0x' || substring(md5(COALESCE(CAST(key AS VARCHAR), '')),
+                    1, 15))::BIGINT AS h,
+               a, b
+        FROM src
+    ),
+    surv AS (
+        SELECT h, MAX(a) AS in_a, MAX(b) AS in_b
+        FROM hs
+        WHERE h < {16 ** 15 // _X129_PREFILTER_DENOM}
+        GROUP BY h
+    ),
+    ska AS (SELECT h FROM surv WHERE in_a = 1 ORDER BY h LIMIT {_X129_K}),
+    skb AS (SELECT h FROM surv WHERE in_b = 1 ORDER BY h LIMIT {_X129_K}),
+    tagged AS (
+        SELECT h, 1 AS in_a, 0 AS in_b FROM ska
+        UNION ALL
+        SELECT h, 0 AS in_a, 1 AS in_b FROM skb
+    ),
+    sizes AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS n_sketch_a,
+               CAST(SUM(in_b) AS BIGINT) AS n_sketch_b
+        FROM tagged
+    ),
+    mem AS (
+        SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM tagged GROUP BY h
+    ),
+    usk AS (SELECT * FROM mem ORDER BY h LIMIT {_X129_K}),
+    law AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+               MAX(h) AS kth_min,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_sketch
+        FROM usk
+    ),
+    alg AS (
+        SELECT sizes.n_sketch_a, sizes.n_sketch_b,
+               law.n_union_sketch, law.kth_min, law.n_inter_sketch,
+               CAST(CASE WHEN law.n_union_sketch < {_X129_K}
+                    THEN law.n_union_sketch
+                    ELSE CAST(FLOOR(CAST({_X129_EST_LIT} AS DOUBLE)
+                         / CAST(law.kth_min AS DOUBLE)) AS BIGINT)
+               END AS BIGINT) AS union_est,
+               CAST(CASE WHEN law.n_union_sketch < {_X129_K}
+                    THEN law.n_inter_sketch
+                    ELSE CAST(FLOOR((CAST(law.n_inter_sketch AS DOUBLE)
+                         / CAST({_X129_K} AS DOUBLE))
+                         * (CAST({_X129_EST_LIT} AS DOUBLE)
+                         / CAST(law.kth_min AS DOUBLE))) AS BIGINT)
+               END AS BIGINT) AS inter_est,
+               CAST(CASE WHEN law.n_union_sketch = 0 THEN 0
+                    ELSE law.n_inter_sketch * 10000 // law.n_union_sketch
+               END AS BIGINT) AS jaccard_bp_est
+        FROM law, sizes
+    ),
+    perkey AS (
+        SELECT key, MAX(a) AS a, MAX(b) AS b FROM src GROUP BY key
+    ),
+    exact AS (
+        SELECT CAST(SUM(GREATEST(a, b)) AS BIGINT) AS n_union_exact,
+               CAST(SUM(a * b) AS BIGINT) AS n_inter_exact
+        FROM perkey
+    ),
+    wide AS (
+        SELECT alg.*, exact.n_union_exact, exact.n_inter_exact,
+               CAST(exact.n_inter_exact * 10000 // exact.n_union_exact
+                    AS BIGINT) AS jaccard_bp_exact
+        FROM alg, exact
+    )
+    SELECT CAST({_X129_K} AS BIGINT) AS k,
+           n_sketch_a, n_sketch_b, n_union_sketch, kth_min, n_inter_sketch,
+           union_est, n_union_exact,
+           CAST(ABS(union_est - n_union_exact) * 10000 // n_union_exact
+                AS BIGINT) AS union_err_bp,
+           ABS(union_est - n_union_exact) * 10000 // n_union_exact
+               <= {_X129_UNION_ENV_BP} AS union_env_ok,
+           jaccard_bp_est, jaccard_bp_exact,
+           CAST(ABS(jaccard_bp_est - jaccard_bp_exact) AS BIGINT)
+               AS jaccard_err_bp,
+           ABS(jaccard_bp_est - jaccard_bp_exact)
+               <= {_X129_JACC_ENV_SQL} AS jaccard_env_ok,
+           inter_est, n_inter_exact,
+           CAST(ABS(inter_est - n_inter_exact) * 10000 // n_inter_exact
+                AS BIGINT) AS inter_err_bp,
+           ABS(inter_est - n_inter_exact) * 10000 // n_inter_exact
+               <= {_X129_INTER_ENV_SQL} AS inter_env_ok,
+           TRUE AS multi_batch
+    FROM wide
+"""

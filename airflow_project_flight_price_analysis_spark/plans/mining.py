@@ -37,20 +37,11 @@ BM25_TOP_K = 20
 
 # --- lexical retrieval ------------------------------------------------------
 
-def x88_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 document ranking for a fixed query-term set — the lexical
-    retrieval scorer every corpus-curation stack keeps next to its
-    embedding ANN (x06/x15): cheap, exact, and the standard first-stage
-    retriever for decontamination-by-query and targeted corpus audits.
-    Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
-
-    Scale shape: ONE corpus pass computes per-doc length and per-term
-    tf entirely map-side (``size(filter(tokens, ...))`` — no explode, no
-    corpus-scale shuffle); corpus stats (N, avgdl, per-term df) reduce to
-    a ONE-ROW broadcast; the top-k is a TakeOrderedAndProject. The only
-    rows that survive the score>0 filter are query-term postings, so the
-    final sort input is posting-scale, not corpus-scale.
-    """
+def _bm25_raw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, raw)`` BM25 scores over documents for the fixed
+    BM25_QUERY_TERMS — the shared scoring pipeline behind x88 (top-k
+    face) and x132 (hybrid RRF fusion). Scale shape documented on x88.
+    Positive-score rows only (query-term postings)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
@@ -90,6 +81,25 @@ def x88_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("doc_id", score.alias("raw"))
         .filter(F.col("raw") > 0)
+    )
+
+
+def x88_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set — the lexical
+    retrieval scorer every corpus-curation stack keeps next to its
+    embedding ANN (x06/x15): cheap, exact, and the standard first-stage
+    retriever for decontamination-by-query and targeted corpus audits.
+    Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape: ONE corpus pass computes per-doc length and per-term
+    tf entirely map-side (``size(filter(tokens, ...))`` — no explode, no
+    corpus-scale shuffle); corpus stats (N, avgdl, per-term df) reduce to
+    a ONE-ROW broadcast; the top-k is a TakeOrderedAndProject. The only
+    rows that survive the score>0 filter are query-term postings, so the
+    final sort input is posting-scale, not corpus-scale.
+    """
+    return (
+        _bm25_raw_scores(spark, sf_dir)
         .orderBy(F.desc("raw"), "doc_id")
         .limit(BM25_TOP_K)
         .select("doc_id", F.round("raw", 6).alias("bm25"))
@@ -1247,4 +1257,147 @@ ORACLE["x99_market_basket"] = f"""
     ORDER BY p.n_ab * 1.0 * n.n_orders / (ia.n_item * ib.n_item) DESC,
              p.part_a, p.part_b
     LIMIT {BASKET_TOP_K}
+"""
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (r14) ---------------------------
+
+_X132_POOL = 50
+#: The standard RRF damping constant (Cormack, Clarke & Büttcher 2009,
+#: "Reciprocal rank fusion outperforms Condorcet and individual rank
+#: learning methods").
+_X132_RRF_K = 60
+_X132_TOP = 20
+#: The semantic probe: embeddings.vec_id 0 (vec_id aligns 1:1 with
+#: documents.doc_id in the test corpus — the face's declared mapping).
+_X132_PROBE_ID = 0
+
+
+def x132_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the fusion step
+    every RAG / retrieval curation stack runs between its lexical
+    scorer (BM25, x88) and its embedding ANN (cosine, x06): each
+    modality contributes its top-``_X132_POOL`` ranked list, a
+    document's fused score is ``Σ_lists 1/(k₀ + rank)`` over the lists
+    that contain it (k₀ = 60, Cormack et al. 2009), and the final
+    answer is the fused top-20. Rank fusion needs only the RANKS, so
+    the cross-engine contract is integer-exact: both modalities rank
+    on 6dp-ROUNDED scores with id tie-breaks (the x06/x88 float-order
+    discipline), and the RRF contribution is quantized to parts-per-
+    million with integer division — no float crosses the engine
+    boundary.
+
+    Scale shape: each modality is its own bounded retrieval (BM25 =
+    one corpus pass + posting-scale TakeOrdered; cosine = one-row
+    probe broadcast + windowed top-k — the x06 plan); the fusion
+    phase touches two ≤ 50-row frames (full-outer join on doc_id +
+    TakeOrdered 20), so at 100 TB fusion cost is pool size, not
+    corpus size. The two rank windows run on ≤ 50-row frames
+    (allowlisted bounded SinglePartition, the q30/x110 class).
+
+    Output: one row per fused top-20 doc — ``doc_id``, the two
+    modality ranks (NULL when the doc is outside that modality's
+    pool), and ``rrf_ppm``.
+    """
+    from ..operators.similarity import cosine_topk  # noqa: PLC0415
+
+    lex_pool = (
+        _bm25_raw_scores(spark, sf_dir)
+        .select("doc_id", F.round("raw", 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_X132_POOL)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("s"), "doc_id"))
+        .cast("long").alias("rank_lex"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"),
+    )
+    q0 = emb.filter(F.col("vec_id") == _X132_PROBE_ID)
+    sem = cosine_topk(emb, q0, k=_X132_POOL).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank_sem"),
+    )
+    contrib = (
+        F.when(F.col("rank_lex").isNotNull(),
+               F.expr(f"1000000 DIV ({_X132_RRF_K} + rank_lex)"))
+        .otherwise(F.lit(0))
+        + F.when(F.col("rank_sem").isNotNull(),
+                 F.expr(f"1000000 DIV ({_X132_RRF_K} + rank_sem)"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn("rrf_ppm", contrib.cast("long"))
+        .orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(_X132_TOP)
+        .select("doc_id", "rank_lex", "rank_sem", "rrf_ppm")
+    )
+
+
+QUERIES["x132_rrf_fusion"] = x132_rrf_fusion
+
+ORACLE["x132_rrf_fusion"] = rf"""
+    WITH per_doc AS (
+        SELECT doc_id, len(toks) AS dl, {_BM25_TF_SQL}
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        )
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {_BM25_DF_SQL}
+        FROM per_doc
+    ),
+    scored AS (
+        SELECT doc_id, {_BM25_SCORE_SQL} AS raw
+        FROM per_doc, stats
+    ),
+    lexpool AS (
+        SELECT doc_id, ROUND(raw, 6) AS s FROM scored WHERE raw > 0
+        ORDER BY s DESC, doc_id LIMIT {_X132_POOL}
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM lexpool
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+    ),
+    pairs AS (
+        SELECT c.vec_id AS doc_id,
+               ROUND(list_dot_product(q.e, c.e) /
+                     (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+        FROM v q JOIN v c
+          ON q.vec_id = {_X132_PROBE_ID} AND c.vec_id <> q.vec_id
+    ),
+    sem AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS rank_sem FROM (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY cosine DESC, doc_id) AS rn
+            FROM pairs
+        ) WHERE rn <= {_X132_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.rank_lex, sem.rank_sem
+        FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem,
+           CAST(COALESCE(1000000 // ({_X132_RRF_K} + rank_lex), 0)
+                + COALESCE(1000000 // ({_X132_RRF_K} + rank_sem), 0)
+                AS BIGINT) AS rrf_ppm
+    FROM fused
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {_X132_TOP}
 """

@@ -206,6 +206,20 @@ HEADLINE = [
     # sample folded through foreachBatch (the third streaming sketch;
     # eager builder, x111/x124 class)
     "x128_stream_sample_quantiles",
+    # round-14 session 2: the sketch-algebra trio — cross-corpus set
+    # algebra from bottom-k sketches (x129), priority sampling for
+    # subset sums (x130, TakeOrdered top-(k+1) + one certification
+    # scan), and pairwise FK/containment discovery over per-column
+    # sketches (x131, one scan per table + sketch-sized pair phase)
+    "x129_kmv_set_algebra",
+    "x130_priority_sample",
+    "x131_fk_containment",
+    # round-14 session 2: hybrid retrieval — RRF fusion of the BM25
+    # and cosine top-50 lists (pool-sized fusion phase)
+    "x132_rrf_fusion",
+    # round-14 session 2: streaming overlap monitor — two KMV folds
+    # composed through the set algebra (eager builder, x124 class)
+    "x133_stream_overlap_monitor",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -490,3 +490,164 @@ def test_kmv_by_group_matches_brute_force_and_merges(spark):
     import pytest
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch_by_group(df, "g", "k", 1)
+
+
+# --- kmv_set_algebra (x129) --------------------------------------------------
+
+def test_kmv_set_algebra_exact_when_unsaturated(spark):
+    """Both sets below k: the union sketch carries every hash, so all
+    three outputs are exact, not estimates."""
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_set_algebra,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "k long")
+    k = 128
+    row = kmv_set_algebra(
+        kmv_sketch_table(a, "k", k), kmv_sketch_table(b, "k", k), k
+    ).collect()[0]
+    assert row.n_sketch_a == 30 and row.n_sketch_b == 30
+    assert row.n_union_sketch == 50
+    assert row.union_est == 50
+    assert row.n_inter_sketch == 10 and row.inter_est == 10
+    assert row.jaccard_bp_est == 10 * 10000 // 50
+
+
+def test_kmv_set_algebra_disjoint_sets(spark):
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_set_algebra,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(10000, 12000)], "k long")
+    k = 128
+    row = kmv_set_algebra(
+        kmv_sketch_table(a, "k", k), kmv_sketch_table(b, "k", k), k
+    ).collect()[0]
+    assert row.n_inter_sketch == 0
+    assert row.inter_est == 0 and row.jaccard_bp_est == 0
+
+
+def test_kmv_set_algebra_saturated_matches_brute_force(spark):
+    """Saturated path: the union sketch must equal the brute-force
+    bottom-k of A ∪ B's hash set, and the estimates must land inside a
+    wide deterministic envelope of the true cardinalities."""
+    import hashlib
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_set_algebra,
+    )
+
+    k = 128
+    a_keys = list(range(5000))
+    b_keys = list(range(2500, 7500))
+    a = spark.createDataFrame([(i,) for i in a_keys], "k long")
+    b = spark.createDataFrame([(i,) for i in b_keys], "k long")
+    row = kmv_set_algebra(
+        kmv_sketch_table(a, "k", k), kmv_sketch_table(b, "k", k), k
+    ).collect()[0]
+
+    def h(key: int) -> int:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    union_hashes = sorted(h(x) for x in set(a_keys) | set(b_keys))
+    assert row.n_union_sketch == k
+    assert row.kth_min == union_hashes[k - 1]
+    bottom = set(union_hashes[:k])
+    ha, hb = {h(x) for x in a_keys}, {h(x) for x in b_keys}
+    assert row.n_inter_sketch == len(bottom & ha & hb)
+    # deterministic data: estimates are fixed; 4-sigma-ish envelopes
+    assert abs(row.union_est - 7500) <= 7500 * 4 / (k - 2) ** 0.5
+    assert abs(row.inter_est - 2500) <= 2500 * 0.5
+    assert row.n_sketch_a == k and row.n_sketch_b == k
+
+
+def test_kmv_set_algebra_validates_k(spark):
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_set_algebra,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    sk = kmv_sketch_table(df, "k", 2)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_set_algebra(sk, sk, 1)
+
+
+# --- priority_sample (x130) --------------------------------------------------
+
+def test_priority_sample_small_corpus_is_exact(spark):
+    """<= k rows: no boundary, tau = 0, every row kept with its exact
+    weight."""
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1)) for i in range(5)], "key long, w long")
+    out = priority_sample(df, ["key"], "w", 8).collect()
+    assert len(out) == 5
+    assert all(not r.is_boundary and r.tau == 0.0 for r in out)
+    assert sorted(r.w_est for r in out) == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_priority_sample_matches_brute_force_selection(spark):
+    """The engine's top-(k+1), boundary identity, and tau replay
+    exactly against an independent python md5 computation."""
+    import hashlib
+
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    k = 64
+    got = priority_sample(df, ["key"], "w", k).collect()
+    assert len(got) == k + 1
+
+    def pri(key: int, w: int) -> tuple:
+        hv = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) + 1
+        return (w / hv, hv)
+
+    ordered = sorted(rows, key=lambda r: (-pri(*r)[0], pri(*r)[1]))
+    want_top = ordered[: k + 1]
+    assert sorted(r.key for r in got) == sorted(r[0] for r in want_top)
+    b_key, b_w = want_top[-1]
+    brow = [r for r in got if r.is_boundary]
+    assert len(brow) == 1 and brow[0].key == b_key
+    assert all(r.tau == pri(b_key, b_w)[0] * 2.0 ** 60 for r in got)
+
+
+def test_priority_sample_subset_sum_estimate_in_envelope(spark):
+    """DLT estimator: Sum of max(w, tau) over the k sampled rows lands
+    within the Szegedy 3·W/sqrt(k-1) envelope of the true total, and
+    an after-the-fact subset does too (deterministic data)."""
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, (i * 131) % 997 + 1, i % 3) for i in range(20000)]
+    df = spark.createDataFrame(rows, "key long, w long, grp int")
+    k = 256
+    samp = priority_sample(df, ["key"], "w", k).filter("NOT is_boundary")
+    est = {
+        r.grp: r.e
+        for r in samp.groupBy("grp").agg(F.sum("w_est").alias("e")).collect()
+    }
+    total_w = sum(r[1] for r in rows)
+    env = 3.0 * total_w / (k - 1) ** 0.5
+    for g in range(3):
+        exact = sum(r[1] for r in rows if r[2] == g)
+        assert abs(est.get(g, 0.0) - exact) <= env
+    assert abs(sum(est.values()) - total_w) <= env
+
+
+def test_priority_sample_validates_k(spark):
+    from airflow_project_flight_price_analysis_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "key long, w long")
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, ["key"], "w", 0)

@@ -85,3 +85,28 @@ def test_stream_side_grand_agg_does_not_excuse_bnlj():
 def test_flags_cartesian_and_python_udf():
     assert "CartesianProduct" in _lint("+- CartesianProduct\n")
     assert "BatchEvalPython" in _lint("+- BatchEvalPython [f(x)]\n")
+
+
+SORT_AGG_BNLJ = """\
+AdaptiveSparkPlan
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- Scan parquet [a,b]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=2]
+      +- SortAggregate(key=[], functions=[min(struct(p, p, nh, nh))])
+         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+            +- SortAggregate(key=[], functions=[partial_min(struct(p, p))])
+               +- Scan parquet [p,nh]
+"""
+
+KEYED_SORT_AGG_BNLJ = SORT_AGG_BNLJ.replace("key=[]", "key=[k]")
+
+
+def test_accepts_one_row_sort_aggregate_bnlj():
+    """SortAggregate prints the SINGULAR `key=[]` (min(struct(...))
+    forces the sort-based impl — x130's boundary statistic); it is
+    exactly as one-row-bounded as HashAggregate(keys=[])."""
+    assert _lint(SORT_AGG_BNLJ) == []
+
+
+def test_flags_keyed_sort_aggregate_bnlj():
+    assert "BroadcastNestedLoopJoin" in _lint(KEYED_SORT_AGG_BNLJ)

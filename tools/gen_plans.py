@@ -88,6 +88,23 @@ SECTIONS = [
      "streaming sampled quantiles: per-micro-batch bottom-k fold "
      "(k-row driver state), then x123's one-scan CDF certification "
      "with the sorted sample array on a one-row broadcast"),
+    ("x129_kmv_set_algebra",
+     "KMV theta set algebra: one prefiltered survivor pass persisted, "
+     "per-set bottom-k slices, union-sketch membership aggregate — "
+     "all post-scan work capped at k rows; exact side is the "
+     "certification scan"),
+    ("x130_priority_sample",
+     "priority sampling: TakeOrderedAndProject top-(k+1) on the "
+     "w/u priority (no corpus shuffle), boundary/tau via one-row "
+     "sort-aggregate broadcast, quantized integer subset sums"),
+    ("x131_fk_containment",
+     "FK/containment discovery: one melted scan per table into a "
+     "persisted keyspace, per-column bottom-k windows, pair phase "
+     "joins <= k-row sketches only"),
+    ("x132_rrf_fusion",
+     "hybrid RRF fusion: BM25 posting-scale TakeOrdered + one-row "
+     "cosine probe broadcast; fusion = full-outer join of two <= 50-"
+     "row pools + TakeOrdered 20"),
     ("x84_quantile_binning",
      "one-row percentile-bounds aggregate broadcast into map-side bin "
      "assignment (BroadcastNestedLoopJoin of a single row) — no per-row "

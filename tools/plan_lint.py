@@ -93,6 +93,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("x115_quantized_ann", "BroadcastNestedLoopJoin"):
         "same probe-set broadcast as x06 (<=10 rows), on both the "
         "float-baseline and the quantized side",
+    ("x132_rrf_fusion", "BroadcastNestedLoopJoin"):
+        "the cosine_topk probe broadcast (ONE row: vec_id = 0), the "
+        "x06 pattern",
     # --- SinglePartition sort/window over a post-aggregate bounded
     # grain: the funnel carries |grain| rows, not |data| ---
     ("q30_sql_running_total", "SinglePartition"):
@@ -126,6 +129,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "waterfill rank/prefix windows over the per-language capacity "
         "table (|langs| rows — operators/sampling.waterfill_allocate; "
         "the corpus-scale work is the upstream token aggregate)",
+    ("x132_rrf_fusion", "SinglePartition"):
+        "rank windows over the <= 50-row per-modality candidate pools "
+        "(post-TakeOrdered bounded frames; fusion cost is pool size, "
+        "not corpus size)",
     ("x125_weighted_systematic_sample", "SinglePartition"):
         "band-offsets window over the |bands|=8-row per-band totals "
         "(operators/sampling.weighted_systematic_sample — the x110 "
@@ -163,7 +170,12 @@ def _bnlj_is_bounded(lines: list[str], i: int) -> bool:
         # the build side: the grand aggregate must be INSIDE it, so a
         # keys=[] agg on the streamed side can never false-accept
         for inner in _subtree(sub, k):
-            if re.search(r"(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]", inner):
+            # SortAggregate prints the SINGULAR `key=[]` where
+            # Hash/ObjectHashAggregate print `keys=[]` — a grand
+            # min(struct(...)) forces the sort-based impl (r14,
+            # x130's boundary-row statistic), same one-row bound
+            if re.search(r"(Hash|Sort|ObjectHash)Aggregate\(keys?=\[\]",
+                         inner):
                 return True
     return False
 
@@ -237,7 +249,10 @@ def _jbnlj_is_bounded(node) -> bool:
     side = 1 if "BuildRight" in node.buildSide().toString() else 0
     build = _jchildren(node)[side]
     return any(
-        "Aggregate(keys=[]" in n.simpleString(10) for n in _jwalk(build)
+        # keys=[] (hash/objecthash) or key=[] (sort) — both one-row
+        "Aggregate(keys=[]" in n.simpleString(10)
+        or "Aggregate(key=[]" in n.simpleString(10)
+        for n in _jwalk(build)
     )
 
 
