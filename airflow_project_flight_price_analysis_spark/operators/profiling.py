@@ -213,7 +213,8 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
 
 
 def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
-                        k: int = 128) -> DataFrame:
+                        k: int = 128,
+                        prefilter_denom: int | None = None) -> DataFrame:
     """Per-group KMV sketches in one pass: ``(group, h)`` rows holding
     each group's ≤ k smallest distinct key hashes — the GROUP BY
     companion of :func:`kmv_sketch_table` ("distinct users per source",
@@ -221,15 +222,31 @@ def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
     shape corpus dashboards actually ask for). One distinct aggregate
     over (group, hash) then a rank window PARTITIONED BY GROUP (never a
     global funnel); output ≤ k·|groups| rows, mergeable per group by
-    the usual union → re-bottom-k law."""
+    the usual union → re-bottom-k law.
+
+    ``prefilter_denom``: same scan-pushed integer prefilter as
+    :func:`kmv_sketch_table`, with the self-certification applied PER
+    GROUP — a group whose sketch still has k rows is exactly its
+    unfiltered sketch, but a group whose distinct count exceeds k while
+    its SURVIVOR count falls below k gets a corrupt (too-small) sketch,
+    so pick denom from a lower bound on the SMALLEST group's
+    cardinality (denom ≤ min_g n_g / (2k)), or check ``n_sketch == k``
+    per group downstream (kmv_group_estimates' fallback contract)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if prefilter_denom is not None and prefilter_denom < 1:
+        raise ValueError(
+            f"prefilter_denom must be >= 1, got {prefilter_denom}")
     from pyspark.sql.window import Window as W  # noqa: PLC0415
 
     hashes = df.select(
         F.col(group_col).alias("g"),
         kmv_hash(F.col(key_col)).alias("h"),
-    ).distinct()
+    )
+    if prefilter_denom is not None:
+        hashes = hashes.filter(
+            F.col("h") < F.lit(_KMV_DOMAIN // prefilter_denom))
+    hashes = hashes.distinct()
     w = W.partitionBy("g").orderBy("h")
     return (
         hashes.withColumn("__rk", F.row_number().over(w))

@@ -5542,23 +5542,25 @@ def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overlap between what's arriving and what we already have"
     dashboard a 24/7 ingest pipeline runs: TWO KMV sketches (corpus A
     = orderkeys with a returned line, corpus B = orderkeys with a bulk
-    line, the x129 predicates) are folded over the SAME lineitem
-    backlog by two availableNow passes of
-    streaming/sketches.stream_kmv_sketch, then
-    profiling.kmv_set_algebra estimates |A ∪ B| / |A ∩ B| / Jaccard
-    from the two ≤ k-row folded states. The KMV merge law (bottom-k of
-    a union == bottom-k of concatenated member bottom-ks) makes each
-    folded sketch IDENTICAL to its one-shot batch sketch regardless of
-    the backlog split, so the DuckDB oracle — which computes the
-    BATCH sketches — certifies the whole streaming composition by
-    value (the x124 discipline, composed through the algebra).
+    line, the x129 predicates) are folded over the lineitem backlog in
+    ONE availableNow pass of
+    streaming/sketches.stream_kmv_sketch_by_group (each row melts to
+    its membership lanes, the grouped fold maintains both lanes'
+    bottom-ks per micro-batch), then profiling.kmv_set_algebra
+    estimates |A ∪ B| / |A ∩ B| / Jaccard from the two ≤ k-row folded
+    states. The KMV merge law (bottom-k of a union == bottom-k of
+    concatenated member bottom-ks, applied per lane) makes each folded
+    sketch IDENTICAL to its one-shot batch sketch regardless of the
+    backlog split, so the DuckDB oracle — which computes the BATCH
+    sketches — certifies the whole streaming composition by value (the
+    x124 discipline, composed through the algebra).
 
     Output: the x129 row (estimates + exact certification counts +
-    the three 3σ envelope laws) plus ``multi_batch`` pinning that both
-    streams actually folded ≥ 2 micro-batches.
+    the three 3σ envelope laws) plus ``multi_batch`` pinning that the
+    fold actually merged ≥ 2 micro-batches.
 
-    Scale shape: per micro-batch one scan capped at k rows after the
-    prefilter-pushed TakeOrdered; driver state O(k) per sketch; the
+    Scale shape: per micro-batch one scan capped at k·2 rows after the
+    prefilter-pushed grouped rank; driver state O(k) per lane; the
     pairwise phase touches two ≤ k-row tables; the exact counts are
     certification-only (x120/x122 discipline).
     """
@@ -5566,7 +5568,9 @@ def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile  # noqa: PLC0415
 
     from ..operators.profiling import kmv_set_algebra  # noqa: PLC0415
-    from ..streaming.sketches import stream_kmv_sketch  # noqa: PLC0415
+    from ..streaming.sketches import (  # noqa: PLC0415
+        stream_kmv_sketch_by_group,
+    )
 
     k = _X129_K
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -5576,24 +5580,33 @@ def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="x133_")
     try:
-        li.repartition(4).write.mode("overwrite").parquet(root)
-        batches = []
-        for flag in ("a", "b"):
-            stream = (
-                spark.readStream.schema("key long, a int, b int")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(root)
-                .filter(F.col(flag) == 1)
-                .select("key")
-            )
-            hs, n_batches, _ = stream_kmv_sketch(
-                stream, "key", k,
-                prefilter_denom=_X129_PREFILTER_DENOM)
-            batches.append((hs, n_batches))
+        # 3 one-file micro-batches: ≥ 2 merges exercise the law; each
+        # extra batch costs ~0.8 s of FIXED engine overhead (r14
+        # profile: fold work is ~0.1 s of it), so the backlog stays
+        # minimal-but-multi-batch
+        li.repartition(3).write.mode("overwrite").parquet(root)
+        lanes = [
+            F.when(F.col(flag) == 1, F.struct(
+                F.lit(flag).alias("g"), F.col("key").alias("key")))
+            for flag in ("a", "b")
+        ]
+        melted = (
+            spark.readStream.schema("key long, a int, b int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+            .select(F.explode(F.filter(
+                F.array(*lanes), lambda x: x.isNotNull())).alias("e"))
+            .select("e.g", "e.key")
+        )
+        folded, n_batches, _ = stream_kmv_sketch_by_group(
+            melted, "g", "key", k,
+            prefilter_denom=_X129_PREFILTER_DENOM)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    sk_a = spark.createDataFrame([(h,) for h in batches[0][0]], "h long")
-    sk_b = spark.createDataFrame([(h,) for h in batches[1][0]], "h long")
+    sk_a = spark.createDataFrame(
+        [(h,) for h in folded.get("a", [])], "h long")
+    sk_b = spark.createDataFrame(
+        [(h,) for h in folded.get("b", [])], "h long")
     alg = kmv_set_algebra(sk_a, sk_b, k)
     per_key = li.groupBy("key").agg(
         F.max("a").alias("a"), F.max("b").alias("b"))
@@ -5626,8 +5639,7 @@ def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("ABS(inter_est - n_inter_exact) * 10000"
                     " DIV n_inter_exact")
              <= F.expr(_X129_INTER_ENV_SQL)).alias("inter_env_ok"),
-            F.lit(batches[0][1] >= 2 and batches[1][1] >= 2)
-            .alias("multi_batch"),
+            F.lit(n_batches >= 2).alias("multi_batch"),
         )
     )
 

@@ -315,3 +315,79 @@ def stream_cms_sketch(stream_df: DataFrame, key_col: str,
         sorted((i, b, c) for (i, b), c in state["counters"].items()),
         state["folded"], state["skipped"],
     )
+
+
+_KMV_GROUP_STATE_SCHEMA = "g string, h long"
+
+
+def stream_kmv_sketch_by_group(stream_df: DataFrame, group_col: str,
+                               key_col: str, k: int,
+                               prefilter_denom: int | None = None,
+                               state_path: str | None = None,
+                               checkpoint_dir: str | None = None,
+                               ) -> tuple[dict, int, int]:
+    """Fold PER-GROUP KMV distinct sketches over a streaming DataFrame
+    — the grouped companion of :func:`stream_kmv_sketch` ("live
+    distinct-users per source", "vocabulary per language", or several
+    corpus membership lanes maintained in ONE backlog pass instead of
+    one stream per lane — the x133 shape): ``foreachBatch`` computes
+    each micro-batch's per-group bottom-k distributed
+    (profiling.kmv_sketch_by_group — a group-partitioned rank window,
+    never a global funnel) and merges per group by union →
+    re-bottom-k. The per-group merge law is the plain KMV one applied
+    group-wise, so each folded sketch equals its one-shot batch sketch
+    regardless of the backlog split.
+
+    Durable mode (``state_path``): the ≤ k·|groups|-row state persists
+    under the versioned-watermark protocol (module docstring); the
+    union-merge is replay-idempotent, so as with the ungrouped fold the
+    watermark skip just spares the replayed batch's scan — durability
+    is what a restart needs. Same coherence raise on a checkpoint
+    reset behind the watermark.
+
+    Returns ``({group: sorted hashes — ≤ k each}, n_folded,
+    n_skipped)``. Driver state O(k·|groups|); per-batch work one scan
+    capped at k·|groups| rows after the grouped rank.
+    """
+    from ..operators.profiling import kmv_sketch_by_group  # noqa: PLC0415
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = stream_df.sparkSession
+    wm, rows = (
+        _read_fold_state(spark, state_path, _KMV_GROUP_STATE_SCHEMA)
+        if state_path else (None, [])
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.g, set()).add(r.h)
+    state: dict = {"groups": groups, "wm": wm, "folded": 0, "skipped": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not _check_fold_coherence(batch_id, state["wm"], "grouped-KMV"):
+            state["skipped"] += 1
+            return
+        bk = kmv_sketch_by_group(batch_df, group_col, key_col, k,
+                                 prefilter_denom)
+        for r in bk.collect():  # ≤ k·|groups| rows — bounded collect
+            state["groups"].setdefault(r.g, set()).add(r.h)
+        for g, hs in state["groups"].items():
+            state["groups"][g] = set(sorted(hs)[:k])
+        if state_path:
+            _publish_fold_state(
+                spark, state_path, _KMV_GROUP_STATE_SCHEMA,
+                [(g, h) for g in sorted(state["groups"])
+                 for h in sorted(state["groups"][g])],
+                batch_id)
+        state["wm"] = batch_id
+        state["folded"] += 1
+
+    writer = stream_df.writeStream.foreachBatch(_merge)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return (
+        {g: sorted(hs) for g, hs in state["groups"].items()},
+        state["folded"], state["skipped"],
+    )

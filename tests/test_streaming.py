@@ -1034,3 +1034,108 @@ def test_stream_bottomk_sample_equals_batch_sample(spark, tmp_path):
         _stream(), ["key"], "v", 64, state_path=state, checkpoint_dir=ckpt)
     assert (folded2, skipped2) == (0, 1)
     assert s2 == one_shot
+
+
+def test_stream_kmv_sketch_by_group_equals_batch_sketch(spark, tmp_path):
+    """Grouped fold: each lane's folded sketch equals its one-shot
+    batch sketch (the merge law per group), for a 3-file backlog with
+    overlapping key ranges and uneven lane membership."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_sketch_by_group,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_kmv_sketch_by_group,
+    )
+
+    whole = spark.range(0, 900).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 3 == 0, "m3").otherwise("other").alias("g"),
+    )
+    staged = str(tmp_path / "staged")
+    for lo, hi in [(0, 400), (300, 700), (500, 900)]:
+        (whole.filter((F.col("key") >= lo) & (F.col("key") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+    stream = (spark.readStream.schema("key long, g string")
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    folded, n_batches, n_skipped = stream_kmv_sketch_by_group(
+        stream, "g", "key", 64)
+    assert n_batches == 3 and n_skipped == 0
+    batch = {}
+    for r in kmv_sketch_by_group(whole, "g", "key", 64).collect():
+        batch.setdefault(r.g, []).append(r.h)
+    assert set(folded) == set(batch)
+    for g in batch:
+        assert folded[g] == sorted(batch[g]), g
+        assert len(folded[g]) == 64
+    with pytest.raises(ValueError, match="k must be"):
+        stream_kmv_sketch_by_group(stream, "g", "key", 1)
+
+
+def test_stream_kmv_sketch_by_group_durable_restart(spark, tmp_path):
+    """Grouped durable mode: restart resumes every lane from the
+    persisted state and the watermark skip spares the replayed batch;
+    result equals the one-shot grouped sketch."""
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_sketch_by_group,
+    )
+    from airflow_project_flight_price_analysis_spark.streaming.sketches import (
+        stream_kmv_sketch_by_group,
+    )
+
+    whole = spark.range(0, 600).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+    )
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    for lo, hi in [(0, 300), (200, 600)]:
+        (whole.filter((F.col("key") >= lo) & (F.col("key") < hi))
+         .coalesce(1).write.mode("append").parquet(staged))
+
+    def _stream():
+        return (spark.readStream.schema("key long, g string")
+                .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    f1, folded1, _ = stream_kmv_sketch_by_group(
+        _stream(), "g", "key", 32, state_path=state, checkpoint_dir=ckpt)
+    assert folded1 == 2
+    _delete_last_commit(ckpt)
+    f2, folded2, skipped2 = stream_kmv_sketch_by_group(
+        _stream(), "g", "key", 32, state_path=state, checkpoint_dir=ckpt)
+    assert (folded2, skipped2) == (0, 1)
+    batch = {}
+    for r in kmv_sketch_by_group(whole, "g", "key", 32).collect():
+        batch.setdefault(r.g, []).append(r.h)
+    want = {g: sorted(hs) for g, hs in batch.items()}
+    assert f1 == want
+    assert f2 == want
+
+
+def test_kmv_sketch_by_group_prefilter_lossless_and_validated(spark):
+    """The per-group prefilter is lossless while every group keeps
+    >= k survivors (same self-certification as kmv_sketch_table), and
+    the denom validates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_sketch_by_group,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 2).cast("string").alias("g"),
+    )
+    plain = {(r.g, r.h) for r in
+             kmv_sketch_by_group(df, "g", "key", 32).collect()}
+    pre = {(r.g, r.h) for r in
+           kmv_sketch_by_group(df, "g", "key", 32, 4).collect()}
+    assert plain == pre
+    with pytest.raises(ValueError, match="prefilter_denom"):
+        kmv_sketch_by_group(df, "g", "key", 32, 0)
