@@ -139,8 +139,10 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
      "x129_kmv_set_algebra", "x131_fk_containment",
      "x133_stream_overlap_monitor"),
     # the CMS family (r13): x127's streaming fold certifies the same
-    # count_min_sketch_table expressions x120 builds batch-side
-    ("x120_count_min_heavy_hitters", "x127_stream_cms_merge"),
+    # count_min_sketch_table expressions x120 builds batch-side;
+    # x134 (r14) probes the same counter tables as inner products
+    ("x120_count_min_heavy_hitters", "x127_stream_cms_merge",
+     "x134_cms_join_size"),
     # the sampled-certification family (r14, r13 verdict item 6): both
     # faces certify deterministic md5 bottom-k selection with
     # brute-force parity harnesses (x123 quantile CDF over
@@ -151,8 +153,9 @@ _CERT_FAMILIES: tuple[tuple[str, ...], ...] = (
     ("x123_sampled_quantiles", "x125_weighted_systematic_sample",
      "x128_stream_sample_quantiles",
      # x130 (r14): priority sampling rides the same deterministic
-     # md5-draw selection harness with a brute-force exact side
-     "x130_priority_sample"),
+     # md5-draw selection harness with a brute-force exact side;
+     # x135 (r14) is its weighted-CDF face over the same sample
+     "x130_priority_sample", "x135_weighted_quantiles"),
 )
 
 

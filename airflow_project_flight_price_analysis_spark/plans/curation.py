@@ -5746,3 +5746,312 @@ ORACLE["x133_stream_overlap_monitor"] = f"""
            TRUE AS multi_batch
     FROM wide
 """
+
+
+# --- X6 extension: CMS inner-product join-size estimation (r14) --------------
+
+_X134_DEPTH = 4
+#: 2^18 — power of two (zero modulo bias in the digest lanes). Join-
+#: size estimation needs a wider sketch than heavy-hitter probing
+#: (x120's 256): each lane's collision excess is ~ nR·nS/width, so
+#: width trades memory for estimate tightness — 4·2^18 counters ≈ 8 MB
+#: of longs, fixed regardless of corpus size.
+_X134_WIDTH = 262144
+
+
+def x134_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches (the AMS
+    inner-product estimator carried on CM sketches — Alon, Matias &
+    Szegedy 1996; Cormode & Muthukrishnan 2005 §4.2): estimate
+    ``|R ⋈ S|`` on a key as ``min_i Σ_b cR[i,b]·cS[i,b]`` — the
+    query-optimizer primitive ("how big is this join going to be?")
+    answered from two bounded counter tables WITHOUT running the join.
+    At 100 TB the planner ships two ≤ depth·width-row sketches; the
+    join itself never executes on the wrong strategy.
+
+    R = lineitem's l_partkey multiset, S = the bulk lines (l_quantity
+    ≥ 25) — real fanout on both sides (~30×15 per part). Two
+    DETERMINISTIC laws: (1) ``never_underestimates`` — every colliding
+    pair is non-negative and matching keys always share buckets, so
+    each lane's inner product ≥ Σ_k fR(k)·fS(k) exactly; (2) a Markov
+    envelope — each lane's collision excess has mean ≤ nR·nS/width,
+    so ``est − exact ≤ 3·nR·nS/width`` fails only if ALL depth lanes
+    exceed 3× their mean (≤ 3^-4 under the lane-independence
+    heuristic; measured 0/62/689 bp over-estimate vs 22/222/2215 bp
+    envelope at the three sfs — the sf0.001 sketch is collision-free
+    and the estimate EXACT). Everything is md5-derived integer
+    arithmetic (the x120 counter replay), so DuckDB reproduces the
+    estimate bit-for-bit.
+
+    Scale shape: ONE corpus scan builds a persisted (key, bulk-flag)
+    base; both sketches and both exact frequency tables derive from
+    it (the sketches via the explode × depth partial-agg-capped
+    shuffle, ≤ depth·width rows out; the exact join is the
+    certification harness — the product path keeps the sketches
+    alone). The sketch-vs-sketch inner product joins two ≤ 1M-row
+    tables on (i, b) — bounded by sketch geometry, not data.
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..operators.profiling import count_min_sketch_table  # noqa: PLC0415
+
+    d, w = _X134_DEPTH, _X134_WIDTH
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"),
+        (F.col("l_quantity") >= 25).cast("int").alias("s"),
+    ).transform(track_persist)
+    cr = count_min_sketch_table(base, "k", d, w)
+    cs = count_min_sketch_table(base.filter(F.col("s") == 1), "k", d, w)
+    est = (
+        cr.alias("r").join(cs.alias("c"), ["i", "b"])
+        .groupBy("i")
+        .agg(F.sum(F.expr("r.cnt * c.cnt")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("js_est"))
+    )
+    fr = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("fr"),
+        F.sum("s").alias("fs"),
+    )
+    exact = fr.agg(
+        F.sum(F.expr("fr * fs")).cast("long").alias("js_exact"),
+        F.sum("fr").cast("long").alias("nr"),
+        F.sum("fs").cast("long").alias("ns"),
+    )
+    env = (f"CAST(3 * (nr * ns DIV {w}) * 10000 DIV js_exact"
+           " AS BIGINT)")
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "nr", "ns", "js_est", "js_exact",
+            F.expr("CAST((js_est - js_exact) * 10000 DIV js_exact"
+                   " AS BIGINT)").alias("over_bp"),
+            (F.col("js_est") >= F.col("js_exact"))
+            .alias("never_underestimates"),
+            F.expr(env).alias("env_bp"),
+            (F.expr("(js_est - js_exact) * 10000 DIV js_exact")
+             <= F.expr(env)).alias("within_envelope"),
+        )
+    )
+
+
+QUERIES["x134_cms_join_size"] = x134_cms_join_size
+
+ORACLE["x134_cms_join_size"] = f"""
+    WITH base AS (
+        SELECT l_partkey AS k,
+               CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS s
+        FROM lineitem
+    ),
+    d AS (SELECT unnest(range({_X134_DEPTH})) AS i),
+    cr AS (
+        SELECT i,
+               CAST(('0x' || substring(md5(COALESCE(CAST(k AS VARCHAR), '')),
+                   8 * CAST(i AS INTEGER) + 1, 8))::BIGINT
+                   % {_X134_WIDTH} AS INTEGER) AS b,
+               COUNT(*) AS cnt
+        FROM base CROSS JOIN d
+        GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT i,
+               CAST(('0x' || substring(md5(COALESCE(CAST(k AS VARCHAR), '')),
+                   8 * CAST(i AS INTEGER) + 1, 8))::BIGINT
+                   % {_X134_WIDTH} AS INTEGER) AS b,
+               COUNT(*) AS cnt
+        FROM base CROSS JOIN d
+        WHERE s = 1
+        GROUP BY 1, 2
+    ),
+    lanes AS (
+        SELECT cr.i, SUM(cr.cnt * cs.cnt) AS ip
+        FROM cr JOIN cs ON cs.i = cr.i AND cs.b = cr.b
+        GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS js_est FROM lanes),
+    fr AS (
+        SELECT k, COUNT(*) AS fr, SUM(s) AS fs FROM base GROUP BY k
+    ),
+    exact AS (
+        SELECT CAST(SUM(fr * fs) AS BIGINT) AS js_exact,
+               CAST(SUM(fr) AS BIGINT) AS nr,
+               CAST(SUM(fs) AS BIGINT) AS ns
+        FROM fr
+    )
+    SELECT exact.nr, exact.ns, est.js_est, exact.js_exact,
+           CAST((est.js_est - exact.js_exact) * 10000 // exact.js_exact
+                AS BIGINT) AS over_bp,
+           est.js_est >= exact.js_exact AS never_underestimates,
+           CAST(3 * (exact.nr * exact.ns // {_X134_WIDTH}) * 10000
+                // exact.js_exact AS BIGINT) AS env_bp,
+           (est.js_est - exact.js_exact) * 10000 // exact.js_exact
+               <= 3 * (exact.nr * exact.ns // {_X134_WIDTH}) * 10000
+                  // exact.js_exact AS within_envelope
+    FROM est, exact
+"""
+
+
+# --- sampling extension: weighted quantiles from the priority sample (r14) ---
+
+_X135_K = 512
+_X135_QS = (2500, 5000, 7500, 9000)
+#: |sampled weighted CDF − true weighted CDF| at any threshold is a
+#: SUBSET-SUM error (subset = rows with value ≤ t), so the Szegedy
+#: bound gives 3/√(k−1) of total weight; one more sampled row of mass
+#: (≤ ~W/k, the tau scale) can sit astride the crossing. In bp:
+#: 30000/√(k−1) + 10000/k.
+_X135_ENV_BP = int(30000 / (_X135_K - 1) ** 0.5) + 10000 // _X135_K
+
+
+def x135_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles from the x130 priority sample — "the price
+    level below which a quarter / half / three quarters of the QUANTITY
+    mass sits": x123 certified unweighted quantiles from a uniform
+    sample; here the DLT estimator generalizes the same harness to
+    weighted CDFs, because ``F̂(t) = Σ_{v≤t} max(w, tau)`` is just an
+    after-the-fact subset sum (x130's contract) — ONE k=512 weighted
+    sample answers any weighted-quantile question chosen later. Exact
+    weighted quantiles need a global sort of the corpus; the sample
+    path sorts k rows.
+
+    Per probed quantile: the estimate (first sample value whose
+    running quantized weight crosses q·Ŵ), its TRUE weighted-CDF
+    position in the corpus (one-scan certification harness, the x123
+    shape), the gap, and the envelope law ``gap ≤ 30000/√(k−1) +
+    10000/k`` bp (Szegedy subset-sum bound at the threshold + one
+    sampled row astride the crossing). All selection is integer
+    arithmetic over the quantized weights, so DuckDB replays the
+    estimates exactly.
+
+    Scale shape: TakeOrderedAndProject top-(k+1) (no corpus shuffle);
+    the crossing search runs on the ≤ k-row persisted sample
+    (allowlisted bounded window); the exact CDF probe is ONE corpus
+    scan computing all four counts in a single partial aggregate.
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..operators.sampling import priority_sample  # noqa: PLC0415
+
+    k = _X135_K
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    samp = (
+        priority_sample(li, ["k1", "k2"], "w", k)
+        .filter(~F.col("is_boundary"))
+        .withColumn("wq", F.expr(
+            f"CAST(FLOOR(w_est * CAST({_X130_QUANT} AS DOUBLE)) AS BIGINT)"))
+        .select("v", "__ps_h", "wq")
+        .transform(track_persist)
+    )
+    wtot = samp.agg(F.sum("wq").cast("long").alias("wq_tot"))
+    cum = samp.withColumn(
+        "cum",
+        F.sum("wq").over(
+            W.orderBy("v", "__ps_h")
+            .rowsBetween(W.unboundedPreceding, 0)),
+    )
+    qs_df = spark.createDataFrame(
+        [(q,) for q in _X135_QS], "q_bp long")
+    crossed = (
+        cum.crossJoin(F.broadcast(wtot))
+        .join(F.broadcast(qs_df),
+              F.expr("cum * 10000 >= q_bp * wq_tot"))
+        .groupBy("q_bp")
+        .agg(F.min("v").alias("est"), F.max("wq_tot").alias("wq_tot"))
+    )
+    # certification: ONE corpus scan computes every estimate's true
+    # weighted CDF position (the x123 shape — est values ride a
+    # collected ≤ |qs|-row broadcast via a literal map)
+    ests = {r.q_bp: (r.est, r.wq_tot) for r in crossed.collect()}
+    cdf_aggs = [
+        F.sum(F.when(F.col("v") <= F.lit(ests[q][0]), F.col("w"))
+              .otherwise(F.lit(0))).cast("long").alias(f"le_{q}")
+        for q in _X135_QS
+    ]
+    probe = li.agg(F.sum("w").cast("long").alias("w_tot"), *cdf_aggs)
+    rows = probe.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(q).cast("long").alias("q_bp"),
+            F.lit(float(ests[q][0])).alias("est"),
+            F.expr(f"CAST(le_{q} * 10000 DIV w_tot AS BIGINT)")
+            .alias("cdf_bp"),
+            F.col("w_tot"),
+        )
+        for q in _X135_QS
+    ])).alias("r")).select("r.q_bp", "r.est", "r.cdf_bp", "r.w_tot")
+    return rows.select(
+        "q_bp",
+        F.round("est", 2).alias("est"),
+        "cdf_bp", "w_tot",
+        F.expr("CAST(ABS(cdf_bp - q_bp) AS BIGINT)").alias("gap_bp"),
+        F.lit(_X135_ENV_BP).cast("long").alias("env_bp"),
+        (F.expr("ABS(cdf_bp - q_bp)") <= _X135_ENV_BP)
+        .alias("within_envelope"),
+    ).orderBy("q_bp")
+
+
+QUERIES["x135_weighted_quantiles"] = x135_weighted_quantiles
+
+ORACLE["x135_weighted_quantiles"] = f"""
+    WITH src AS (
+        SELECT l_orderkey AS k1, l_linenumber AS k2,
+               CAST(l_quantity AS BIGINT) AS w, l_extendedprice AS v
+        FROM lineitem
+    ),
+    pri AS (
+        SELECT *,
+               ('0x' || substring(md5(COALESCE(CAST(concat_ws(':',
+                    CAST(k1 AS VARCHAR), CAST(k2 AS VARCHAR)) AS VARCHAR),
+                    '')), 1, 15))::BIGINT + 1 AS h
+        FROM src
+    ),
+    p2 AS (
+        SELECT *, CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS p FROM pri
+    ),
+    top AS (
+        SELECT * FROM p2
+        ORDER BY p DESC, h ASC, k1 ASC, k2 ASC
+        LIMIT {_X135_K + 1}
+    ),
+    m AS (SELECT COUNT(*) AS c FROM top),
+    bnd AS (SELECT p, h FROM top ORDER BY p ASC, h DESC LIMIT 1),
+    samp AS (
+        SELECT t.v, t.h,
+               CAST(FLOOR(GREATEST(CAST(t.w AS DOUBLE),
+                    CASE WHEN m.c = {_X135_K + 1}
+                         THEN bnd.p * CAST({_X130_TAU_SCALE} AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END)
+                    * CAST({_X130_QUANT} AS DOUBLE)) AS BIGINT) AS wq
+        FROM top t, m, bnd
+        WHERE m.c < {_X135_K + 1} OR NOT (t.p = bnd.p AND t.h = bnd.h)
+    ),
+    wtot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_tot FROM samp),
+    cum AS (
+        SELECT v, wq_tot,
+               SUM(wq) OVER (ORDER BY v, h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM samp, wtot
+    ),
+    qs AS (SELECT CAST(unnest({list(_X135_QS)}) AS BIGINT) AS q_bp),
+    crossed AS (
+        SELECT qs.q_bp, MIN(cum.v) AS est
+        FROM qs JOIN cum ON cum.cum * 10000 >= qs.q_bp * cum.wq_tot
+        GROUP BY qs.q_bp
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM src),
+    cdf AS (
+        SELECT c.q_bp, c.est, tot.w_tot,
+               CAST((SELECT COALESCE(SUM(w), 0) FROM src
+                     WHERE src.v <= c.est) * 10000 // tot.w_tot
+                    AS BIGINT) AS cdf_bp
+        FROM crossed c CROSS JOIN tot
+    )
+    SELECT q_bp, ROUND(est, 2) AS est, cdf_bp, w_tot,
+           CAST(ABS(cdf_bp - q_bp) AS BIGINT) AS gap_bp,
+           CAST({_X135_ENV_BP} AS BIGINT) AS env_bp,
+           ABS(cdf_bp - q_bp) <= {_X135_ENV_BP} AS within_envelope
+    FROM cdf
+    ORDER BY q_bp
+"""

@@ -220,6 +220,12 @@ HEADLINE = [
     # round-14 session 2: streaming overlap monitor — two KMV folds
     # composed through the set algebra (eager builder, x124 class)
     "x133_stream_overlap_monitor",
+    # round-14 session 2: AMS join-size estimation from CMS inner
+    # products (one persisted base scan, sketch-geometry-bounded join)
+    "x134_cms_join_size",
+    # round-14 session 2: weighted quantiles from the priority sample
+    # (TakeOrdered sample + one-scan CDF certification)
+    "x135_weighted_quantiles",
     # round-10: x112 (stateful TTL eviction) is deliberately NOT here —
     # its runtime is dominated by designed wall-clock sleeps (the TTL
     # gap that makes eviction deterministic), so it would measure the

@@ -651,3 +651,22 @@ def test_priority_sample_validates_k(spark):
     df = spark.createDataFrame([(1, 1)], "key long, w long")
     with pytest.raises(ValueError, match="k must be"):
         priority_sample(df, ["key"], "w", 0)
+
+
+def test_cms_inner_product_never_underestimates_join_size(spark):
+    """AMS-on-CMS join-size law (x134): min over lanes of the sketch
+    inner product >= the exact join size; equality when the sketch is
+    collision-free."""
+    r = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7, 7]], "k long")
+    s = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 3, 9]], "k long")
+    d, w = 4, 4096
+    cr, cs = (count_min_sketch_table(x, "k", d, w) for x in (r, s))
+    lanes = (cr.alias("r").join(cs.alias("c"), ["i", "b"])
+             .groupBy("i").agg(F.sum(F.expr("r.cnt * c.cnt")).alias("ip")))
+    est = lanes.agg(F.min("ip").alias("e")).collect()[0].e
+    # exact: 3*1 + 2*3 + 1*1 = 10 (keys 7 and 9 join nothing)
+    assert est >= 10
+    if cr.count() == 16 and cs.count() == 16:  # collision-free lanes
+        assert est == 10

@@ -105,6 +105,15 @@ SECTIONS = [
      "hybrid RRF fusion: BM25 posting-scale TakeOrdered + one-row "
      "cosine probe broadcast; fusion = full-outer join of two <= 50-"
      "row pools + TakeOrdered 20"),
+    ("x134_cms_join_size",
+     "AMS join-size estimate: one persisted base scan feeds both CMS "
+     "builds (explode x depth, partial-agg-capped shuffle) and the "
+     "exact harness; sketch-vs-sketch inner product joins on (i, b) — "
+     "bounded by sketch geometry, not data"),
+    ("x135_weighted_quantiles",
+     "weighted quantiles from the priority sample: TakeOrdered "
+     "top-(k+1), crossing search on the persisted <= k-row sample, "
+     "one-scan exact weighted-CDF probe for all quantiles"),
     ("x84_quantile_binning",
      "one-row percentile-bounds aggregate broadcast into map-side bin "
      "assignment (BroadcastNestedLoopJoin of a single row) — no per-row "
