@@ -212,12 +212,19 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
 
 
 def neardup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
-                     src: str = "a", dst: str = "b") -> DataFrame:
+                     src: str = "a", dst: str = "b",
+                     propagate_rounds: int = 4) -> DataFrame:
     """Assign every row its duplicate-cluster id: the min id of its
     connected component in the near-dup pair graph; singletons (no pair)
     are their own cluster. Exact transitive semantics — the closure the
-    greedy ``minhash_dedup`` approximates."""
-    comp = connected_components(pairs, src, dst)
+    greedy ``minhash_dedup`` approximates. ``propagate_rounds`` forwards
+    to :func:`connected_components` — callers whose graphs are known to
+    have moderate diameter (e.g. x96's adjective-variant chains, ~8-10)
+    can buy convergence inside the cheap propagation phase instead of
+    paying the star-contraction setup; exactness is unaffected either
+    way (phase 2 remains the fallback)."""
+    comp = connected_components(pairs, src, dst,
+                                propagate_rounds=propagate_rounds)
     return (
         df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))

@@ -214,7 +214,8 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
 
 def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
                         k: int = 128,
-                        prefilter_denom: int | None = None) -> DataFrame:
+                        prefilter_denom: int | None = None,
+                        distinct_keys: bool = False) -> DataFrame:
     """Per-group KMV sketches in one pass: ``(group, h)`` rows holding
     each group's ≤ k smallest distinct key hashes — the GROUP BY
     companion of :func:`kmv_sketch_table` ("distinct users per source",
@@ -231,7 +232,13 @@ def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
     its SURVIVOR count falls below k gets a corrupt (too-small) sketch,
     so pick denom from a lower bound on the SMALLEST group's
     cardinality (denom ≤ min_g n_g / (2k)), or check ``n_sketch == k``
-    per group downstream (kmv_group_estimates' fallback contract)."""
+    per group downstream (kmv_group_estimates' fallback contract).
+
+    ``distinct_keys=True``: the caller guarantees ``(group, key)`` rows
+    are already distinct (e.g. the input IS a deduplicated keyspace),
+    so the operator skips its own distinct — one exchange less; the
+    60-bit hash is 1:1 per key, so distinct keys ⇒ distinct hashes and
+    the rank window sees the identical row set."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if prefilter_denom is not None and prefilter_denom < 1:
@@ -246,7 +253,8 @@ def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
     if prefilter_denom is not None:
         hashes = hashes.filter(
             F.col("h") < F.lit(_KMV_DOMAIN // prefilter_denom))
-    hashes = hashes.distinct()
+    if not distinct_keys:
+        hashes = hashes.distinct()
     w = W.partitionBy("g").orderBy("h")
     return (
         hashes.withColumn("__rk", F.row_number().over(w))

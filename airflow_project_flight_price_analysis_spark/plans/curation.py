@@ -1581,34 +1581,46 @@ def x120_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment, counter table, min-of-d estimates — and the gate
     value-hashes estimates exactly, not within a tolerance.
 
-    Scale shape: sketch build = one scan + one shuffle capped at
-    depth·width rows per upstream partition (partial agg); probing =
-    depth broadcast joins of the ≤ 1024-row counter table (zero
-    shuffles); the exact per-key counts are the CERTIFICATION harness
-    (x12's pattern — at 100 TB the product path keeps only the sketch,
-    merged counter-wise across partitions/days: union → sum, the
-    x54/x57 merge algebra).
+    Scale shape (r14, the x134 frequency-table move): ONE corpus scan
+    — the exact per-key count table that the certification needs
+    anyway is persisted, and the sketch's counters derive from IT by
+    weighted counting (``cnt[i,b] = Σ_{key∈bucket} exact_cnt(key)`` —
+    identical to per-row incrementing by linearity), so the
+    explode × depth runs over |keys| rows instead of the corpus and
+    the old second scan disappears. Probing stays the zero-shuffle
+    single-map broadcast. The 100 TB PRODUCT path (sketch alone, no
+    exact table) remains the operator's per-row bounded-shuffle build
+    (profiling.count_min_sketch_table — streaming x127 exercises it);
+    the exact counts exist here only to certify, merged counter-wise
+    across partitions/days at scale: union → sum, the x54/x57 merge
+    algebra.
     """
     from ..cache import track_persist  # noqa: PLC0415
     from ..operators.profiling import (  # noqa: PLC0415
+        cms_buckets,
         count_min_estimates,
-        count_min_sketch_table,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("suppkey")
     )
-    # Persist BOTH shared intermediates (r12 verdict item 1: without
-    # them the final adaptive plan re-ran the sketch-build subtree once
-    # per filtered broadcast lane in BOTH the law branch and the top-10
-    # branch — 17 lineitem scans for what should be 2). The sketch is
-    # ≤ depth·width = 1024 rows by construction; `probed` is the
-    # |keys|-grain CERTIFICATION table (exact counts exist only to
-    # certify the sketch — the 100 TB product path keeps the sketch
-    # alone), consumed by two branches (law aggregate + top-10).
-    sketch = count_min_sketch_table(
-        li, "suppkey", _X120_DEPTH, _X120_WIDTH).transform(track_persist)
-    exact = li.groupBy("suppkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # Persist the shared intermediates (r12 verdict item 1: without
+    # them the final adaptive plan re-ran shared subtrees once per
+    # consumer — 17 lineitem scans for what should be 1). `exact` is
+    # the |keys|-grain CERTIFICATION table feeding both the sketch
+    # derivation and the probe; `probed` is consumed by two branches
+    # (law aggregate + top-10).
+    exact = li.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")).transform(track_persist)
+    sketch = (
+        exact.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), b.alias("b"))
+            for i, b in enumerate(
+                cms_buckets(F.col("suppkey"), _X120_DEPTH, _X120_WIDTH))
+        ])).alias("ib"), "exact_cnt")
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
     probed = count_min_estimates(
         exact, sketch, "suppkey", _X120_DEPTH, _X120_WIDTH
     ).withColumn("overest", F.col("cms_est") - F.col("exact_cnt")) \
@@ -4072,13 +4084,15 @@ def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope-checked; a half whose survivor set is smaller than k
     keeps everything, so the law holds at every scale).
 
-    Scale shape: the survivor table (distinct prefiltered hashes +
-    parity, ~n/denom rows) is built in ONE corpus scan and persisted;
-    all three sketches (full / even / odd) and the merge check derive
-    from it — map-side partial aggregation dedupes before the shuffle,
-    TakeOrdered caps everything after at k rows. The only other scan
-    is the exact count, which exists (like x120's) purely to certify;
-    the 100 TB product path keeps the ≤k-row sketch alone.
+    Scale shape: ONE corpus scan (r14) — the distinct-key table that
+    the exact certification count needs anyway is persisted, and the
+    survivor table (prefiltered hashes + parity) is a hash-projection
+    of it, so all three sketches (full / even / odd) and the merge
+    check derive from the same pass; map-side partial aggregation
+    dedupes before the shuffle, TakeOrdered caps everything after at
+    k rows. The 100 TB product path (sketch alone, no certification)
+    remains the operator's prefilter-pushed scan form
+    (profiling.kmv_sketch_table).
     """
     from ..cache import track_persist  # noqa: PLC0415
     from ..operators.profiling import (  # noqa: PLC0415
@@ -4090,18 +4104,25 @@ def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = _KMV_DOMAIN // _X122_PREFILTER_DENOM
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("key"))
+    # r14 (the x129 one-scan move): the exact certification count
+    # already pays a full distinct shuffle of the key space, so derive
+    # the survivor table FROM the distinct-key table instead of a
+    # second corpus scan — md5 is paid once per DISTINCT key instead
+    # of once per row, and lineitem is scanned once instead of twice
+    # (h = md5(key) is 1:1 per key, so the survivor set is
+    # bit-identical; re-certified vs the unchanged oracle at all
+    # three sfs).
+    dk = li.distinct().transform(track_persist)
+    exact = dk.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     surv = (
-        li.select(kmv_hash(F.col("key")).alias("h"),
+        dk.select(kmv_hash(F.col("key")).alias("h"),
                   (F.col("key") % 2).cast("int").alias("par"))
         .filter(F.col("h") < F.lit(thr))
-        .distinct()
-        .transform(track_persist)
     )
-    sketch = surv.select("h").distinct().orderBy("h").limit(k)
+    sketch = surv.select("h").orderBy("h").limit(k)
     even = surv.filter(F.col("par") == 0).select("h").orderBy("h").limit(k)
     odd = surv.filter(F.col("par") == 1).select("h").orderBy("h").limit(k)
     merged = even.unionAll(odd).distinct().orderBy("h").limit(k)
-    exact = li.agg(F.countDistinct("key").cast("long").alias("n_exact"))
     # ONE law aggregate over the tagged union of the two ≤k-row sets
     # (r13 measured: the first cut ran estimate / set-consistency /
     # merged-count as THREE separate aggregates, each its own job +
@@ -4247,12 +4268,18 @@ def x123_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     any column of the sampled rows is then a driver-side lookup.
     """
     from ..operators.sampling import hash_bottomk_sample  # noqa: PLC0415
+    from ..session import scale_out  # noqa: PLC0415
 
     k = _X123_K
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("v"))
+    # r14: the single-row-group test parquet arrives as ONE partition,
+    # serializing the per-row md5 draw on one core — widen the sample's
+    # input first (scale_out no-ops at real scale where scans are
+    # already split; the CDF probe below keeps the plain scan — its
+    # partial aggregate does no per-row hashing)
     samp = hash_bottomk_sample(
-        li, ["l_orderkey", "l_linenumber"], k,
+        scale_out(li), ["l_orderkey", "l_linenumber"], k,
         prefilter_denom=_X123_PREFILTER_DENOM)
     srow = samp.agg(
         F.sort_array(F.collect_list("v")).alias("arr"),
@@ -4353,7 +4380,7 @@ _X124_PREFILTER_DENOM = 2
 def x124_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the KMV distinct sketch through the
     REAL streaming engine — the X7 face of x122: the events backlog is
-    written as four parquet files and consumed one file per
+    written as two parquet files and consumed one file per
     micro-batch (``maxFilesPerTrigger=1``), ``foreachBatch`` computes
     each batch's bottom-k distributed and folds it into the running
     sketch (streaming/sketches.stream_kmv_sketch). The DuckDB oracle
@@ -4383,7 +4410,12 @@ def x124_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id")
     root = tempfile.mkdtemp(prefix="x124_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(root)
+        # 2 one-file micro-batches — the minimal multi-batch backlog
+        # (r14: each batch is ~0.8 s of fixed streaming-engine
+        # overhead; the merge law makes the folded sketch identical
+        # for ANY split, so extra batches were pure builder latency —
+        # multi-way-split folds stay pinned in tests/test_streaming.py)
+        ev.repartition(2).write.mode("overwrite").parquet(root)
         stream = (
             spark.readStream.schema("event_id long")
             .option("maxFilesPerTrigger", 1)
@@ -4661,7 +4693,7 @@ _X127_DEPTH, _X127_WIDTH = 4, 256
 def x127_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the count-min sketch — the X7 face of
     x120, completing the streaming-sketch pair next to x124's KMV:
-    the events backlog staged as four files, one per micro-batch,
+    the events backlog staged as two files, one per micro-batch,
     ``foreachBatch`` building each batch's counter table DISTRIBUTED
     and adding it counter-wise into the running DURABLE sketch
     (streaming/sketches.stream_cms_sketch with ``state_path`` — the
@@ -4704,7 +4736,12 @@ def x127_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     state = os.path.join(root, "state")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        # 2 one-file micro-batches (r14, x124's minimal-backlog note):
+        # the crash-replay exercise below deletes the NEWEST commit and
+        # restarts, which is split-count-independent; 2 batches = 2
+        # fewer fixed ~0.8 s micro-batch rounds + 2 fewer durable
+        # publishes than the old 4-file backlog, same oracle counters
+        ev.repartition(2).write.mode("overwrite").parquet(src)
 
         def _stream():
             return (
@@ -4787,7 +4824,7 @@ def x128_stream_sample_quantiles(spark: SparkSession, sf_dir: str,
     """Streaming maintenance of the deterministic quantile sample —
     the X7 face of x123, completing the streaming-sketch TRIO (x124
     KMV = distinct counts, x127 CMS = frequencies, this = quantiles):
-    the events backlog staged as four files, one per micro-batch,
+    the events backlog staged as two files, one per micro-batch,
     ``foreachBatch`` drawing each batch's bottom-k rows by md5 key
     hash DISTRIBUTED and folding them concatenate → re-bottom-k
     (streaming/sketches.stream_bottomk_sample). The multiset merge law
@@ -4820,7 +4857,8 @@ def x128_stream_sample_quantiles(spark: SparkSession, sf_dir: str,
         "event_id", F.col("value").alias("v"))
     root = tempfile.mkdtemp(prefix="x128_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(root)
+        # 2 one-file micro-batches (r14, x124's minimal-backlog note)
+        ev.repartition(2).write.mode("overwrite").parquet(root)
         stream = (
             spark.readStream.schema("event_id long, v double")
             .option("maxFilesPerTrigger", 1)
@@ -4966,10 +5004,11 @@ def x129_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     A = orderkeys with a returned line (l_returnflag = 'R'), B =
     orderkeys with a bulk line (l_quantity ≥ 25) — ~1.1k/11k/111k and
     ~1.3k/13k/131k distinct keys at the three sfs, Jaccard ≈ 0.72.
-    Both membership flags come from ONE prefiltered survivor pass
-    (max() per hash), so order-level membership ("ANY line matches")
-    is computed once; the per-set sketches are bottom-k slices of that
-    persisted table.
+    Both membership flags come from ONE per-key aggregate over ONE
+    corpus scan ("ANY line matches", max() per key); the per-set
+    sketches are bottom-k slices of its hashed survivors and the exact
+    certification counts are a one-row aggregate of the same persisted
+    table — no second corpus pass.
 
     One row: sketch sizes, the union sketch's kth minimum, the three
     estimates, their exact counterparts (certification harness — a
@@ -4995,21 +5034,29 @@ def x129_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("int").alias("a"),
         (F.col("l_quantity") >= 25).cast("int").alias("b"),
     )
-    surv = (
-        li.select(kmv_hash(F.col("key")).alias("h"), "a", "b")
-        .filter(F.col("h") < F.lit(thr))
-        .groupBy("h")
+    # r14 optimization: ONE corpus scan + ONE shuffle. The old form
+    # scanned lineitem twice (hash-filter-groupBy(h) for the sketches,
+    # groupBy(key) for the exact side) and paid md5 on every ROW; the
+    # per-key membership aggregate is the common core of both, so
+    # compute it once and hash only the ~|distinct keys| survivors
+    # (h = md5(key) is 1:1 per key — bit-identical survivor set, and
+    # the oracle gate re-certified the value hash at all three sfs).
+    per_key = (
+        li.groupBy("key")
         .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
         .transform(track_persist)
+    )
+    surv = (
+        per_key.select(kmv_hash(F.col("key")).alias("h"), "in_a", "in_b")
+        .filter(F.col("h") < F.lit(thr))
     )
     sk_a = surv.filter(F.col("in_a") == 1).select("h").orderBy("h").limit(k)
     sk_b = surv.filter(F.col("in_b") == 1).select("h").orderBy("h").limit(k)
     alg = kmv_set_algebra(sk_a, sk_b, k)
-    per_key = li.groupBy("key").agg(
-        F.max("a").alias("a"), F.max("b").alias("b"))
     exact = per_key.agg(
-        F.sum(F.greatest("a", "b")).cast("long").alias("n_union_exact"),
-        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_inter_exact"),
+        F.sum(F.greatest("in_a", "in_b")).cast("long").alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+        .alias("n_inter_exact"),
     )
     return (
         alg.crossJoin(F.broadcast(exact))
@@ -5187,6 +5234,7 @@ def x130_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..cache import track_persist  # noqa: PLC0415
     from ..operators.sampling import priority_sample  # noqa: PLC0415
+    from ..session import scale_out  # noqa: PLC0415
 
     k = _X130_K
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -5195,7 +5243,11 @@ def x130_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("w"),
         F.col("l_returnflag").alias("flag"),
     )
-    top = priority_sample(li, ["k1", "k2"], "w", k).transform(track_persist)
+    # r14: widen the sample scan — the single-row-group parquet would
+    # otherwise run the per-row md5 priority draw on one core (A/B at
+    # sf0.1: 1.33 → 0.79 s; scale_out no-ops on already-split inputs)
+    top = priority_sample(
+        scale_out(li), ["k1", "k2"], "w", k).transform(track_persist)
     est = (
         top.filter(~F.col("is_boundary"))
         .withColumn("wq", F.expr(
@@ -5207,9 +5259,13 @@ def x130_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_est_flag"),
         )
     )
+    # r14 optimization: the grand total is the sum of the per-flag
+    # exact sums (exact long arithmetic — same value), so the third
+    # corpus scan disappears; the ≤ |flags|-row exact table feeds both
+    # the join and the envelope total.
     exact = li.groupBy("flag").agg(
-        F.sum("w").cast("long").alias("w_exact"))
-    total = li.agg(F.sum("w").cast("long").alias("total_w"))
+        F.sum("w").cast("long").alias("w_exact")).transform(track_persist)
+    total = exact.agg(F.sum("w_exact").cast("long").alias("total_w"))
     env = (f"CAST(FLOOR(CAST(3 AS DOUBLE) * CAST(total_w AS DOUBLE)"
            f" / SQRT(CAST({k - 1} AS DOUBLE))) AS BIGINT)")
     return (
@@ -5357,11 +5413,18 @@ def x131_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import kmv_sketch_by_group  # noqa: PLC0415
 
     k = _X131_K
+    # column names travel as a TINY int index inside the data-sized
+    # phases (guide §2.3 "narrower types": the melted keyspace is
+    # |columns| × |distinct keys| rows and the 9-11-char column-name
+    # string more than doubled each shuffled row vs a 4-byte int);
+    # strings reappear only on the ≤ 16-row roles/pair frames.
+    all_cols = [c for cs in _X131_COLS.values() for c in cs]
+    idx = {c: i for i, c in enumerate(all_cols)}
     parts = []
     for t, cs in _X131_COLS.items():
         tdf = load_table(spark, sf_dir, t)
         parts.append(tdf.select(F.explode(F.array(*[
-            F.struct(F.lit(c).alias("g"),
+            F.struct(F.lit(idx[c]).cast("int").alias("g"),
                      F.col(c).cast("long").alias("key"))
             for c in cs
         ])).alias("e")).select("e.g", "e.key"))
@@ -5369,12 +5432,15 @@ def x131_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         ks = ks.unionAll(p)
     ks = ks.distinct().transform(track_persist)
-    sk = kmv_sketch_by_group(ks, "g", "key", k)
+    # ks is already distinct on (g, key), so the sketch skips its own
+    # distinct exchange (r14 optimization; the 60-bit hash is 1:1 per
+    # key, so the rank window sees the identical row set)
+    sk = kmv_sketch_by_group(ks, "g", "key", k, distinct_keys=True)
 
     roles = spark.createDataFrame(
-        [(f"{c}->{p}", "c", c) for c, p in _X131_PAIRS]
-        + [(f"{c}->{p}", "p", p) for c, p in _X131_PAIRS],
-        "pair_id string, role string, colname string",
+        [(f"{c}->{p}", "c", idx[c]) for c, p in _X131_PAIRS]
+        + [(f"{c}->{p}", "p", idx[p]) for c, p in _X131_PAIRS],
+        "pair_id string, role string, colname int",
     )
     mem = (
         F.broadcast(roles).join(sk, F.col("colname") == F.col("g"))
@@ -5395,20 +5461,31 @@ def x131_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_c").cast("long").alias("k_child"),
         F.sum(F.col("in_c") * F.col("in_p")).cast("long").alias("k_inter"),
     )
-    ex = (
-        F.broadcast(roles).join(ks, F.col("colname") == F.col("g"))
-        .groupBy("pair_id", "key")
-        .agg(
-            F.max((F.col("role") == "c").cast("int")).alias("in_c"),
-            F.max((F.col("role") == "p").cast("int")).alias("in_p"),
+    # exact certification side, r14 optimization: instead of fanning
+    # the keyspace out ×2 through the roles join and shuffling
+    # (pair_id, key) twice, pivot membership per key in ONE
+    # groupBy(key) pass (8 boolean lanes), then a grand aggregate
+    # computes every pair's |child| and |child ∩ parent| — identical
+    # values (the oracle's exk/ex blocks compute exactly these sums).
+    km = ks.groupBy("key").agg(*[
+        F.max((F.col("g") == i).cast("int")).alias(f"m{i}")
+        for i, c in enumerate(all_cols)
+    ])
+    ex_agg = km.agg(*(
+        [F.sum(f"m{idx[c]}").cast("long").alias(f"nc{j}")
+         for j, (c, _p) in enumerate(_X131_PAIRS)]
+        + [F.sum(F.col(f"m{idx[c]}") * F.col(f"m{idx[p]}")).cast("long")
+           .alias(f"ni{j}")
+           for j, (c, p) in enumerate(_X131_PAIRS)]
+    ))
+    ex = ex_agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(f"{c}->{p}").alias("pair_id"),
+            F.col(f"nc{j}").alias("n_child_exact"),
+            F.col(f"ni{j}").alias("n_inter_exact"),
         )
-        .groupBy("pair_id")
-        .agg(
-            F.sum("in_c").cast("long").alias("n_child_exact"),
-            F.sum(F.col("in_c") * F.col("in_p")).cast("long")
-            .alias("n_inter_exact"),
-        )
-    )
+        for j, (c, p) in enumerate(_X131_PAIRS)
+    ])).alias("e")).select("e.pair_id", "e.n_child_exact", "e.n_inter_exact")
     env = ("CAST(FLOOR(CAST(30000 AS DOUBLE) * SQRT("
            "(CAST(cont_bp_exact AS DOUBLE) / CAST(10000 AS DOUBLE))"
            " * (CAST(1 AS DOUBLE) - CAST(cont_bp_exact AS DOUBLE)"
@@ -5580,11 +5657,15 @@ def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="x133_")
     try:
-        # 3 one-file micro-batches: ≥ 2 merges exercise the law; each
-        # extra batch costs ~0.8 s of FIXED engine overhead (r14
-        # profile: fold work is ~0.1 s of it), so the backlog stays
-        # minimal-but-multi-batch
-        li.repartition(3).write.mode("overwrite").parquet(root)
+        # 2 one-file micro-batches — the MINIMAL multi-batch backlog
+        # (the multi_batch law needs n_batches ≥ 2, and the per-lane
+        # merge law makes the folded state identical for ANY split, so
+        # 2 vs 3 batches changes nothing the oracle sees). Each batch
+        # costs ~0.8 s of FIXED streaming-engine overhead (r14 profile:
+        # fold work is ~0.1 s of it), so the third batch was pure
+        # latency; the 3-way-split fold law stays pinned in the unit
+        # tests (tests/test_streaming.py).
+        li.repartition(2).write.mode("overwrite").parquet(root)
         lanes = [
             F.when(F.col(flag) == 1, F.struct(
                 F.lit(flag).alias("g"), F.col("key").alias("key")))
@@ -5783,33 +5864,42 @@ def x134_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (the x120 counter replay), so DuckDB reproduces the
     estimate bit-for-bit.
 
-    Scale shape: ONE corpus scan builds a persisted (key, bulk-flag)
-    base; both sketches and both exact frequency tables derive from
-    it (the sketches via the explode × depth partial-agg-capped
-    shuffle, ≤ depth·width rows out; the exact join is the
-    certification harness — the product path keeps the sketches
-    alone). The sketch-vs-sketch inner product joins two ≤ 1M-row
-    tables on (i, b) — bounded by sketch geometry, not data.
+    Scale shape (r14 optimization, guide §2.3 "aggregate before you
+    shuffle"): ONE corpus pass — the per-key frequency aggregate
+    ``fr = (k, fr, fs)`` — feeds EVERYTHING. Both sketches derive from
+    the ≤ |distinct keys|-row frequency table by weighted counting
+    (``cnt[i,b] = Σ_{k∈bucket} fr(k)`` — identical counters to per-row
+    incrementing, by linearity), so the explode × depth runs over
+    distinct keys, md5 is paid once per KEY instead of once per row,
+    and the old second explode pass AND the sketch-vs-sketch (i, b)
+    join both disappear (a bucket cS never touched has ``cnt_s = 0``,
+    contributing 0 to the inner product exactly like the inner join it
+    replaces). The exact side is the same table's one-row aggregate —
+    the certification harness; the product path keeps the sketches.
     """
     from ..cache import track_persist  # noqa: PLC0415
-    from ..operators.profiling import count_min_sketch_table  # noqa: PLC0415
+    from ..operators.profiling import cms_buckets  # noqa: PLC0415
 
     d, w = _X134_DEPTH, _X134_WIDTH
-    base = load_table(spark, sf_dir, "lineitem").select(
+    fr = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("k"),
         (F.col("l_quantity") >= 25).cast("int").alias("s"),
-    ).transform(track_persist)
-    cr = count_min_sketch_table(base, "k", d, w)
-    cs = count_min_sketch_table(base.filter(F.col("s") == 1), "k", d, w)
-    est = (
-        cr.alias("r").join(cs.alias("c"), ["i", "b"])
-        .groupBy("i")
-        .agg(F.sum(F.expr("r.cnt * c.cnt")).cast("long").alias("ip"))
-        .agg(F.min("ip").cast("long").alias("js_est"))
-    )
-    fr = base.groupBy("k").agg(
+    ).groupBy("k").agg(
         F.count(F.lit(1)).alias("fr"),
         F.sum("s").alias("fs"),
+    ).transform(track_persist)
+    both = (
+        fr.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), b.alias("b"))
+            for i, b in enumerate(cms_buckets(F.col("k"), d, w))
+        ])).alias("ib"), "fr", "fs")
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.sum("fr").alias("cnt"), F.sum("fs").alias("cnt_s"))
+    )
+    est = (
+        both.groupBy("i")
+        .agg(F.sum(F.expr("cnt * cnt_s")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("js_est"))
     )
     exact = fr.agg(
         F.sum(F.expr("fr * fs")).cast("long").alias("js_exact"),
@@ -5928,6 +6018,7 @@ def x135_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..cache import track_persist  # noqa: PLC0415
     from ..operators.sampling import priority_sample  # noqa: PLC0415
+    from ..session import scale_out  # noqa: PLC0415
 
     k = _X135_K
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -5936,8 +6027,10 @@ def x135_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("w"),
         F.col("l_extendedprice").alias("v"),
     )
+    # r14: widen the sample scan (see x130) — the probe scan below
+    # stays plain
     samp = (
-        priority_sample(li, ["k1", "k2"], "w", k)
+        priority_sample(scale_out(li), ["k1", "k2"], "w", k)
         .filter(~F.col("is_boundary"))
         .withColumn("wq", F.expr(
             f"CAST(FLOOR(w_est * CAST({_X130_QUANT} AS DOUBLE)) AS BIGINT)"))

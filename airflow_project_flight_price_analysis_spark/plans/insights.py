@@ -515,10 +515,23 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle counts the same triangles by the naive ordered join
     (s1<s2<s3); identical totals, different physical strategy.
     """
+    # r14 (guide §2.5/§2.6): the distinct (p, s) table is only a few MB
+    # at bench scale, so AQE coalesces its exchange to ONE partition —
+    # and the self-join + pair aggregation below (the query's heaviest
+    # CPU, a ~14× row expansion) then runs as a single task on one
+    # core. An explicit hash repartition on the join key pins the
+    # expansion's parallelism (explicit numPartitions is exempt from
+    # AQE coalescing; keyed on p, the join reuses the exchange, and the
+    # few-MB shuffle is noise next to the serialized expansion it
+    # unlocks). defaultParallelism = the core count here and the
+    # cluster's total cores at scale — where ps is large enough that
+    # AQE wouldn't have coalesced anyway, so the pin is a no-op there.
+    n_par = spark.sparkContext.defaultParallelism
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .repartition(n_par, "p")
     )
     from ..cache import track_persist  # noqa: PLC0415
 
@@ -565,6 +578,11 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uv")
         )
         .select("uv.u", "uv.v")
+        # same single-partition hazard as ps above: the oriented edge
+        # list is ~2 MB cached, so without the pin the adjacency-
+        # intersect stage (Σ |N+(u) ∩ N+(v)| — the other CPU peak)
+        # would run as one task against the broadcast adjacency
+        .repartition(n_par, "u", "v")
         .transform(track_persist)
     )
     # Triangle count WITHOUT materializing wedge pairs (r12, r11

@@ -670,3 +670,27 @@ def test_cms_inner_product_never_underestimates_join_size(spark):
     assert est >= 10
     if cr.count() == 16 and cs.count() == 16:  # collision-free lanes
         assert est == 10
+
+
+def test_kmv_by_group_distinct_keys_fast_path(spark):
+    """r14: `distinct_keys=True` skips the operator's own dedup exchange;
+    on an already-distinct (g, key) frame the sketch must be identical
+    to the default path — and on a frame WITH duplicates the default
+    path still dedups (the flag is opt-in, not a behavior change)."""
+    from airflow_project_flight_price_analysis_spark.operators.profiling import (
+        kmv_sketch_by_group,
+    )
+
+    rows = [(f"g{i % 2}", f"u{j}") for i in range(2) for j in range(40)]
+    dedup = spark.createDataFrame(sorted(set(rows)), "g string, k string")
+    k = 8
+    fast = {(r.g, r.h)
+            for r in kmv_sketch_by_group(
+                dedup, "g", "k", k, distinct_keys=True).collect()}
+    slow = {(r.g, r.h)
+            for r in kmv_sketch_by_group(dedup, "g", "k", k).collect()}
+    assert fast == slow
+    # duplicates + default path: still the distinct-set sketch
+    dup = spark.createDataFrame(rows + rows, "g string, k string")
+    assert {(r.g, r.h)
+            for r in kmv_sketch_by_group(dup, "g", "k", k).collect()} == slow
