@@ -53,6 +53,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # MERGE (op_col CDC batch) and every merge write is
     # bucket-clustered — values and oracle unchanged, composition new
     "q87_snapshot_diff",
+    # Round-14 OPTIMIZATION session: every face whose physical
+    # composition changed (values and oracles unchanged — each already
+    # re-proven locally at sf0.001/0.01/0.1, plus a full 223/223
+    # driver-sim gate; see OPTIMIZATION_r14.md) gets a fresh driver
+    # row. x120/x122/x124/x127 above are double-changed (build session
+    # + optimization session) and already pinned.
+    "x129_kmv_set_algebra",
+    "x130_priority_sample",
+    "x131_fk_containment",
+    "x134_cms_join_size",
+    "x135_weighted_quantiles",
+    "x123_sampled_quantiles",
+    "x128_stream_sample_quantiles",
+    "x133_stream_overlap_monitor",
+    "x83_triangle_count",
+    "x96_entity_resolution",
 )
 # Tier 2 (automatic, no green row) as of round-14: empty — every
 # registered query has a green driver row (215/215 after r13). New
