@@ -523,10 +523,20 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expansion's parallelism (explicit numPartitions is exempt from
     # AQE coalescing; keyed on p, the join reuses the exchange, and the
     # few-MB shuffle is noise next to the serialized expansion it
-    # unlocks). defaultParallelism = the core count here and the
-    # cluster's total cores at scale — where ps is large enough that
-    # AQE wouldn't have coalesced anyway, so the pin is a no-op there.
-    n_par = spark.sparkContext.defaultParallelism
+    # unlocks). The width is DERIVED FROM THE DATA, not the box (guide
+    # §2: scale-adaptive, never a local-mode constant): the pair table
+    # is capped at C(n_sup, 2) rows by construction, so size partitions
+    # at ~64k pair rows each, clamped to the core count — sf0.1 lands
+    # at 8 (A/B at 32 cores: width 32 → 8.97 s, 16 → 6.39, 8 → 6.16,
+    # 4 → 7.07 full-query medians; over-width pays per-task/GC overhead
+    # on a few-MB graph), and any corpus with ≥ ~2k suppliers saturates
+    # to every core. Footer unreadable ⇒ width = all cores (safe).
+    n_sup = _parquet_num_rows(f"{sf_dir}/supplier.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    n_par = (
+        max(1, min(cores, (n_sup * (n_sup - 1)) // 2 // 65536 + 1))
+        if n_sup else cores
+    )
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
@@ -603,7 +613,7 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection ~5.7 s full-pipeline, interleaved medians), and
     # above the supplier cap it falls back to the shuffled equi-join —
     # same semantics, no driver-size bet.
-    n_sup = _parquet_num_rows(f"{sf_dir}/supplier.parquet")
+    # n_sup from the single footer read above (broadcast gate)
     adj = oe.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
     a_u = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
