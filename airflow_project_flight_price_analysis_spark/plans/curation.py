@@ -5431,7 +5431,28 @@ def x131_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = parts[0]
     for p in parts[1:]:
         ks = ks.unionAll(p)
-    ks = ks.distinct().transform(track_persist)
+    # r14 (guide §2, the x83 width derivation): the distinct keyspace
+    # is a few MB here, so AQE coalesces it to 1-2 cached partitions
+    # and every consumer (the sketch's per-key md5 + rank window, the
+    # exact side's pivot) runs near-serial. Re-cluster the CACHE at a
+    # data-derived width — melted rows (footer counts × column counts)
+    # at ~400k rows/partition, clamped to cores; keyed on `key` so the
+    # exact side's groupBy(key) reuses the partitioning with NO
+    # exchange. A/B at sf0.1 (materialize+sketch+pivot): unpinned
+    # 2.08 s, width 6 (the derived value) 1.48 s, width 12 1.65 s.
+    from .insights import _parquet_num_rows  # noqa: PLC0415
+
+    melt_rows = 0
+    for tname, cs in _X131_COLS.items():
+        n = _parquet_num_rows(f"{sf_dir}/{tname}.parquet")
+        if n is None:
+            melt_rows = None
+            break
+        melt_rows += n * len(cs)
+    cores = spark.sparkContext.defaultParallelism
+    ks_width = (max(1, min(cores, melt_rows // 400_000 + 1))
+                if melt_rows is not None else cores)
+    ks = ks.distinct().repartition(ks_width, "key").transform(track_persist)
     # ks is already distinct on (g, key), so the sketch skips its own
     # distinct exchange (r14 optimization; the 60-bit hash is 1:1 per
     # key, so the rank window sees the identical row set)
