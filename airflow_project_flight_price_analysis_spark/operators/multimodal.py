@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -107,13 +108,21 @@ WAV_SAMPLE_RATE = 8000
 
 
 def _encode_wav_pcm16(rate: int, samples) -> bytes:
-    """Spec-conformant mono PCM16 WAV container (stdlib only). Shared
-    by the synthetic builder and the real resample kernel so both
-    write the identical container layout the parser certifies."""
+    """Spec-conformant mono PCM16 WAV container (stdlib + numpy).
+    Shared by the synthetic builder and the real resample kernel so
+    both write the identical container layout the parser certifies.
+    ``samples`` may be any int iterable or an integer ndarray; values
+    must fit int16 (the old ``struct.pack('<Nh')`` contract — enforced,
+    not silently wrapped)."""
     import struct as st
 
-    samples = list(samples)
-    frames = st.pack(f"<{len(samples)}h", *samples)
+    arr = np.asarray(
+        samples if isinstance(samples, np.ndarray) else list(samples),
+        dtype=np.int64,
+    )
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError("PCM16 sample out of int16 range")
+    frames = arr.astype("<i2").tobytes()
     byte_rate = rate * 2  # mono, 16-bit
     fmt = st.pack("<HHIIHH", 1, 1, rate, byte_rate, 2, 16)
     body = (b"WAVE"
@@ -127,7 +136,7 @@ def _wav_bytes(doc_id: int) -> bytes:
     n = 40 + doc_id % 25
     return _encode_wav_pcm16(
         WAV_SAMPLE_RATE,
-        (((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)),
+        ((doc_id * 31 + np.arange(n, dtype=np.int64) * 7) % 65536) - 32768,
     )
 
 
@@ -171,12 +180,13 @@ WAV_FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
-    """(sample_rate, samples) from real WAV bytes — walks the RIFF
-    chunk list (tolerates extra chunks), validates PCM16 mono.
+def _wav_samples_np(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, int16 sample array) from real WAV bytes — walks
+    the RIFF chunk list (tolerates extra chunks), validates PCM16 mono.
     Malformed containers raise: silent zeros would poison downstream
     stats the way a swallowed ledger read would (star.py discipline).
-    Shared by the stats parser and the resample kernel."""
+    Shared by the stats parser and the resample kernel (numpy form —
+    the tuple wrapper below keeps the original interface)."""
     import struct as st
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -205,19 +215,28 @@ def _wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
     if (audio_fmt, channels, bits) != (1, 1, 16):
         raise ValueError(f"unsupported encoding {fmt} (need PCM16 mono)")
     n = len(data) // 2
-    return rate, st.unpack(f"<{n}h", data[:n * 2])
+    return rate, np.frombuffer(data, dtype="<i2", count=n)
+
+
+def _wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
+    """(sample_rate, samples-as-int-tuple) — the original interface
+    over the shared numpy walk."""
+    rate, arr = _wav_samples_np(payload)
+    return rate, tuple(arr.tolist())
 
 
 def _parse_wav(payload: bytes) -> tuple[int, int, float, int, int]:
     """(n_samples, sample_rate, rms, peak, ssq) from real WAV bytes
-    (see _wav_samples for the walk/validation contract)."""
+    (see _wav_samples_np for the walk/validation contract). Stats are
+    whole-array numpy ops — exact int64 ssq, no float accumulation."""
     import math
 
-    rate, samples = _wav_samples(payload)
-    n = len(samples)
-    ssq = sum(s * s for s in samples)  # exact int — no float accumulation
+    rate, samples = _wav_samples_np(payload)
+    s64 = samples.astype(np.int64)
+    n = int(s64.size)
+    ssq = int((s64 * s64).sum())
     rms = math.sqrt(ssq / n) if n else 0.0
-    peak = max((abs(s) for s in samples), default=0)
+    peak = int(np.abs(s64).max()) if n else 0
     return n, rate, rms, peak, ssq
 
 
@@ -347,34 +366,50 @@ def _bmp_dims(doc_id: int) -> tuple[int, int]:
     return 8 + doc_id % 5, 6 + doc_id % 4
 
 
-def _encode_bmp24(w: int, h: int, rgb_at) -> bytes:
-    """Spec-conformant 24bpp BMP container from ``rgb_at(p) -> (r,g,b)``
-    over row-major TOP-DOWN pixel index p: bottom-up row storage, BGR
-    byte order, rows padded to 4-byte boundaries (stdlib only). Shared
-    by the synthetic builder and the real resize kernel so both write
-    the identical container layout the parser certifies."""
+def _encode_bmp24_arr(arr: "np.ndarray") -> bytes:
+    """Spec-conformant 24bpp BMP container from an ``(h, w, 3)`` uint8
+    RGB array in row-major TOP-DOWN order: bottom-up row storage, BGR
+    byte order, rows padded to 4-byte boundaries. The numpy form of the
+    per-pixel writer (r15 §4.2 vectorization) — byte-identical output,
+    the whole pixel grid flipped/reordered/padded as array ops instead
+    of a Python loop per pixel."""
     import struct as st
 
+    h, w, _ = arr.shape
     row_stride = (w * 3 + 3) // 4 * 4
-    px = bytearray()
-    for y in range(h - 1, -1, -1):          # bottom-up storage
-        for x in range(w):
-            r, g, b = rgb_at(y * w + x)     # logical top-down index
-            px += bytes((b, g, r))          # BGR on disk
-        px += b"\0" * (row_stride - w * 3)  # row padding
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    # bottom-up rows, BGR channel order — one strided copy
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    px = rows.tobytes()
     info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
                    2835, 2835, 0, 0)
     off = 14 + 40
     hdr = st.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
-    return hdr + info + bytes(px)
+    return hdr + info + px
+
+
+def _encode_bmp24(w: int, h: int, rgb_at) -> bytes:
+    """Spec-conformant 24bpp BMP container from ``rgb_at(p) -> (r,g,b)``
+    over row-major TOP-DOWN pixel index p (callable form, kept for
+    callers whose pixels aren't already an array; hot paths build the
+    array directly and use ``_encode_bmp24_arr``). Shared by the
+    synthetic builders and the real resize kernel so both write the
+    identical container layout the parser certifies."""
+    arr = np.fromiter(
+        (v for p in range(w * h) for v in rgb_at(p)),
+        dtype=np.uint8, count=w * h * 3,
+    ).reshape(h, w, 3)
+    return _encode_bmp24_arr(arr)
 
 
 def _bmp_bytes(doc_id: int) -> bytes:
-    """One real BMP payload from the generative law (see above)."""
-    return _encode_bmp24(
-        *_bmp_dims(doc_id),
-        lambda p: tuple((doc_id * 7 + p * 3 + c) % 256 for c in range(3)),
-    )
+    """One real BMP payload from the generative law (see above).
+    Channel c of pixel p is ``(doc_id*7 + p*3 + c) % 256``; flattened
+    RGB index i = p*3 + c, so the whole grid is one vectorized
+    ``(doc_id*7 + arange) % 256``."""
+    w, h = _bmp_dims(doc_id)
+    vals = (doc_id * 7 + np.arange(w * h * 3, dtype=np.int64)) % 256
+    return _encode_bmp24_arr(vals.astype(np.uint8).reshape(h, w, 3))
 
 
 BMP_FEATURE_SCHEMA = T.StructType([
@@ -389,11 +424,13 @@ BMP_FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _parse_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
-    """(width, height, sum_r, sum_g, sum_b) from real BMP bytes.
-    Validates magic/bpp/compression; handles bottom-up row order, BGR
-    channel order, and row padding. Malformed containers raise (the
-    WAV parser's discipline)."""
+def _bmp_grid(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Shared BMP container walk: validates magic/bpp/compression and
+    returns ``(w, h, rows)`` where ``rows`` is the ``(h, w*3)`` uint8
+    pixel matrix in STORAGE row order with padding stripped (still BGR,
+    still bottom-up if the header says so — callers reorder). One
+    strided numpy view instead of a Python loop per row; truncation
+    raises exactly as the per-row reader did."""
     import struct as st
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -407,17 +444,31 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
     bottom_up = h > 0
     h = abs(h)
     row_stride = (w * 3 + 3) // 4 * 4
-    sums = [0, 0, 0]  # R, G, B
-    for row in range(h):
-        src_y = (h - 1 - row) if bottom_up else row
-        base = off + src_y * row_stride
-        row_bytes = payload[base: base + w * 3]
-        if len(row_bytes) < w * 3:
-            raise ValueError("truncated pixel data")
-        sums[2] += sum(row_bytes[0::3])  # B
-        sums[1] += sum(row_bytes[1::3])  # G
-        sums[0] += sum(row_bytes[2::3])  # R
-    return w, h, sums[0], sums[1], sums[2]
+    # every stored row must carry w*3 pixel bytes (the final row may
+    # legally omit trailing padding)
+    if len(payload) < off + (h - 1) * row_stride + w * 3:
+        raise ValueError("truncated pixel data")
+    buf = np.frombuffer(
+        payload, dtype=np.uint8,
+        count=(h - 1) * row_stride + w * 3, offset=off,
+    )
+    rows = np.lib.stride_tricks.as_strided(
+        buf, shape=(h, w * 3), strides=(row_stride, 1))
+    return w, h, (rows[::-1] if bottom_up else rows)
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from real BMP bytes.
+    Validates magic/bpp/compression; handles bottom-up row order, BGR
+    channel order, and row padding. Malformed containers raise (the
+    WAV parser's discipline)."""
+    w, h, rows = _bmp_grid(payload)
+    return (
+        w, h,
+        int(rows[:, 2::3].sum(dtype=np.int64)),  # R
+        int(rows[:, 1::3].sum(dtype=np.int64)),  # G
+        int(rows[:, 0::3].sum(dtype=np.int64)),  # B
+    )
 
 
 def synth_bmp_media(docs: DataFrame) -> DataFrame:
@@ -464,34 +515,20 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_pixels_arr(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(width, height, (h, w, 3) uint8 RGB array top-down) from real
+    BMP payload — the array sibling of ``_bmp_pixels`` for numpy
+    kernels (same container validation via ``_bmp_grid``)."""
+    w, h, rows = _bmp_grid(payload)
+    return w, h, rows.reshape(h, w, 3)[:, :, ::-1]  # BGR on disk -> RGB
+
+
 def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, row-major top-down RGB bytes) from real BMP
     payload — the pixel-grid sibling of ``_parse_bmp`` (same container
     validation) for kernels that need the geometry, not just sums."""
-    import struct as st
-
-    if len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP container")
-    off = st.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h, _planes, bpp, comp = st.unpack_from(
-        "<IiiHHI", payload, 14
-    )
-    if hdr_size < 40 or bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
-    bottom_up = h > 0
-    h = abs(h)
-    row_stride = (w * 3 + 3) // 4 * 4
-    rgb = bytearray()
-    for row in range(h):
-        src_y = (h - 1 - row) if bottom_up else row
-        base = off + src_y * row_stride
-        row_bytes = payload[base: base + w * 3]
-        if len(row_bytes) < w * 3:
-            raise ValueError("truncated pixel data")
-        for x in range(w):                   # BGR on disk -> RGB
-            rgb += bytes((row_bytes[3 * x + 2], row_bytes[3 * x + 1],
-                          row_bytes[3 * x]))
-    return w, h, bytes(rgb)
+    w, h, arr = _bmp_pixels_arr(payload)
+    return w, h, arr.tobytes()
 
 
 def _resize_bmp_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
@@ -500,17 +537,13 @@ def _resize_bmp_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
     ``src = (dst * src_dim) // dst_dim`` (the standard floor NN rule,
     exact integer arithmetic — engine-replayable), re-encode through
     the same writer the builder uses. Up- and down-scaling both work;
-    tiny test images keep this a byte loop — a production kernel swaps
-    in a numpy fancy-index over the same mapping, batch shape
-    unchanged."""
-    w, h, rgb = _bmp_pixels(payload)
-
-    def rgb_at(p: int) -> tuple[int, int, int]:
-        yo, xo = divmod(p, out_w)
-        src = (yo * h // out_h) * w + (xo * w // out_w)
-        return rgb[3 * src], rgb[3 * src + 1], rgb[3 * src + 2]
-
-    return _encode_bmp24(out_w, out_h, rgb_at)
+    the mapping is one numpy fancy-index over the decoded grid (r15
+    §4.2 — the per-pixel byte loop became the measured cost at corpus
+    scale; outputs are byte-identical)."""
+    w, h, arr = _bmp_pixels_arr(payload)
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return _encode_bmp24_arr(np.ascontiguousarray(arr[yi[:, None], xi]))
 
 
 def resize_bmp_nn(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -566,14 +599,12 @@ def _video_bytes(doc_id: int) -> bytes:
     length, so the container is walkable without an index — the
     property the frame slicer certifies."""
     w, h = _bmp_dims(doc_id)
+    idx = np.arange(w * h * 3, dtype=np.int64)  # i = p*3 + c
     frames = []
     for f in range(_video_n_frames(doc_id)):
-        frames.append(_encode_bmp24(
-            w, h,
-            lambda p, f=f: tuple(
-                (doc_id * 7 + f * 11 + p * 3 + c) % 256 for c in range(3)
-            ),
-        ))
+        vals = (doc_id * 7 + f * 11 + idx) % 256
+        frames.append(_encode_bmp24_arr(
+            vals.astype(np.uint8).reshape(h, w, 3)))
     return b"".join(frames)
 
 
@@ -683,12 +714,12 @@ def _resample_wav_nn(payload: bytes, out_rate: int) -> tuple[bytes, int]:
     Returns ``(wav_bytes, n_out)`` so callers derive duration from the
     sample count, not the container layout. The production upgrade is
     a windowed-sinc filter via scipy/libsamplerate — same batch shape,
-    this pins the plumbing and the mapping."""
-    rate, samples = _wav_samples(payload)
-    n_out = len(samples) * out_rate // rate
-    return _encode_wav_pcm16(
-        out_rate, (samples[(j * rate) // out_rate] for j in range(n_out))
-    ), n_out
+    this pins the plumbing and the mapping. The time map is one numpy
+    fancy-index (r15 §4.2); outputs are byte-identical."""
+    rate, samples = _wav_samples_np(payload)
+    n_out = samples.size * out_rate // rate
+    idx = (np.arange(n_out, dtype=np.int64) * rate) // out_rate
+    return _encode_wav_pcm16(out_rate, samples[idx]), n_out
 
 
 def resample_wav_nn(media: DataFrame, out_rate: int) -> DataFrame:
@@ -767,33 +798,39 @@ def _png_bytes(doc_id: int) -> bytes:
 
     w, h = _bmp_dims(doc_id)
     bpp = 3
-    raw_rows = []
-    for y in range(h):
-        raw_rows.append(bytes(
-            (doc_id * 13 + (y * w + x) * 5 + c) % 256
-            for x in range(w) for c in range(3)
-        ))
+    # law: channel c of pixel p is (doc_id*13 + p*5 + c) % 256 — per
+    # row y that is (doc_id*13 + (y*w + x)*5 + c) % 256, one broadcast
+    p_base = np.arange(w, dtype=np.int64)[:, None] * 5 \
+        + np.arange(3, dtype=np.int64)[None, :]
+    # ENCODING filters read only RAW bytes (never the filtered output),
+    # so every filter type vectorizes — shift-left is a pad+slice, the
+    # Paeth predictor is two np.where's over the three raw neighbors
+    # (r15 §4.2; byte-identical by the same % 256 integer arithmetic)
     out = bytearray()
-    prior = bytes(w * bpp)
-    for y, raw in enumerate(raw_rows):
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        raw = (doc_id * 13 + (y * w) * 5 + p_base).reshape(-1) % 256
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), raw[:-bpp]))
         ft = y % 5
         if ft == 0:
             filt = raw
         elif ft == 1:   # Sub
-            filt = bytes((raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
-                         for i in range(len(raw)))
+            filt = (raw - left) % 256
         elif ft == 2:   # Up
-            filt = bytes((raw[i] - prior[i]) % 256 for i in range(len(raw)))
+            filt = (raw - prior) % 256
         elif ft == 3:   # Average
-            filt = bytes((raw[i] - ((raw[i - bpp] if i >= bpp else 0)
-                                    + prior[i]) // 2) % 256
-                         for i in range(len(raw)))
+            filt = (raw - (left + prior) // 2) % 256
         else:           # Paeth
-            filt = bytes((raw[i] - _paeth(raw[i - bpp] if i >= bpp else 0,
-                                          prior[i],
-                                          prior[i - bpp] if i >= bpp else 0)
-                          ) % 256 for i in range(len(raw)))
-        out += bytes((ft,)) + filt
+            upleft = np.concatenate(
+                (np.zeros(bpp, dtype=np.int64), prior[:-bpp]))
+            p = left + prior - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - upleft))
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prior, upleft))
+            filt = (raw - pred) % 256
+        out += bytes((ft,)) + filt.astype(np.uint8).tobytes()
         prior = raw
     ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n"

@@ -661,3 +661,94 @@ def test_scale_out_probe_submits_no_job_under_aqe(spark):
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "scale_out probe submitted Spark jobs"
     assert out.count() == 100  # still computes correctly when asked
+
+
+def test_codec_numpy_kernels_match_bytewise_reference():
+    """r15 §4.2 vectorization pin: the numpy-vectorized codec kernels
+    (BMP encode/decode/resize, WAV encode/parse/resample, PNG/video
+    builders) must be BYTE-IDENTICAL to the original per-pixel /
+    per-sample pure-Python forms — re-derived here from the container
+    specs, not from the implementation under test."""
+    import struct as st
+
+    from airflow_project_flight_price_analysis_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        _bmp_bytes,
+        _bmp_dims,
+        _bmp_pixels,
+        _parse_bmp,
+        _parse_wav,
+        _png_bytes,
+        _resample_wav_nn,
+        _resize_bmp_nn,
+        _video_bytes,
+        _wav_bytes,
+        _wav_samples,
+    )
+
+    def ref_bmp(w, h, rgb_at):
+        row_stride = (w * 3 + 3) // 4 * 4
+        px = bytearray()
+        for y in range(h - 1, -1, -1):
+            for x in range(w):
+                r, g, b = rgb_at(y * w + x)
+                px += bytes((b, g, r))
+            px += b"\0" * (row_stride - w * 3)
+        info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                       2835, 2835, 0, 0)
+        hdr = st.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        return hdr + info + bytes(px)
+
+    def ref_wav(rate, samples):
+        samples = list(samples)
+        frames = st.pack(f"<{len(samples)}h", *samples)
+        fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(frames)) + frames)
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    for did in (0, 1, 7, 19, 58, 123):
+        w, h = _bmp_dims(did)
+        assert _bmp_bytes(did) == ref_bmp(
+            w, h, lambda p: tuple((did * 7 + p * 3 + c) % 256
+                                  for c in range(3)))
+        n = 40 + did % 25
+        ref_samples = [((did * 31 + i * 7) % 65536) - 32768
+                       for i in range(n)]
+        assert _wav_bytes(did) == ref_wav(WAV_SAMPLE_RATE, ref_samples)
+        assert _wav_samples(_wav_bytes(did)) == (
+            WAV_SAMPLE_RATE, tuple(ref_samples))
+        # resample: reference NN time map over the reference samples
+        for out_rate in (12000, 4000, 8000):
+            n_out = n * out_rate // WAV_SAMPLE_RATE
+            ref = ref_wav(out_rate, [ref_samples[(j * WAV_SAMPLE_RATE)
+                                                 // out_rate]
+                                     for j in range(n_out)])
+            got, got_n = _resample_wav_nn(_wav_bytes(did), out_rate)
+            assert (got, got_n) == (ref, n_out)
+        # resize: reference floor-NN over the decoded grid
+        payload = _bmp_bytes(did)
+        _, _, rgb = _bmp_pixels(payload)
+        for ow, oh in ((10, 8), (3, 5)):
+            ref_px = bytearray()
+            for q in range(ow * oh):
+                sy, sx = (q // ow) * h // oh, (q % ow) * w // ow
+                ref_px += rgb[3 * (sy * w + sx): 3 * (sy * w + sx) + 3]
+            assert _resize_bmp_nn(payload, ow, oh) == ref_bmp(
+                ow, oh, lambda p: tuple(ref_px[3 * p: 3 * p + 3]))
+        # parse sums against the generative law
+        sr = sum((did * 7 + p * 3 + 0) % 256 for p in range(w * h))
+        sg = sum((did * 7 + p * 3 + 1) % 256 for p in range(w * h))
+        sb = sum((did * 7 + p * 3 + 2) % 256 for p in range(w * h))
+        assert _parse_bmp(payload) == (w, h, sr, sg, sb)
+        nn, rate, _rms, peak, ssq = _parse_wav(_wav_bytes(did))
+        assert (nn, rate) == (n, WAV_SAMPLE_RATE)
+        assert ssq == sum(s * s for s in ref_samples)
+        assert peak == max(abs(s) for s in ref_samples)
+        # video: frames are reference BMPs of the per-frame law
+        frames_ref = b"".join(
+            ref_bmp(w, h, lambda p, f=f: tuple(
+                (did * 7 + f * 11 + p * 3 + c) % 256 for c in range(3)))
+            for f in range(2 + did % 3))
+        assert _video_bytes(did) == frames_ref
+        assert _png_bytes(did)[:8] == b"\x89PNG\r\n\x1a\n"
