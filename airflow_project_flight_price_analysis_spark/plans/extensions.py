@@ -621,7 +621,20 @@ def x115_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source). The float frame is certification harness (at 100 TB only
     # the quantized path runs); the quantized frame is the 4×-smaller
     # product-path projection with three consumers.
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # r15 (the x131 cache-width hazard, VERDICT item 6): the embeddings
+    # scan is ONE partition (single-file parquet), so the persisted
+    # frame — and with it every brute-force cosine stage (broadcast
+    # nested-loop join + interpreted higher-order dot products, the
+    # face's CPU peak) — ran on one core. scale_out widens the scan to
+    # the cluster's parallelism before the persist; no-op at real scale
+    # where the scan already has ≥ parallelism splits.
+    from ..session import scale_out  # noqa: PLC0415
+
+    # (probe the bare scan, not the HOF projection — physical-planning
+    # the lambda transform per build costs ~0.3 s of pure Catalyst)
+    emb = scale_out(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     ).transform(track_persist)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -639,7 +652,10 @@ def x115_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("sum_qnorm2"),
     )
-    exact = cosine_topk(emb, queries, k=5)
+    # r15: `exact` feeds TWO consumers (the recall join and the error
+    # join) — unpersisted, each re-ran the full float brute-force pass
+    # (the face's single most expensive stage, twice). ≤ 50 rows cached.
+    exact = cosine_topk(emb, queries, k=5).transform(track_persist)
     qtop = quantized_cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )

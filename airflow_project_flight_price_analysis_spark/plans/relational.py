@@ -2705,9 +2705,17 @@ def q73_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; both engines avoid the O(lineitem²) correlated rescan.
 
     Scale shape: lineitem⋈orders on the orderkey (the fact's natural
-    key — bucketable), one per-order aggregate, a semi-join back to
-    late lineitems of qualifying orders, a |suppliers|-scale count, and
-    a TakeOrdered top-10.
+    key — bucketable), ONE per-order aggregate, a |suppliers|-scale
+    count, and a TakeOrdered top-10. r15: the qualifying order's
+    credited supplier is recovered from the SAME aggregate —
+    ``n_late == 1`` means the distinct-late-supplier set is a
+    singleton, so ``max(late ? l_suppkey)`` IS that supplier — which
+    removes the second pass over the joined table (the old semi-join
+    back to late lineitems + distinct re-shuffled lineitem a second
+    time; §2.4 remove shuffles outright). Equivalence is exact, not
+    approximate: for every qualifying order the old DISTINCT
+    (l_orderkey, l_suppkey) pair set and the new singleton agree by
+    the n_late = 1 filter itself.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -2728,16 +2736,15 @@ def q73_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("late"), F.col("l_suppkey"))
         ).alias("n_late"),
+        # the single late supplier of a qualifying order (n_late == 1
+        # makes the distinct-late set a singleton, so max == the set)
+        F.max(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("late_supp"),
     )
-    qualifying = per_order.filter(
+    credited = per_order.filter(
         (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-    ).select("l_orderkey")
-    credited = (
-        lo.filter(F.col("late"))
-        .join(qualifying, "l_orderkey", "left_semi")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         credited.groupBy("l_suppkey")
