@@ -236,9 +236,13 @@ def kmv_sketch_by_group(df: DataFrame, group_col: str, key_col: str,
 
     ``distinct_keys=True``: the caller guarantees ``(group, key)`` rows
     are already distinct (e.g. the input IS a deduplicated keyspace),
-    so the operator skips its own distinct — one exchange less; the
-    60-bit hash is 1:1 per key, so distinct keys ⇒ distinct hashes and
-    the rank window sees the identical row set."""
+    so the operator skips its own distinct — one exchange less. The
+    60-bit hash is 1:1 per key only PROBABILISTICALLY (ADVICE r14):
+    distinct keys ⇒ distinct hashes except for a 2^60-domain collision
+    (birthday bound ~n²/2^61 per group — negligible below ~1e8 keys),
+    which would leave a duplicate h in the rank window where the
+    default path's distinct keeps one; above that scale keep the
+    default (hash-level distinct) path."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if prefilter_denom is not None and prefilter_denom < 1:

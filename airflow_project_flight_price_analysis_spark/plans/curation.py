@@ -4109,9 +4109,15 @@ def x122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the survivor table FROM the distinct-key table instead of a
     # second corpus scan — md5 is paid once per DISTINCT key instead
     # of once per row, and lineitem is scanned once instead of twice
-    # (h = md5(key) is 1:1 per key, so the survivor set is
-    # bit-identical; re-certified vs the unchanged oracle at all
-    # three sfs).
+    # (h = md5(key) is collision-free here only PROBABILISTICALLY
+    # (ADVICE r14): two distinct keys colliding in the 2^60 domain
+    # would put a duplicate h into this bottom-k where the oracle's
+    # SELECT DISTINCT keeps one — at n distinct keys the birthday
+    # bound is ~n²/2^61, ≈1e-8 at the bench sfs, so the certification
+    # holds in practice; at 1e9+ distinct keys a collision becomes
+    # likely and a deployment must keep a .distinct() on h after the
+    # projection. Re-certified vs the unchanged oracle at all three
+    # sfs.)
     dk = li.distinct().transform(track_persist)
     exact = dk.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     surv = (
@@ -5039,8 +5045,12 @@ def x129_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(key) for the exact side) and paid md5 on every ROW; the
     # per-key membership aggregate is the common core of both, so
     # compute it once and hash only the ~|distinct keys| survivors
-    # (h = md5(key) is 1:1 per key — bit-identical survivor set, and
-    # the oracle gate re-certified the value hash at all three sfs).
+    # (h = md5(key) is 1:1 per key only PROBABILISTICALLY — ADVICE
+    # r14: a 2^60-domain collision between distinct keys would leave a
+    # duplicate h here where the oracle's per-h grouping keeps one;
+    # birthday bound ~n²/2^61 ≈ 1e-8 at bench cardinalities, and at
+    # 1e9+ keys a deployment must re-distinct on h. The oracle gate
+    # re-certified the value hash at all three sfs.)
     per_key = (
         li.groupBy("key")
         .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
@@ -5440,11 +5450,11 @@ def x131_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side's groupBy(key) reuses the partitioning with NO
     # exchange. A/B at sf0.1 (materialize+sketch+pivot): unpinned
     # 2.08 s, width 6 (the derived value) 1.48 s, width 12 1.65 s.
-    from .insights import _parquet_num_rows  # noqa: PLC0415
+    from ._util import parquet_num_rows  # noqa: PLC0415
 
     melt_rows = 0
     for tname, cs in _X131_COLS.items():
-        n = _parquet_num_rows(f"{sf_dir}/{tname}.parquet")
+        n = parquet_num_rows(f"{sf_dir}/{tname}.parquet")
         if n is None:
             melt_rows = None
             break
@@ -5655,7 +5665,10 @@ def x133_stream_overlap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: the x129 row (estimates + exact certification counts +
     the three 3σ envelope laws) plus ``multi_batch`` pinning that the
-    fold actually merged ≥ 2 micro-batches.
+    fold actually merged ≥ 2 micro-batches. The in-band backlog is the
+    MINIMAL 2-batch split (one state fold); ≥ 2-merge multi-fold
+    coverage is delegated to tests/test_streaming.py's multi-way-split
+    law pins (ADVICE r14).
 
     Scale shape: per micro-batch one scan capped at k·2 rows after the
     prefilter-pushed grouped rank; driver state O(k) per lane; the

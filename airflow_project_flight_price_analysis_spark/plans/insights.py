@@ -472,28 +472,10 @@ ORACLE["x82_bigram_surprisal"] = r"""
 _X83_BROADCAST_SUPPLIER_CAP = 3_000
 
 
-def _parquet_num_rows(path: str) -> int | None:
-    """Row count from parquet footers only (driver-side, a few KiB of
-    metadata IO — the bounded file-footer-stats pattern). Returns
-    ``None`` when the footers can't be read locally (non-local
-    ``sf_dir`` such as s3:// or hdfs://, or an unexpected layout) —
-    callers must treat ``None`` as over-cap and take their shuffled
-    fallback rather than fail the plan build (ADVICE r12)."""
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
-    try:
-        if os.path.isdir(path):
-            parts = sorted(glob.glob(f"{path}/*.parquet")) or sorted(
-                glob.glob(f"{path}/part-*"))
-            if not parts:
-                return None
-            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:  # noqa: BLE001 — any unreadable footer ⇒ size unknown
-        return None
+# Promoted to the shared plans/_util.py (ADVICE r14 — x131 imported a
+# private name across plan modules); the old name stays importable for
+# existing callers/tests.
+from ._util import parquet_num_rows as _parquet_num_rows  # noqa: E402
 
 
 def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +513,9 @@ def x83_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 → 7.07 full-query medians; over-width pays per-task/GC overhead
     # on a few-MB graph), and any corpus with ≥ ~2k suppliers saturates
     # to every core. Footer unreadable ⇒ width = all cores (safe).
+    # C(n_sup, 2) is an UPPER BOUND, not the realized pair count — on a
+    # sparse co-supply graph it over-widens relative to the data, which
+    # the clamp-to-cores makes harmless (ADVICE r14).
     n_sup = _parquet_num_rows(f"{sf_dir}/supplier.parquet")
     cores = spark.sparkContext.defaultParallelism
     n_par = (
