@@ -24,51 +24,32 @@ from pyspark.sql import DataFrame, SparkSession
 #      automatically re-certify whatever the driver has not seen longest,
 #      with no hand-maintained per-round rotation list (round 5).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 14: the r13 pins served their purpose (all green in
-    # CORRECTNESS_r13). This round's tier 1 carries every face whose
-    # ORACLE text or composition changed (values unchanged, text /
-    # physical shape not): x127 is the round's headline — the
-    # streaming CMS fold became replay-idempotent (durable
-    # versioned-watermark state, r13 verdict item 1) and the face now
-    # exercises the crash-replay window IN BAND with a new `replayed`
-    # law column; x122/x124 carry the corrected 3σ envelope constant
-    # (1875 → 1882 bp, ADVICE r13) plus the NULL-coalesce oracle
-    # mirror; x125/x126/x107 carry the NULL-coalesce mirror alone.
-    # x108 is pinned for freshness: it and x107 are the last r8 rows
-    # (family suppression would let only one rotate), so pinning both
-    # moves the staleness floor to r9 — the remaining ~40 tier-3
-    # slots then sweep the 17-row r9 cohort and into r10.
-    "x127_stream_cms_merge",
-    # x120: count_min_estimates collapsed its 4 per-lane broadcasts
-    # into one single-row map broadcast (r13 verdict item 5) — values
-    # identical, physical probe shape new
-    "x120_count_min_heavy_hitters",
-    "x122_kmv_distinct",
-    "x124_stream_kmv_merge",
-    "x125_weighted_systematic_sample",
-    "x126_kmv_by_group",
-    "x107_temperature_mixture",
-    "x108_stratified_threshold",
-    # q87: the version history is now built as seed + ONE mixed-op
-    # MERGE (op_col CDC batch) and every merge write is
-    # bucket-clustered — values and oracle unchanged, composition new
-    "q87_snapshot_diff",
-    # Round-14 OPTIMIZATION session: every face whose physical
-    # composition changed (values and oracles unchanged — each already
-    # re-proven locally at sf0.001/0.01/0.1, plus a full 223/223
-    # driver-sim gate; see OPTIMIZATION_r14.md) gets a fresh driver
-    # row. x120/x122/x124/x127 above are double-changed (build session
-    # + optimization session) and already pinned.
-    "x129_kmv_set_algebra",
-    "x130_priority_sample",
-    "x131_fk_containment",
-    "x134_cms_join_size",
-    "x135_weighted_quantiles",
-    "x123_sampled_quantiles",
-    "x128_stream_sample_quantiles",
-    "x133_stream_overlap_monitor",
-    "x83_triangle_count",
-    "x96_entity_resolution",
+    # Round 15 (optimization round 2): the r14 pins served their
+    # purpose (all 15 green in CORRECTNESS_r14, individually verified
+    # by the r14 judge). This round's tier 1 carries every face whose
+    # PHYSICAL composition changed (values and oracles unchanged —
+    # each re-proven locally at sf0.001/0.01/0.1 plus the full
+    # driver-sim gate; see OPTIMIZATION_r15.md):
+    # q73: the credited-supplier pass collapsed into the per-order
+    # aggregate (2 SortMergeJoins -> 0, 10 -> 6 scans)
+    "q73_waiting_suppliers",
+    # x115: embeddings cache re-clustered via scale_out (the x131
+    # cache-width hazard) + the exact float baseline persisted (it fed
+    # two consumers unpersisted)
+    "x115_quantized_ann",
+    # codec family: the BMP/WAV kernels (encode, decode, resize,
+    # resample, video builder) vectorized with numpy whole-array ops —
+    # byte-identical containers (pinned by
+    # tests/test_extensions.py::test_codec_numpy_kernels_match_bytewise_reference),
+    # same plans, new Python internals. x105 shares _parse_bmp.
+    "x103_wav_decode_stats",
+    "x105_bmp_decode_stats",
+    "x116_bmp_resize_stats",
+    "x117_frame_sample_stats",
+    "x118_wav_resample_stats",
+    "x119_png_decode_stats",
+    # The remaining ~40 tier-3 slots sweep the stalest green cohort
+    # (r9/r10) automatically — r14 verdict item 7.
 )
 # Tier 2 (automatic, no green row) as of round-14: empty — every
 # registered query has a green driver row (215/215 after r13). New
