@@ -1,10 +1,12 @@
-"""Dump `.explain("formatted")` for named queries to plans/r14/.
+"""Dump `.explain("formatted")` for named queries to plans/<round>/.
 
 Usage: python tools/dump_plan.py <suffix> <query_name> [<query_name> ...]
 
-Writes plans/r14/<short>_<suffix>.txt (e.g. x134_before.txt) with the
+Writes plans/<round>/<short>_<suffix>.txt (e.g. x134_before.txt) with the
 pre-execution formatted physical plan at sf0.1 — the optimization-round
-evidence files the judge checks plan claims against.
+evidence files the judge checks plan claims against. The round directory
+defaults to the current optimization round (``SPARK_GRAFT_PLAN_ROUND``
+overrides it).
 """
 
 from __future__ import annotations
@@ -23,7 +25,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="fpa-dump-plan")
     queries = all_queries()
