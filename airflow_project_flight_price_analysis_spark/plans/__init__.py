@@ -48,6 +48,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "x117_frame_sample_stats",
     "x118_wav_resample_stats",
     "x119_png_decode_stats",
+    # x88/x132 share _bm25_raw_scores, whose persisted per-doc token
+    # frame is now scale_out-widened (same hazard as x115)
+    "x88_bm25_ranking",
+    "x132_rrf_fusion",
     # The remaining ~40 tier-3 slots sweep the stalest green cohort
     # (r9/r10) automatically — r14 verdict item 7.
 )

@@ -52,7 +52,13 @@ def _bm25_raw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # persisted (cache.py-tracked): consumed by the stats aggregate AND
     # the scoring pass — without it the tokenizer runs the corpus twice.
-    per_doc = docs.select(
+    # r15 (the x115 cache-width hazard): the single-file documents scan
+    # is ONE partition, so the persisted projection — and the tokenizer
+    # higher-order functions, the pipeline's CPU — ran on one core;
+    # scale_out widens the scan first (no-op at real scale).
+    from ..session import scale_out  # noqa: PLC0415
+
+    per_doc = scale_out(docs, "doc_id").select(
         "doc_id", F.size(toks).alias("dl"), *tf_cols
     ).transform(track_persist)
 
